@@ -1,0 +1,144 @@
+"""Envelope-encryption primitives: mock KMS, cached unwrap UDF, MAC.
+
+Reference parity [U/H, SURVEY §2 R5-R7]: the reference publisher wraps the
+AES data-encryption key (DEK) with a Cloud KMS key-encryption key (KEK) and
+ships it as a message attribute; the Beam ``DecryptDoFn`` unwraps it via a
+KMS ``decrypt`` RPC behind a **per-worker expiring cache keyed by the
+wrapped-DEK value** — the repo's central idea, amortizing one RPC per key
+per worker instead of one per message.
+
+Spark-first mapping:
+
+- Payload AES is Spark's native ``aes_encrypt`` / ``aes_decrypt``
+  (AES-256-GCM) — codegen'd JVM expressions, zero Python in the hot path.
+- KMS is mocked (no GCP here) as a deterministic XOR-with-keystream wrap,
+  where the keystream derives from the KEK via SHA-256 counter blocks.
+  Pure stdlib, so the unwrap UDF runs in Python workers without crypto
+  deps; deterministic, so the wrapped value is a stable wire constant.
+- The unwrap UDF is a **vectorized pandas UDF** with a module-level TTL
+  cache: module scope in a Python UDF worker == executor-process scope,
+  exactly the reference's per-worker cache semantics. ``unwrap_calls()``
+  exposes the RPC counter the unit tests assert on (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+# --- key material (mock; constants so fixtures are reproducible) -----------
+
+KEK = hashlib.sha256(b"spark-graft-mock-kek-v1").digest()  # 32-byte mock KMS KEK
+MAC_KEY = "spark-graft-mac-key-v1"  # HMAC-stand-in secret (see mac_col)
+
+#: default cache TTL — mirrors the reference's expiring cache [U/M]
+CACHE_TTL_SECONDS = float(os.environ.get("SPARK_GRAFT_DEK_TTL", "300"))
+
+
+def dek(i: int = 0) -> bytes:
+    """The i-th data-encryption key (32 bytes -> AES-256)."""
+    return hashlib.sha256(b"spark-graft-dek-%d" % i).digest()
+
+
+# --- mock KMS ---------------------------------------------------------------
+
+
+def _keystream(kek: bytes, n: int) -> bytes:
+    out = b""
+    counter = 0
+    while len(out) < n:
+        out += hashlib.sha256(kek + counter.to_bytes(8, "big")).digest()
+        counter += 1
+    return out[:n]
+
+
+def kms_wrap(plain: bytes, kek: bytes = KEK) -> bytes:
+    ks = _keystream(kek, len(plain))
+    return bytes(a ^ b for a, b in zip(plain, ks))
+
+
+kms_unwrap = kms_wrap  # XOR is an involution
+
+
+def wrap_dek(dek_bytes: bytes, kek: bytes = KEK) -> str:
+    """Base64 text form of the wrapped DEK — the wire attribute value."""
+    return base64.b64encode(kms_wrap(dek_bytes, kek)).decode("ascii")
+
+
+def unwrap_dek(wrapped_b64: str, kek: bytes = KEK) -> bytes:
+    return kms_unwrap(base64.b64decode(wrapped_b64), kek)
+
+
+# --- executor-local expiring unwrap cache (the reference's core idea) -------
+
+_DEK_CACHE: dict[str, tuple[float, bytes]] = {}
+_UNWRAP_CALLS = 0
+
+
+def _cached_unwrap(wrapped_b64: str, ttl: float = CACHE_TTL_SECONDS) -> bytes:
+    """One mock-KMS unwrap per distinct wrapped key per executor process,
+    re-fetched after ``ttl`` seconds — the reference DoFn's cache semantics."""
+    global _UNWRAP_CALLS
+    now = time.monotonic()
+    hit = _DEK_CACHE.get(wrapped_b64)
+    if hit is not None and now - hit[0] < ttl:
+        return hit[1]
+    _UNWRAP_CALLS += 1  # stands in for the KMS decrypt RPC
+    dek_bytes = unwrap_dek(wrapped_b64)
+    _DEK_CACHE[wrapped_b64] = (now, dek_bytes)
+    return dek_bytes
+
+
+def unwrap_calls() -> int:
+    """KMS-RPC counter for this process (tests assert <= keys, not rows)."""
+    return _UNWRAP_CALLS
+
+
+def reset_cache() -> None:
+    global _UNWRAP_CALLS
+    _DEK_CACHE.clear()
+    _UNWRAP_CALLS = 0
+
+
+@F.pandas_udf(BinaryType())
+def unwrap_dek_udf(wrapped: pd.Series) -> pd.Series:
+    """Vectorized unwrap: Arrow-batched, cache shared across batches within
+    the executor's Python worker. Per-batch cost is one dict lookup per row
+    plus one real unwrap per *new* key — the per-message KMS RPC the
+    reference exists to avoid never happens here either."""
+    return wrapped.map(_cached_unwrap)
+
+
+# --- MAC --------------------------------------------------------------------
+
+
+def mac_col(payload: Column) -> Column:
+    """Integrity tag over the payload, lowercase hex.
+
+    Modeled as ``sha2(key || payload)`` rather than true HMAC because Spark
+    has no hmac builtin and DuckDB must compute the identical value for the
+    oracle (``sha256(key || payload)``); both emit lowercase hex. The
+    security delta (length-extension) is irrelevant to a mock.
+    """
+    return F.sha2(F.concat(F.lit(MAC_KEY), payload), 256)
+
+
+def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_dek",
+                   mac: str = "mac", out: str = "props_decrypted"):
+    """The reference ``DecryptDoFn`` as a DataFrame transformation:
+    unwrap (cached UDF) -> AES-decrypt (JVM expression) -> recompute MAC ->
+    drop rows whose tag does not verify. Works identically on batch and
+    streaming DataFrames (Structured Streaming's unified model)."""
+    dek_bin = unwrap_dek_udf(F.col(wrapped))
+    plain = F.aes_decrypt(F.col(ciphertext), dek_bin).cast("string")
+    return (
+        df.withColumn(out, plain)
+        .filter(mac_col(F.col(out)) == F.col(mac))
+    )

@@ -1,0 +1,228 @@
+"""REF group — the reference pipeline surface, stage by stage (SURVEY §2.1).
+
+The reference [U/H] is a Beam/Dataflow streaming pipeline: read Pub/Sub
+messages with attributes -> per-message DoFn (unwrap DEK via cached KMS
+call, AES-decrypt payload, verify HMAC) -> windowed counts -> sink. Each
+stage is re-expressed here as a declarative DataFrame query over the
+``events`` fixture (the batch replay of the stream; the streaming mirror of
+the same transformations lives in ``streaming/``).
+
+Encryption fixtures are synthesized in-query (FIXTURES.md "Derived"):
+decrypt∘encrypt = identity keeps every oracle expressible in DuckDB without
+DuckDB ever performing AES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import crypto
+from ..functions.normalize import duck_ts, money, ts_str
+from ..sources import load, load_events, with_envelope
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_N_KEYS = 4
+_WRAPPED = [crypto.wrap_dek(crypto.dek(i)) for i in range(_N_KEYS)]
+
+
+@query(
+    "src_scan_events",
+    f"""
+    SELECT event_id, {duck_ts('ts')} AS ts, user_id, event_type,
+           round(value, 2) AS value, props
+    FROM events
+    """,
+)
+def src_scan_events(spark, sf_dir):
+    """R1 — unbounded-source scan, batch replay [U/H: ReadFromPubSub(...,
+    with_attributes=True)]. Plain parquet scan; the ns->us timestamp
+    normalization happens at load."""
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        ts_str("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        money("value").alias("value"),
+        "props",
+    )
+
+
+@query(
+    "proj_attrs",
+    f"""
+    SELECT event_id, {duck_ts('ts')} AS ts, event_type, user_id FROM events
+    """,
+)
+def proj_attrs(spark, sf_dir):
+    """R2 — envelope/attribute extraction (message id, publish time,
+    attribute values) [U/H: DoFn body]. Column pruning reaches the scan."""
+    return load_events(spark, sf_dir).select(
+        "event_id", ts_str("ts").alias("ts"), "event_type", "user_id"
+    )
+
+
+@query(
+    "filt_type",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events
+    WHERE event_type = 'purchase' AND value > 100
+    """,
+)
+def filt_type(spark, sf_dir):
+    """R3 — predicate on extracted fields (process only relevant messages)
+    [U/H: DoFn body]. Both predicates push down to the parquet scan."""
+    return (
+        load_events(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
+        .select("event_id", "user_id", money("value").alias("value"))
+    )
+
+
+@query(
+    "json_parse_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def json_parse_props(spark, sf_dir):
+    """R4 — parse the (decrypted) payload as JSON into typed fields [U/H:
+    ad-hoc json parse inside the DoFn]."""
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@query(
+    "envelope_roundtrip",
+    "SELECT event_id, props AS props_decrypted FROM events",
+)
+def envelope_roundtrip(spark, sf_dir):
+    """R5 — THE core op: envelope decrypt. Synthesize wire form (AES-GCM
+    ciphertext + wrapped-DEK attribute), then unwrap via the cached pandas
+    UDF and AES-decrypt with Spark's native expression [U/H: DecryptDoFn].
+    Oracle: decrypt∘encrypt = identity, so DuckDB just projects the
+    plaintext — the AES never needs to match cross-engine."""
+    env = with_envelope(load_events(spark, sf_dir), n_keys=_N_KEYS)
+    return crypto.decrypt_verify(env).select("event_id", "props_decrypted")
+
+
+_MK = crypto.MAC_KEY
+
+
+@query(
+    "mac_verify_filter",
+    f"""
+    SELECT event_id, sha256(concat('{_MK}', props)) AS mac
+    FROM events
+    WHERE event_id % 2 = 0
+    """,
+)
+def mac_verify_filter(spark, sf_dir):
+    """R6 — MAC verify + drop-tampered [U/H: publisher signs, DoFn verifies
+    and rejects]. Tamper is injected deterministically on odd event_ids so
+    both engines agree on the surviving set; the MAC itself is
+    sha2(key||payload), identical in DuckDB as sha256(key||payload)."""
+    env = with_envelope(load_events(spark, sf_dir), n_keys=_N_KEYS, tamper=True)
+    return crypto.decrypt_verify(env).select("event_id", "mac")
+
+
+def _dek_cache_oracle() -> str:
+    whens = "\n      ".join(
+        f"WHEN {i} THEN '{_WRAPPED[i]}'" for i in range(_N_KEYS)
+    )
+    return f"""
+    SELECT CASE CAST(user_id % {_N_KEYS} AS INTEGER)
+      {whens}
+      END AS wrapped_dek,
+      count(*) AS n_msgs
+    FROM events
+    GROUP BY 1
+    """
+
+
+@query("dek_cache", _dek_cache_oracle())
+def dek_cache(spark, sf_dir):
+    """R7 — DEK rotation across the message stream: events spread over
+    {_N_KEYS} wrapped DEKs, all unwrapped through the executor-local
+    expiring cache (one mock-KMS call per key per Python worker, not per
+    message — the reference's raison d'être [U/H]). The per-key message
+    census below proves every key took the decrypt path; the cache-hit
+    amortization itself is asserted by the unit-test call counter
+    (tests/test_crypto.py)."""
+    env = with_envelope(load_events(spark, sf_dir), n_keys=_N_KEYS)
+    return (
+        crypto.decrypt_verify(env)
+        .groupBy("wrapped_dek")
+        .agg(F.count("*").alias("n_msgs"))
+    )
+
+
+@query(
+    "window_tumbling_counts",
+    f"""
+    SELECT {duck_ts("date_trunc('hour', ts)")} AS window_start,
+           event_type, count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_counts(spark, sf_dir):
+    """R8 — fixed (tumbling) windows + per-window count [U/H: Beam
+    FixedWindows + Count/CombinePerKey]. Batch form of the streaming
+    windowed aggregation (streaming/ runs the same groupBy under
+    readStream with a watermark); partial aggregation is map-side."""
+    return (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "pipeline_end_to_end",
+    f"""
+    SELECT {duck_ts("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k
+    FROM events
+    WHERE event_id % 2 = 0
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """Flagship — the whole reference pipeline in one DAG (R1–R8): scan ->
+    synthesize envelope (tampered) -> cached unwrap -> AES-decrypt -> MAC
+    verify-and-drop -> JSON-parse the plaintext -> hourly tumbling counts +
+    payload aggregation. ``entry()`` runs this at sf0.001."""
+    env = with_envelope(
+        load_events(spark, sf_dir), n_keys=_N_KEYS, tamper=True
+    )
+    plain = crypto.decrypt_verify(env)
+    parsed = plain.withColumn(
+        "k", F.from_json("props_decrypted", "k INT").getField("k")
+    )
+    return (
+        parsed.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_k",
+        )
+    )

@@ -1,0 +1,52 @@
+"""SparkSession construction tuned for this engine.
+
+The driver hands us its own session for ``queries()`` / ``entry()``; this
+builder is for tests and ``bench.py``. Settings chosen for the 100 TB design
+point (AQE on, sensible shuffle parallelism) scaled down to local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs we also apply to driver-provided sessions (see
+# ``configure``): all are dynamic SQLConf entries, safe to set post-start.
+RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read as raw nanos and convert ourselves (sources/fixtures.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime partition coalescing, skew-join splitting, join re-planning.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / toPandas round-trips (key-unwrap UDF hot path).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing (possibly driver-owned) session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session; loaders have fallbacks
+    return spark
+
+
+def get_session(app_name: str = "spark-graft", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

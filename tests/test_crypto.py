@@ -1,0 +1,112 @@
+"""Encryption-law and cache-behavior tests (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.functions import crypto
+from dataflow_pubsub_message_encryption_spark.sources import (
+    load_events,
+    with_envelope,
+)
+
+
+def test_kms_wrap_roundtrip_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=1, max_size=64))
+    def roundtrip(plain):
+        assert crypto.kms_unwrap(crypto.kms_wrap(plain)) == plain
+        # wrapped differs from plain (keystream is not identity)
+        assert crypto.kms_wrap(plain) != plain
+
+    roundtrip()
+
+
+def test_wrap_dek_deterministic_wire_value():
+    w1 = crypto.wrap_dek(crypto.dek(0))
+    w2 = crypto.wrap_dek(crypto.dek(0))
+    assert w1 == w2  # stable attribute value => cacheable key
+    assert crypto.unwrap_dek(w1) == crypto.dek(0)
+
+
+def test_aes_roundtrip_identity(spark):
+    """aes_decrypt(aes_encrypt(x, k), k) = x for random payloads."""
+    df = spark.range(200).select(
+        F.concat(F.lit("payload-"), F.sha2(F.col("id").cast("string"), 256)).alias(
+            "x"
+        )
+    )
+    key = crypto.dek(1)
+    out = df.withColumn(
+        "rt",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("x").cast("binary"), F.lit(key)), F.lit(key)
+        ).cast("string"),
+    )
+    assert out.filter(F.col("rt") != F.col("x")).count() == 0
+
+
+def test_tamper_detection_drops_rows(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    n = events.count()
+    env = with_envelope(events, tamper=True)
+    survivors = crypto.decrypt_verify(env)
+    ids = [r.event_id for r in survivors.select("event_id").collect()]
+    assert len(ids) == n // 2
+    assert all(i % 2 == 0 for i in ids)
+
+
+def test_wrong_key_decrypt_fails(spark):
+    key, wrong = crypto.dek(0), crypto.dek(1)
+    out = (
+        spark.range(5)
+        .select(F.lit("secret").cast("binary").alias("x"))
+        .select(
+            F.try_aes_decrypt(
+                F.aes_encrypt(F.col("x"), F.lit(key)), F.lit(wrong)
+            ).alias("bad")
+        )
+    )
+    assert all(r.bad is None for r in out.collect())
+
+
+def test_dek_cache_amortizes_unwraps():
+    """<=1 mock-KMS unwrap per distinct key per process (the reference's
+    per-worker cache semantics), regardless of message count."""
+    crypto.reset_cache()
+    keys = [crypto.wrap_dek(crypto.dek(i)) for i in range(4)]
+    for _ in range(1000):
+        for w in keys:
+            crypto._cached_unwrap(w)
+    assert crypto.unwrap_calls() == 4
+
+
+def test_dek_cache_ttl_expiry():
+    crypto.reset_cache()
+    w = crypto.wrap_dek(crypto.dek(0))
+    crypto._cached_unwrap(w, ttl=0.05)
+    crypto._cached_unwrap(w, ttl=0.05)
+    assert crypto.unwrap_calls() == 1
+    import time
+
+    time.sleep(0.06)
+    crypto._cached_unwrap(w, ttl=0.05)
+    assert crypto.unwrap_calls() == 2
+
+
+def test_mac_matches_duckdb(spark, duck):
+    """Spark sha2(key||payload) == DuckDB sha256(key||payload), lowercase hex."""
+    payload = "hello-world"
+    s = (
+        spark.range(1)
+        .select(crypto.mac_col(F.lit(payload)).alias("m"))
+        .collect()[0]
+        .m
+    )
+    d = duck.execute(
+        "SELECT sha256(concat(?, ?))", [crypto.MAC_KEY, payload]
+    ).fetchone()[0]
+    assert s == d

@@ -1,0 +1,39 @@
+"""Every registered query vs its DuckDB oracle at sf0.001 (fast local
+mirror of the driver's t2 gate; tools/check.py runs the same at sf0.01)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dataflow_pubsub_message_encryption_spark.operators import registry
+
+QUERIES, ORACLES = registry()
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.astype(object).where(pd.notnull(df), None)
+    return sorted(df.itertuples(index=False, name=None), key=repr)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        assert len(sdf) >= 0  # rows-only contract: must at least execute
+        return
+    ddf = duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    a, b = canon(sdf), canon(ddf)
+    mismatches = [(x, y) for x, y in zip(a, b) if repr(x) != repr(y)]
+    assert not mismatches, f"{len(mismatches)} mismatched rows, first: {mismatches[0]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"window_start", "event_type", "n_events", "sum_k"}
