@@ -29,9 +29,23 @@ DATE_FMT_SPARK = "yyyy-MM-dd"
 DATE_FMT_DUCK = "%Y-%m-%d"
 
 
+def dec4(c: Column | str) -> Column:
+    """Cast a *clean* money double (verified <=4dp decimal in the fixtures)
+    to DECIMAL(18,4). All money arithmetic/aggregation happens in decimal:
+    exact in both engines, so rounding is bit-deterministic — double
+    arithmetic diverges at .xx5 boundaries because Spark rounds the
+    shortest decimal repr (HALF_UP on BigDecimal) while DuckDB rounds via
+    float multiply (observed: 49574.4249999... -> .42 vs .43).
+    Mirror: ``CAST(x AS DECIMAL(18,4))``."""
+    return (c if isinstance(c, Column) else F.col(c)).cast("decimal(18,4)")
+
+
 def money(c: Column | str) -> Column:
-    """Round a money/value double to 2dp (mirror: ``round(x, 2)``)."""
-    return F.round(c if isinstance(c, Column) else F.col(c), 2)
+    """Round a money/value expression to 2dp and emit DOUBLE. Feed it
+    decimal-typed expressions (see ``dec4``) for bit-determinism; a raw
+    double is only safe when both engines hold the identical double.
+    Mirror: ``CAST(round(x, 2) AS DOUBLE)``."""
+    return F.round(c if isinstance(c, Column) else F.col(c), 2).cast("double")
 
 
 def sim(c: Column | str) -> Column:

@@ -10,6 +10,7 @@ from importlib import import_module
 
 _MODULES = [
     "ref_pipeline",
+    "relational",
 ]
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import crypto
-from ..functions.normalize import duck_ts, money, ts_str
+from ..functions.normalize import dec4, duck_ts, money, ts_str
 from ..sources import load, load_events, with_envelope
 from .base import make_registry
 
@@ -31,7 +31,7 @@ _WRAPPED = [crypto.wrap_dek(crypto.dek(i)) for i in range(_N_KEYS)]
     "src_scan_events",
     f"""
     SELECT event_id, {duck_ts('ts')} AS ts, user_id, event_type,
-           round(value, 2) AS value, props
+           CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value, props
     FROM events
     """,
 )
@@ -44,7 +44,7 @@ def src_scan_events(spark, sf_dir):
         ts_str("ts").alias("ts"),
         "user_id",
         "event_type",
-        money("value").alias("value"),
+        money(dec4("value")).alias("value"),
         "props",
     )
 
@@ -66,7 +66,8 @@ def proj_attrs(spark, sf_dir):
 @query(
     "filt_type",
     """
-    SELECT event_id, user_id, round(value, 2) AS value
+    SELECT event_id, user_id,
+           CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value
     FROM events
     WHERE event_type = 'purchase' AND value > 100
     """,
@@ -77,7 +78,7 @@ def filt_type(spark, sf_dir):
     return (
         load_events(spark, sf_dir)
         .filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
-        .select("event_id", "user_id", money("value").alias("value"))
+        .select("event_id", "user_id", money(dec4("value")).alias("value"))
     )
 
 

@@ -1,0 +1,758 @@
+"""CORE group — relational substrate (SURVEY §2.2, C1–C32).
+
+The reference has no relational engine [U/H: a single linear Beam pipeline
+— no joins, SQL, optimizer, sorts, or set ops]; these operators are the
+substrate any engine with "the same query capabilities" needs, exercised
+over the TPC-H-ish fixture star schema and hash-checked against DuckDB.
+
+Every query is declarative DataFrame API: Catalyst supplies predicate
+pushdown, column pruning, join selection (broadcast vs sort-merge vs
+AQE-shuffled-hash), partial aggregation, and limit pushdown. Scale notes
+are per-operator docstrings.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — needed at module scope for pandas_udf type hints
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import date_str, dec4, duck_date, duck_ts, money, ts_str
+from ..sources import load, load_events
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+
+# --- scans / projections / predicates --------------------------------------
+
+
+@query("scan_parquet", "SELECT count(*) AS n_rows FROM lineitem")
+def scan_parquet(spark, sf_dir):
+    """C1 — columnar batch scan. count(*) compiles to a metadata-only
+    aggregate over the scan; at 100 TB the same plan reads only footers +
+    row-group counts, no data pages."""
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "proj_expr",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    """,
+)
+def proj_expr(spark, sf_dir):
+    """C2 — projection with arithmetic (decimal path: exact cross-engine
+    rounding; see normalize.dec4). ReadSchema prunes to 4 columns."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        money(dec4("l_extendedprice") * (1 - dec4("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "filt_pred",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_quantity AS DECIMAL(18,4)), 2) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def filt_pred(spark, sf_dir):
+    """C3 — conjunctive predicates + BETWEEN + IN + IS NULL; all three
+    push down to the parquet scan (PushedFilters)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", money(dec4("l_quantity")).alias("qty"))
+
+
+@query(
+    "case_when",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier
+    FROM customer
+    """,
+)
+def case_when(spark, sf_dir):
+    """C4 — CASE expression (acctbal tiering)."""
+    c = F.col("c_acctbal")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(c < 0, "debt").when(c < 5000, "mid").otherwise("high").alias("tier"),
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """C5 — small-dim equi join with an explicit broadcast hint ->
+    BroadcastHashJoinExec: zero shuffle of the fact side. The pattern every
+    dim join at 100 TB should take (region/nation are KBs)."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@query(
+    "join_sortmerge",
+    """
+    SELECT o.o_orderpriority,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_sortmerge(spark, sf_dir):
+    """C6 — large⋈large equi join + aggregation (orders⋈lineitem revenue by
+    priority). Both sides shuffle on o_orderkey/l_orderkey; AQE picks
+    sort-merge or shuffled-hash and splits skewed partitions at runtime. At
+    100 TB, bucketing both tables on orderkey would eliminate the shuffle
+    entirely (documented, not pre-materialized here)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            money(
+                F.sum(dec4("l_extendedprice") * (1 - dec4("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, count(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """C7 — left outer join preserving order-less customers (count = 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """C8 — left semi join: customers having ≥1 order. Semi joins shuffle
+    only the keys of the probe side — cheaper than join+distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """C9 — left anti join: orders with no lineitems (non-empty at every
+    fixture scale, unlike customers-without-orders)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+@query(
+    "join_range_theta",
+    """
+    SELECT o.o_orderpriority, count(*) AS cnt
+    FROM orders o JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_range_theta(spark, sf_dir):
+    """C10 — interval/range join: lineitems shipped within 90 days of their
+    order date. The equi key carries the shuffle; the range predicate
+    evaluates post-match, so this stays a hash/sort-merge join rather than
+    a cartesian — the scalable shape for equi+range conditions."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    return o.join(li, cond).groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "join_asof",
+    f"""
+    SELECT e.event_id, s.event_id AS signup_event_id,
+           {duck_ts('e.ts')} AS error_ts, {duck_ts('s.ts')} AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """C11 — as-of join: each error event matched to the same user's most
+    recent prior (or simultaneous) signup. Spark has no ASOF builtin; the
+    scalable idiom is equi-join on the entity key + row_number over the
+    candidate matches, keeping rank 1. The shuffle is on user_id only —
+    candidate fan-out is bounded per user, and skewed users would be the
+    thing to salt at scale. Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("signup_ts_raw"),
+    )
+    joined = err.join(
+        sig,
+        (err.user_id == sig.s_user_id) & (err.ts >= sig.signup_ts_raw),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("signup_ts_raw"), F.desc("signup_event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "signup_event_id",
+            ts_str("ts").alias("error_ts"),
+            ts_str("signup_ts_raw").alias("signup_ts"),
+        )
+    )
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r_name, m
+    FROM region CROSS JOIN (SELECT CAST(range AS BIGINT) AS m FROM range(1, 4))
+    """,
+)
+def join_cross(spark, sf_dir):
+    """C12 — cross join against a bounded literal relation (broadcast
+    nested loop; only sane when one side is tiny)."""
+    region = load(spark, sf_dir, "region")
+    m = spark.range(1, 4).withColumnRenamed("id", "m")
+    return region.crossJoin(F.broadcast(m)).select("r_name", "m")
+
+
+# --- aggregations -----------------------------------------------------------
+
+
+@query(
+    "agg_hash_groupby",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_qty,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_base_price,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 2) AS avg_disc,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark, sf_dir):
+    """C13 — TPC-H Q1 shape: HashAggregate partial (map-side combine) +
+    final after a tiny shuffle of pre-aggregated groups. The canonical
+    'aggregation survives 100×' plan: shuffle volume ∝ distinct groups (6),
+    not rows."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money(F.sum(dec4("l_quantity"))).alias("sum_qty"),
+        money(F.sum(dec4("l_extendedprice"))).alias("sum_base_price"),
+        money(
+            F.sum(dec4("l_extendedprice") * (1 - dec4("l_discount")))
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(dec4("l_discount")).cast("double") / F.count("*"), 2
+        ).alias("avg_disc"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """C14 — exact distinct aggregation (expands to two-phase aggregate)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("distinct_parts"))
+    )
+
+
+@query("agg_approx_distinct")  # ROWS-only: Spark HLL++ sketch != DuckDB sketch
+def agg_approx_distinct(spark, sf_dir):
+    """C15 — HyperLogLog++ approximate count-distinct: the scale path when
+    exact distinct's double shuffle is too expensive. ROWS-only check by
+    design (sketch estimates are engine-specific); the unit test bounds the
+    relative error vs the exact count instead."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           count(*) AS cnt,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """C16 — ROLLUP with subtotal rows; NULL group markers normalized to
+    'ALL' on both engines (fixture columns are never NULL, so the marker is
+    unambiguous)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("yr_raw"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            money(F.sum(dec4("o_totalprice"))).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("yr_raw").cast("string"), F.lit("ALL")).alias("yr"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "cnt",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """C17 — CUBE (all grouping sets over two dims)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "cnt",
+        )
+    )
+
+
+# --- window functions -------------------------------------------------------
+
+
+@query(
+    "win_rank_topk",
+    """
+    SELECT o_custkey, o_orderkey, rn,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank_topk(spark, sf_dir):
+    """C18 — top-3 orders per customer (ranking window, deterministic
+    tie-break on o_orderkey). Per-group top-k via window beats global sort:
+    one shuffle on the partition key, no global ordering."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "rn", money(dec4("o_totalprice")).alias("total")
+        )
+    )
+
+
+@query(
+    "win_running_sum",
+    f"""
+    SELECT o_custkey, o_orderkey, {duck_date('o_orderdate')} AS order_date,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    """C19 — running total per customer (frame unboundedPreceding..current;
+    identical accumulation order on both engines makes the doubles
+    bit-stable)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        date_str("o_orderdate").alias("order_date"),
+        money(F.sum(dec4("o_totalprice")).over(w)).alias("running_total"),
+    )
+
+
+@query(
+    "win_lag_delta",
+    """
+    SELECT event_id,
+           CAST(round(CAST(value AS DECIMAL(18,4)) - lag(CAST(value AS DECIMAL(18,4)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS DOUBLE) AS delta
+    FROM events
+    """,
+)
+def win_lag_delta(spark, sf_dir):
+    """C20 — lag analytic: per-user value delta between consecutive events
+    (NULL for each user's first event)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        money(dec4("value") - F.lag(dec4("value")).over(w)).alias("delta"),
+    )
+
+
+@query(
+    "win_ntile",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark, sf_dir):
+    """C21 — ntile quartiles over a total order (c_custkey tie-break).
+    Single-partition window: fine for dimension-sized inputs, documented
+    anti-pattern for fact tables (use percentile buckets instead)."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# --- sort / set ops / dedup -------------------------------------------------
+
+
+@query(
+    "sort_limit_topk",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark, sf_dir):
+    """C22 — global ORDER BY + LIMIT -> TakeOrderedAndProject: each
+    partition keeps its local top-10, driver merges 10×partitions rows —
+    no global sort materializes at any scale."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            money(dec4("l_extendedprice")).alias("price"),
+        )
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark, sf_dir):
+    """C23 — UNION ALL (bag union, no shuffle: partitions concatenate)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nkey"), F.lit("customer").alias("side")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """C24 — INTERSECT (distinct semantics, both engines)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT p_size AS k FROM part
+    EXCEPT
+    SELECT CAST(l_linenumber AS INTEGER) AS k FROM lineitem
+    """,
+)
+def set_except(spark, sf_dir):
+    """C25 — EXCEPT (distinct): part sizes that never appear as a line
+    number (non-empty at every fixture scale)."""
+    p = load(spark, sf_dir, "part").select(F.col("p_size").alias("k"))
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("k"))
+    return p.subtract(li)
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT user_id, event_type, event_id, {duck_ts('ts')} AS ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """C26 / R11 — deterministic exact dedup: first event per
+    (user_id, event_type) by (ts, event_id). row_number idiom, NOT bare
+    dropDuplicates (which keeps an arbitrary row). Batch twin of streaming
+    dropDuplicatesWithinWatermark."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        load_events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", ts_str("ts").alias("ts"))
+    )
+
+
+# --- scalar function surface ------------------------------------------------
+
+
+@query(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lc,
+           upper(p_brand) AS brand_uc,
+           substr(p_type, 1, 5) AS type5,
+           concat(p_brand, '#', p_type) AS brand_type,
+           trim(p_name) AS name_trim,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def scalar_string(spark, sf_dir):
+    """C27 — string scalar surface: lower/upper/substr/concat/trim/regexp."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "scalar_date",
+    f"""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mth,
+           {duck_date("date_trunc('month', o_orderdate)")} AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1995-01-01')
+                AS INTEGER) AS days_to_95
+    FROM orders
+    """,
+)
+def scalar_date(spark, sf_dir):
+    """C28 — date/time scalar surface: year/month/date_trunc/datediff
+    (Spark datediff(end,start) == DuckDB date_diff('day',start,end))."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        date_str(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(F.lit("1995-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .alias("days_to_95"),
+    )
+
+
+@query(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000.0), 6) AS abs_delta,
+           round(ln(l_extendedprice + 1), 6) AS ln_price,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           round(CAST(l_partkey % 7 AS DOUBLE), 6) AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    """C29 — math scalar surface; everything rounded to 6dp because libm
+    last-bit differences between JVM and C transcendentals are real."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 6).alias("abs_delta"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round((F.col("l_partkey") % 7).cast("double"), 6).alias("key_mod"),
+    )
+
+
+@query(
+    "scalar_array",
+    """
+    SELECT p_partkey,
+           CAST(len(string_split(p_type, ' ')) AS INTEGER) AS n_tokens,
+           list_contains(string_split(p_type, ' '), 'brushed') AS has_brushed,
+           string_split(p_type, ' ')[1] AS first_tok
+    FROM part
+    """,
+)
+def scalar_array(spark, sf_dir):
+    """C30 — array scalar surface: split/size/contains/element_at."""
+    toks = F.split(F.col("p_type"), " ")
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "brushed").alias("has_brushed"),
+        F.element_at(toks, 1).alias("first_tok"),
+    )
+
+
+@query(
+    "scalar_map_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def scalar_map_json(spark, sf_dir):
+    """C31 — JSON access on the semi-structured props column."""
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+    )
+
+
+@query("udf_surface")  # ROWS-only: arbitrary Python logic, no SQL mirror
+def udf_surface(spark, sf_dir):
+    """C32 — the UDF escape hatch, demonstrated at both speeds: a
+    vectorized pandas UDF (Arrow-batched — the only acceptable form in a
+    hot path; the cached DEK unwrap in functions/crypto.py is the
+    production example) and a row-at-a-time Python UDF (the slow path,
+    present for surface completeness). ROWS-only; unit test pins the
+    values."""
+    from pyspark.sql.types import IntegerType, StringType
+
+    @F.pandas_udf(IntegerType())
+    def char_sum(s: pd.Series) -> pd.Series:  # vectorized
+        return s.map(lambda x: sum(ord(c) for c in x) % 1000)
+
+    @F.udf(StringType())
+    def tag(x: str) -> str:  # row-at-a-time (demo only)
+        return f"evt:{x[:2]}"
+
+    return load_events(spark, sf_dir).select(
+        "event_id",
+        char_sum(F.col("event_type")).alias("type_charsum"),
+        tag(F.col("event_type")).alias("type_tag"),
+    )
