@@ -11,6 +11,10 @@ from importlib import import_module
 _MODULES = [
     "ref_pipeline",
     "relational",
+    "text",
+    "dedup",
+    "similarity",
+    "multimodal",
 ]
 
 

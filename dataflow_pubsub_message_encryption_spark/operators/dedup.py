@@ -1,0 +1,370 @@
+"""EXT group — deduplication operators for training-data pipelines
+(SURVEY §2.3 X4/X7 + the north-star dedup family: exact hash, token-set
+Jaccard, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup).
+
+Scale design: naive all-pairs near-dup is O(n²) and dies at 100 TB. The
+operators here use the two scalable shapes:
+
+- **group-bounded pairing** (X4/n-gram): the self-join key (``source``)
+  bounds each group, so the quadratic term is per-group and the join is an
+  ordinary shuffled equi-join — never a cartesian across the corpus.
+- **LSH bucketing** (MinHash): candidate pairs come from equi-joins on
+  band signatures; cost ∝ collisions, not n². This is the 100 TB path —
+  the banded join is a plain shuffle join on the band hash.
+
+MinHash here is hash-function-portable (min over sha256(seed||token)):
+deliberately chosen so DuckDB computes the identical signature and the
+whole LSH pipeline stays EXACT-oracle-checked — rare for LSH
+implementations, and it pins the band/bucket logic, not just row counts.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 — module scope needed for pandas_udf type hints
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import sim
+from ..functions.textfns import distinct_tokens
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_N_PERMS = 16  # minhash permutations; 2 bands x 8 rows (selectivity tuned
+# for this highly self-similar synthetic corpus: bands of 4 produced a ~20%
+# candidate rate — collision prob at s=0.6 is s^4≈13% vs s^8≈1.7%)
+_JACCARD_TAU = 0.85  # near-dup threshold (verified non-trivial in fixtures)
+_NGRAM_TAU = 0.35  # bigram jaccard runs lower than unigram on this corpus
+_LSH_TAU = 0.9  # keep verified-pair output bounded on this self-similar corpus
+_COS_TAU = 0.3  # same-label embedding pairs peak ~0.5 in fixtures
+
+
+@query(
+    "dedup_exact_hash",
+    """
+    SELECT doc_id, content_hash FROM (
+      SELECT doc_id, sha256(text) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_hash(spark, sf_dir):
+    """X7 — exact content dedup: sha2(text) groups, keep the lowest doc_id
+    per group (deterministic keeper, never bare dropDuplicates). One
+    shuffle on the 32-byte hash; at 100 TB the hash shuffles instead of
+    the document bytes."""
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+@query(
+    "dedup_near_jaccard",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jac >= {_JACCARD_TAU}
+    """,
+)
+def dedup_near_jaccard(spark, sf_dir):
+    """X4 — near-duplicate pairs within each ``source``: token-set Jaccard
+    >= 0.85. The join key keeps the quadratic term group-bounded (<=250
+    docs/source at sf0.1)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        distinct_tokens("text").alias("toks"),
+        F.size(distinct_tokens("text")).alias("n"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    # size-ratio prune: jac >= tau requires |A| >= tau*|B| and |B| >= tau*|A|
+    # — a necessary condition evaluated on two ints, so most pairs never pay
+    # the O(|A|+|B|) intersection. Pure pruning: the result set is unchanged.
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= _JACCARD_TAU * F.col("b.n"))
+            & (F.col("b.n") >= _JACCARD_TAU * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= _JACCARD_TAU)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text,' ')), 1)),
+               i -> concat(string_split(text,' ')[i], '_',
+                           string_split(text,' ')[i+1]))) AS grams
+      FROM documents
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jac >= {{_NGRAM_TAU}}
+    """.format(_NGRAM_TAU=_NGRAM_TAU),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (word-bigram) Jaccard near-dup: stricter than unigram sets
+    because word order now matters. Same group-bounded pairing shape as
+    X4; the shingling itself is a narrow map (sequence + transform)."""
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", grams.alias("grams")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.round(
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= _NGRAM_TAU)
+    )
+
+
+def _minhash_cols():
+    """Portable MinHash: mh_i = min over distinct tokens of
+    sha256('p{i}|' || token). String-min over uniform hex hashes is a valid
+    min-hash family and is computable bit-identically in DuckDB."""
+    toks = distinct_tokens("text")
+
+    def one(i: int):
+        # NB: the lambda must take exactly one arg — pyspark's transform
+        # treats a second parameter as the array index column.
+        prefix = f"p{i}|"
+        return F.array_min(
+            F.transform(toks, lambda t: F.sha2(F.concat(F.lit(prefix), t), 256))
+        ).alias(f"mh{i}")
+
+    return [one(i) for i in range(_N_PERMS)]
+
+
+def _minhash_sql_cols() -> list[str]:
+    return [
+        "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> sha256(concat('p{i}|', t))), 'min') AS mh{i}"
+        for i in range(_N_PERMS)
+    ]
+
+
+@query(
+    "dedup_minhash_signature",
+    "SELECT doc_id, " + ", ".join(_minhash_sql_cols()) + " FROM documents",
+)
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (16 permutations) per document. Narrow map stage:
+    each permutation is one pass over the token array, no shuffle at all —
+    the signature table is what ships to the LSH join."""
+    return load(spark, sf_dir, "documents").select("doc_id", *_minhash_cols())
+
+
+_BAND1 = [f"mh{i}" for i in range(0, _N_PERMS // 2)]
+_BAND2 = [f"mh{i}" for i in range(_N_PERMS // 2, _N_PERMS)]
+
+
+def _lsh_bands_sql() -> tuple[str, str]:
+    b1 = f"sha256(concat({', '.join(_BAND1)}))"
+    b2 = f"sha256(concat({', '.join(_BAND2)}))"
+    return b1, b2
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             {', '.join(_minhash_sql_cols())}
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, toks,
+             {_lsh_bands_sql()[0]} AS band1,
+             {_lsh_bands_sql()[1]} AS band2
+      FROM sig
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS toks_a, b.toks AS toks_b
+      FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.toks, b.toks
+      FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                   / len(list_distinct(list_concat(toks_a, toks_b))), 6) AS jac
+      FROM cand
+    ) WHERE jac >= {_LSH_TAU}
+    """,
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup pipeline: signature -> band hashes (2 bands x
+    8 rows) -> candidate pairs via equi-join on band value -> verify true
+    Jaccard >= 0.9. THE scalable near-dup shape: candidate generation is a
+    shuffle join on band hashes (cost ∝ collisions), and only candidates
+    pay the set-intersection verify. Fully EXACT-oracle-checked, bands and
+    all."""
+    docs = load(spark, sf_dir, "documents")
+    # bands carry only (doc_id, band hash): the candidate union/distinct
+    # shuffles 2 ids + a hash per pair, never the token arrays.
+    banded = docs.select(
+        "doc_id", *_minhash_cols()
+    ).select(
+        "doc_id",
+        F.sha2(F.concat(*_BAND1), 256).alias("band1"),
+        F.sha2(F.concat(*_BAND2), 256).alias("band2"),
+    )
+
+    def pairs_on(band: str):
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+
+    cand = pairs_on("band1").union(pairs_on("band2")).distinct()
+    # token sets join in only for the verify stage, keyed by doc id
+    toks = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    cand = (
+        cand.join(toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+        / F.size(F.array_union("toks_a", "toks_b")),
+        6,
+    )
+    return cand.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= _LSH_TAU
+    )
+
+
+@query("dedup_simhash")  # ROWS-only: bit-twiddling UDF; pinned by unit test
+def dedup_simhash(spark, sf_dir):
+    """SimHash (64-bit) per document via a vectorized pandas UDF — the
+    Arrow-batched escape hatch for bit-level logic that has no clean SQL
+    mirror. Near-dup candidates are then hamming-distance buckets; here we
+    emit (doc_id, simhash, band16) where band16 is the top 16 bits — the
+    bucketing key a banded hamming join would shuffle on at scale.
+    Deterministic: tests pin values against a pure-Python reference."""
+    import hashlib
+
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        def one(text: str) -> int:
+            acc = [0] * 64
+            for tok in set(text.split(" ")):
+                h = int.from_bytes(
+                    hashlib.sha256(tok.encode("utf-8")).digest()[:8], "big"
+                )
+                for j in range(64):
+                    acc[j] += 1 if (h >> j) & 1 else -1
+            v = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    v |= 1 << j
+            return v - (1 << 64) if v >= 1 << 63 else v  # to signed i64
+
+        return texts.map(one)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        .withColumn("band16", F.shiftrightunsigned("simhash", 48))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_COS_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: same-label pairs with cosine >= 0.3
+    (fixture similarity tops out ~0.5; the threshold is a parameter). The
+    label acts as the blocking key — the same group-bounded shape as X4;
+    at scale the blocking key would be an ANN bucket (see similarity.py),
+    not a trusted label."""
+    from ..functions.vectors import as_double, cosine
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cs = F.round(sim(cosine(F.col("a.emb"), F.col("b.emb"))), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cs.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _COS_TAU)
+    )

@@ -1,0 +1,141 @@
+"""EXT group — multimodal (binary) column plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata riding alongside (the same envelope shape the reference uses for
+ciphertext: opaque bytes + attributes [U/H]). The decode/feature-extract
+stage is a ``mapInPandas`` Pandas-UDF boundary — the real thing at scale,
+with the actual codec STUBBED (no image/audio libs in this container;
+clearly marked) behind a deterministic fake so schema, partitioning, UDF
+signature, and Arrow batch shape are all real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+# Deterministic fake "media" synthesis: binary payload = UTF-8 bytes of the
+# document text; metadata struct mirrors what an ingest service would attach.
+_FAKE_MIME = ["image/png", "audio/wav", "video/mp4"]
+
+
+def with_media(docs):
+    """Attach (payload BINARY, meta STRUCT<mime,n_bytes,width,height>) —
+    the multimodal column contract every downstream op consumes."""
+    payload = F.encode("text", "UTF-8")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _FAKE_MIME]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        payload.alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.octet_length("text").alias("n_bytes"),
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(doc_id % 640 + 1 AS INTEGER) AS width
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Typed metadata over opaque binary media columns: project struct
+    fields + byte length (UTF-8 aware: zh docs have n_bytes > n_chars).
+    Binary payloads never enter a hash — only their typed metadata."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+@query("multimodal_decode_features")  # ROWS-only: UDF pipeline, pinned by tests
+def multimodal_decode_features(spark, sf_dir):
+    """Decode / feature-extract over binary media via ``mapInPandas`` —
+    Arrow-batched, schema-declared, partition-preserving: the real 100 TB
+    plumbing for media featurization. The codec itself is a STUB
+    (``_fake_decode``): no PIL/ffmpeg in this container; a real deployment
+    swaps ``_fake_decode`` for the library call, nothing else changes."""
+    docs = with_media(load(spark, sf_dir, "documents"))
+    schema = "doc_id LONG, mime STRING, n_bytes INT, feat0 DOUBLE, feat1 DOUBLE"
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "n_bytes": pdf["payload"].map(len),
+                    "feat0": feats.map(lambda f: f[0]),
+                    "feat1": feats.map(lambda f: f[1]),
+                }
+            )
+
+    return docs.mapInPandas(decode_batch, schema)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, float]:
+    """STUB for the media codec (NotImplementedError-grade in production
+    semantics): returns deterministic pseudo-features of the byte stream —
+    mean byte value and a parity ratio — so tests can pin behavior without
+    a real decoder."""
+    if not payload:
+        return (0.0, 0.0)
+    n = len(payload)
+    return (sum(payload) / n, sum(b & 1 for b in payload) / n)
+
+
+@query("multimodal_frame_sample")  # ROWS-only: UDF pipeline, pinned by tests
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame/segment sampling over binary media: every k-th 16-byte chunk
+    of the payload exploded to one row per sampled 'frame' (posexplode of a
+    JVM-side slice — no Python). The shape of video-frame extraction: rows
+    multiply by frames-per-doc, so the explode happens AFTER any
+    doc-level filter pushdown."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    k, frame = 4, 16
+    # frame starts: 1, 1+k*frame, 1+2*k*frame, ... (1-based substring offsets)
+    starts = F.sequence(
+        F.lit(1), F.octet_length("payload").cast("int"), F.lit(k * frame)
+    )
+    return (
+        m.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.substring(F.col("payload"), s, frame),
+                )
+            ).alias("frame_no", "frame_bytes"),
+        )
+        .select(
+            "doc_id",
+            "frame_no",
+            F.octet_length("frame_bytes").alias("frame_len"),
+            F.sha2(F.col("frame_bytes"), 256).alias("frame_hash"),
+        )
+    )

@@ -227,3 +227,72 @@ def pipeline_end_to_end(spark, sf_dir):
             "sum_k",
         )
     )
+
+
+@query(
+    "window_sliding_counts",
+    f"""
+    SELECT {duck_ts('window_start')} AS window_start, event_type, count(*) AS cnt
+    FROM (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding_counts(spark, sf_dir):
+    """Sliding windows (1h window, 30m hop): each event lands in exactly 2
+    panes. Oracle expands the pane membership explicitly via time_bucket +
+    unnest. Streaming twin: streaming/pipeline.sliding_counts_stream."""
+    return (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            ts_str(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "window_session_stats",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    grouped AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, {duck_ts('min(ts)')} AS session_start, count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
+def window_session_stats(spark, sf_dir):
+    """Session windows (30-minute inactivity gap) per user: session start +
+    event count. Spark's session_window is the native stateful-merge
+    implementation; the oracle derives identical sessions with the
+    gaps-and-islands idiom (lag + cumulative sum). Streaming twin uses the
+    same session_window under a watermark."""
+    return (
+        load_events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            ts_str(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,264 @@
+"""EXT group — similarity search over embedding columns (SURVEY §2.3
+X5/X6/X8 + ANN variants for the 100 TB path).
+
+Embeddings are plain ``array<float>`` columns (not ML VectorUDT) so the
+DuckDB oracle stays expressible. Cosine is composed from zip_with/aggregate
+(JVM codegen, no Python); arrays are cast to double first so both engines
+sum 64 doubles in index order — bit-identical accumulation.
+
+Scale design: brute-force top-k is one narrow map + TakeOrderedAndProject
+(embarrassingly parallel, probe broadcast as a literal). The ANN variants
+show the two standard prune shapes: IVF (coarse quantizer -> search one
+cell) and random-hyperplane LSH (sign-bucket equi-match). Both turn the
+scan into a bucket-pruned scan; at 100 TB the bucket id becomes a partition
+key so only matching partitions are read at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_TOPK = 10
+_PROBE_ID = 0
+_N_PLANES = 8
+
+
+@query(
+    "sim_cosine_topk",
+    f"""
+    SELECT vec_id, label, cos_sim FROM (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = {_PROBE_ID})), 6) AS cos_sim
+      FROM embeddings e WHERE e.vec_id != {_PROBE_ID}
+    ) ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """X5 — brute-force cosine top-10 against probe vec_id=0. The probe row
+    is joined via broadcast (1-row dimension); the similarity map is
+    codegen'd; the global top-k is TakeOrderedAndProject (per-partition
+    heaps, no global sort)."""
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+        as_double("embedding").alias("probe_emb")
+    )
+    return (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(as_double("embedding"), F.col("probe_emb")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_TOPK)
+    )
+
+
+@query("sim_knn_label_centroid")  # ROWS-only: float accumulation order
+def sim_knn_label_centroid(spark, sf_dir):
+    """X6 — per-label centroids then nearest-centroid assignment: the
+    confusion census (label, assigned_label, n). posexplode -> avg per
+    (label, position) -> re-assemble centroid arrays -> cross join (10
+    centroids, broadcast) -> argmin by cosine. ROWS-only by design: avg
+    over floats is accumulation-order-dependent so cross-engine hashes
+    can't be pinned; the unit test asserts assignment accuracy instead."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cx"))
+            ).alias("pairs")
+        )
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
+        )
+    )
+    scored = (
+        e.select("vec_id", "label", as_double("embedding").alias("emb"))
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "c_label", cosine("emb", F.col("centroid")).alias("cs")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "multimodal_columns",
+    """
+    SELECT d.doc_id, d.lang, CAST(len(e.embedding) AS INTEGER) AS emb_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE len(e.embedding) = 64
+    """,
+)
+def multimodal_columns(spark, sf_dir):
+    """X8 — array/struct columns flow through join/filter/project
+    unharmed: embeddings joined to documents by id, dimension invariant
+    checked in-plan (no float values hashed — lengths and ids only)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .filter(F.size("embedding") == 64)
+        .select("doc_id", "lang", F.size("embedding").alias("emb_dim"))
+    )
+
+
+def _planes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: ±1 entries derived from
+    sha256(plane,index) parity. Generated driver-side, shipped as literals
+    (and inlined into the oracle SQL) — no RNG state anywhere."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for i in range(64):
+            h = hashlib.sha256(f"plane{p}|{i}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    parts = []
+    for p, plane in enumerate(_planes()):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@query(
+    "sim_ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    probe AS (SELECT bucket, CAST(embedding AS DOUBLE[]) AS pe
+              FROM b WHERE vec_id = {_PROBE_ID})
+    SELECT vec_id, bucket, cos_sim FROM (
+      SELECT b.vec_id, b.bucket,
+             round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), probe.pe), 6)
+               AS cos_sim
+      FROM b, probe WHERE b.bucket = probe.bucket AND b.vec_id != {_PROBE_ID}
+    ) ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}
+    """,
+)
+def sim_ann_lsh_topk(spark, sf_dir):
+    """ANN via random-hyperplane LSH: 8 sign bits -> bucket string; search
+    only the probe's bucket. EXACT-oracle-checked including the bucketing
+    (planes are deterministic sha-derived literals inlined into both
+    engines). At scale, bucket is the partition key: partition pruning
+    turns top-k into a single-bucket scan; multi-probe (hamming-1 buckets)
+    is the recall knob."""
+    planes = _planes()
+    e = load(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    bits = [
+        F.when(cosine_free_dot(emb, plane) > 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    b = e.select(
+        "vec_id", "label", "embedding", F.concat(*bits).alias("bucket")
+    )
+    probe = b.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("bucket").alias("p_bucket"), as_double("embedding").alias("pe")
+    )
+    return (
+        b.join(F.broadcast(probe), F.col("bucket") == F.col("p_bucket"))
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_TOPK)
+    )
+
+
+def cosine_free_dot(emb, plane: list[float]):
+    """dot(emb, literal plane) via zip_with/aggregate (plane as array lit)."""
+    lit = F.array(*[F.lit(x) for x in plane])
+    return F.aggregate(
+        F.zip_with(emb, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+@query("sim_ann_ivf_topk")  # ROWS-only: centroid floats (see X6); recall in tests
+def sim_ann_ivf_topk(spark, sf_dir):
+    """ANN via IVF (inverted-file): coarse cells = per-label centroids
+    (stand-in for k-means at fixture scale), probe assigned to its nprobe=3
+    nearest cells, exhaustive search inside those cells only. ROWS-only
+    (centroids inherit float-accumulation order); the unit test asserts
+    recall vs brute force. At 100 TB: cells are list-partitioned on cell
+    id, nprobe controls the recall/latency trade (3/10 cells here because
+    the synthetic labels cluster weakly)."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
+        )
+    )
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+        as_double("embedding").alias("pe")
+    )
+    # nprobe=3 nearest cells for the probe (10 cells, stays a DF op)
+    best_cell = (
+        cent.join(F.broadcast(probe))
+        .select("cell", cosine(F.col("centroid"), F.col("pe")).alias("cs"))
+        .orderBy(F.desc("cs"), "cell")
+        .limit(3)
+        .select("cell")
+    )
+    return (
+        e.join(F.broadcast(best_cell), e.label == F.col("cell"))
+        .filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_TOPK)
+    )

@@ -1,0 +1,225 @@
+"""EXT group — text analysis over the ``documents`` corpus (SURVEY §2.3
+X1–X3 plus the training-data-pipeline text operators: language ID, quality
+scoring, token counting, document fingerprinting).
+
+Everything is built from JVM-side primitives (split/explode/regexp/sha2) —
+no Python UDFs — so each operator is EXACT-oracle-checkable and stays
+inside whole-stage codegen. Scale shape: tokenize-then-aggregate is the
+classic map-side-combine pattern; shuffle volume ∝ distinct terms, not
+corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import LANG_MARKERS, fingerprint, marker_hits, tokens
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+
+@query(
+    "text_tokenize_topterms",
+    """
+    SELECT term, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 20
+    """,
+)
+def text_tokenize_topterms(spark, sf_dir):
+    """X1 — top-20 corpus terms (count desc, term asc tie-break)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(20)
+    )
+
+
+@query(
+    "text_lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    """X2 — per-language doc count + average length (exact int sum then one
+    double division keeps the value bit-deterministic cross-engine)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 2).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "text_term_per_lang",
+    """
+    SELECT lang, term, cnt FROM (
+      SELECT lang, term, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+      FROM (
+        SELECT lang, term, count(*) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY lang, term
+      )
+    ) WHERE rn = 1
+    """,
+)
+def text_term_per_lang(spark, sf_dir):
+    """X3 — top term per language (tokenize + aggregate + ranking window)."""
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "term")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "term", "cnt")
+    )
+
+
+def _langid_oracle() -> str:
+    # duckdb list literal: ['the','and','of']
+    def lst(markers):
+        inner = ", ".join(f"'{m}'" for m in markers)
+        return f"[{inner}]"
+
+    h = {
+        lang: f"len(list_filter(string_split(text,' '), t -> list_contains({lst(m)}, t)))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    return f"""
+    SELECT doc_id, lang,
+      CASE
+        WHEN {h['en']} > 0 AND {h['en']} >= greatest({h['fr']}, {h['es']}, {h['de']}) THEN 'en'
+        WHEN {h['fr']} > 0 AND {h['fr']} >= greatest({h['es']}, {h['de']}) THEN 'fr'
+        WHEN {h['es']} > 0 AND {h['es']} >= {h['de']} THEN 'es'
+        WHEN {h['de']} > 0 THEN 'de'
+        ELSE 'und'
+      END AS lang_pred
+    FROM documents
+    """
+
+
+@query("text_langid", _langid_oracle())
+def text_langid(spark, sf_dir):
+    """Heuristic n-gram/stopword language ID: count marker-stopword hits per
+    candidate language, pick the max with a fixed priority order (en > fr >
+    es > de > und). Pure column arithmetic — at scale this is a single
+    narrow map stage. Accuracy vs the fixture's ``lang`` label is measured
+    in tests (zh has no Latin markers and maps to 'und' by design)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    h = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (h["en"] > 0)
+            & (h["en"] >= F.greatest(h["fr"], h["es"], h["de"])),
+            "en",
+        )
+        .when((h["fr"] > 0) & (h["fr"] >= F.greatest(h["es"], h["de"])), "fr")
+        .when((h["es"] > 0) & (h["es"] >= h["de"]), "es")
+        .when(h["de"] > 0, "de")
+        .otherwise("und")
+    )
+    return docs.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+_EN_STOP = LANG_MARKERS["en"]
+
+
+@query(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS INTEGER) AS n_punct,
+      round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6)
+        AS avg_token_len,
+      round(CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains({str(_EN_STOP).replace('"', "'")}, t)))
+                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality-scoring features for corpus filtering: token count,
+    punctuation count, mean token length, stopword ratio. All ratios are
+    int/int divisions of identical integers -> bit-identical doubles."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace("text", "[.,!?;:]", "")
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.cast("int").alias("n_punct"),
+        F.round(F.length("text").cast("double") / n_tokens, 6).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            marker_hits(toks, _EN_STOP).cast("double") / n_tokens, 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS n_words,
+      CAST(length(text) AS INTEGER) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting both ways a training pipeline needs: cheap whitespace
+    count and a BPE-ish word-regex count (``[A-Za-z0-9]+`` runs)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+"), 0)).alias(
+            "n_words"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                  ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: sha256 of the sorted distinct token set —
+    word-order- and duplication-insensitive content identity, the cheap
+    first stage of a dedup cascade (exact-hash -> fingerprint -> minhash)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )

@@ -1,0 +1,8 @@
+from .pipeline import (  # noqa: F401
+    decrypted_stream,
+    events_file_stream,
+    sliding_counts_stream,
+    stateful_dedup_stream,
+    windowed_counts_stream,
+    write_parquet_sink,
+)

@@ -1,0 +1,120 @@
+"""Structured Streaming mirror of the reference pipeline (SURVEY §2.1
+R1/R8–R11 streaming build items).
+
+The reference [U/H] is an *unbounded* Beam pipeline: ReadFromPubSub ->
+DecryptDoFn -> FixedWindows+Count -> sink, with the runner's watermark
+handling late data and Pub/Sub's at-least-once delivery handled by
+consumer-side dedup. Structured Streaming's unified model means every
+transformation here is THE SAME code the batch operators use
+(``with_envelope`` / ``decrypt_verify`` / windowed groupBy) applied to a
+``readStream`` DataFrame — one definition, two execution modes, which is
+the design point (Structured Streaming, SIGMOD 2018).
+
+Source stand-ins (no Pub/Sub in this environment): a file-stream over the
+events parquet replays the topic deterministically; ``rate`` source works
+for soak tests. Tests assert stream≡batch on the windowed counts
+(prefix-consistency) and that the watermark drops late rows.
+
+Scale notes: stateful ops (windowed counts, dropDuplicatesWithinWatermark)
+keep per-key state in the state store — bound it with watermarks (done
+here); for 100 TB/day streams configure the RocksDB state store provider
+(spark.sql.streaming.stateStore.providerClass) so state spills off-heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import crypto
+from ..sources.fixtures import _NS_TO_TS, with_envelope
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """R1 streaming — file-stream replay of the events topic. The explicit
+    schema keeps the ns-timestamp column readable (as raw nanos) without
+    inference; ``maxFilesPerTrigger`` paces micro-batches."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}")
+    )
+    # watermarks require TIMESTAMP (with local tz), not NTZ — the batch side
+    # uses NTZ for oracle portability, streaming uses the instant type.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def decrypted_stream(events: DataFrame, tamper: bool = False) -> DataFrame:
+    """R5–R7 streaming — the DecryptDoFn equivalent on an unbounded
+    DataFrame: envelope synthesis + cached unwrap + AES decrypt + MAC
+    verify-and-drop. Identical code path to batch (crypto.decrypt_verify);
+    the DEK cache lives in each executor's Python worker exactly like the
+    reference's per-worker cache."""
+    return crypto.decrypt_verify(with_envelope(events, tamper=tamper))
+
+
+def windowed_counts_stream(
+    events: DataFrame, watermark: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """R8+R10 streaming — watermarked tumbling counts. Append mode emits a
+    window only once the watermark passes its end; late rows beyond the
+    delay are dropped (the reference's allowed-lateness discard policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window variant (each event lands in window/slide panes)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def stateful_dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """R11 streaming — at-least-once -> effectively-once by consumer-side
+    dedup on the message id, with state bounded by the watermark (the
+    batch twin is the deterministic ``dedup_exact`` operator)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def write_parquet_sink(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
+):
+    """R9 streaming — durable sink with exactly-once via the checkpoint
+    log (offsets + commits journaled; the Beam/Dataflow equivalent is the
+    runner's own checkpointing)."""
+    return (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )

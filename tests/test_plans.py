@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the 100 TB design contract (SURVEY §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.operators.relational import QUERIES
+from dataflow_pubsub_message_encryption_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from dataflow_pubsub_message_encryption_spark.sources import load
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    df = QUERIES["join_broadcast"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # broadcast means the fact side never shuffles for the join
+    assert count_exchanges(df) == 0
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["filt_pred"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = QUERIES["proj_expr"](spark, sf_dir)
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    }, "scan must read exactly the 4 referenced columns"
+
+
+def test_agg_is_partial_plus_final(spark, sf_dir):
+    plan = formatted_plan(QUERIES["agg_hash_groupby"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "map-side partial agg missing"
+    assert count_exchanges(QUERIES["agg_hash_groupby"](spark, sf_dir)) == 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = formatted_plan(QUERIES["sort_limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "global sort would not scale"
+
+
+def test_whole_stage_codegen_covers_scan_filter_project(spark, sf_dir):
+    # formatted mode marks codegen'd operators with a '*' prefix
+    plan = formatted_plan(QUERIES["filt_pred"](spark, sf_dir))
+    assert "* Filter" in plan and "* Project" in plan
+
+
+def test_probe_broadcast_in_cosine_topk(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SIMQ,
+    )
+
+    df = SIMQ["sim_cosine_topk"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_decrypt_pipeline_has_no_shuffle_before_window(spark, sf_dir):
+    """The whole DecryptDoFn equivalent (unwrap+decrypt+verify) must be a
+    narrow pipeline; the only exchange is the windowed groupBy's."""
+    from dataflow_pubsub_message_encryption_spark.operators.ref_pipeline import (
+        QUERIES as REFQ,
+    )
+
+    df = REFQ["pipeline_end_to_end"](spark, sf_dir)
+    assert count_exchanges(df) == 1
+
+
+def test_no_collect_in_engine_code():
+    """Engine code must never materialize distributed data on the driver
+    (SURVEY §4: 'no collect() anywhere in engine code')."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "dataflow_pubsub_message_encryption_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        text = py.read_text()
+        if ".collect()" in text or ".toPandas()" in text:
+            offenders.append(str(py))
+    assert not offenders, f"driver-side materialization in: {offenders}"

@@ -1,0 +1,156 @@
+"""Streaming mirror tests (SURVEY §5.4): batch ≡ stream on the windowed
+counts (prefix consistency), watermark late-data handling, stateful dedup,
+and the exactly-once parquet sink."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark import streaming as st
+from dataflow_pubsub_message_encryption_spark.operators.ref_pipeline import (
+    QUERIES as REFQ,
+)
+from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sparkgraft-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream_to_memory(spark, sdf, name, mode="append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_windowed_counts_equal_batch(spark, sf_dir, tmpdir):
+    """Replaying the events table through a file stream must yield the
+    exact batch R8 result once the stream drains (prefix consistency)."""
+    # stage the parquet into a stream-source dir
+    import glob
+    import shutil as sh
+
+    src = glob.glob(f"{sf_dir}/events.parquet")[0]
+    sh.copy(src, f"{tmpdir}/events.parquet")
+
+    stream = st.events_file_stream(spark, tmpdir)
+    counts = st.windowed_counts_stream(stream, watermark="10 minutes")
+    got = _run_stream_to_memory(spark, counts, "stream_counts")
+
+    batch = REFQ["window_tumbling_counts"](spark, sf_dir)
+    g = {
+        (r.window_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type): r.cnt
+        for r in got.collect()
+    }
+    b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+    # append mode only emits windows the watermark has closed; the final
+    # window(s) stay open forever since no later data arrives. Every emitted
+    # window must match batch exactly, and only trailing windows may be held.
+    assert g.items() <= b.items()
+    held = {k for k in b if k not in g}
+    max_start = max(k[0] for k in b)
+    assert all(k[0] == max_start for k in held), f"non-trailing windows held: {held}"
+
+
+def test_stream_decrypt_matches_batch(spark, sf_dir, tmpdir):
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.decrypted_stream(st.events_file_stream(spark, tmpdir), tamper=True)
+    got = _run_stream_to_memory(
+        spark, stream.select("event_id", "props_decrypted"), "stream_decrypt"
+    )
+    rows = got.collect()
+    n = load_events(spark, sf_dir).count()
+    assert len(rows) == n // 2  # tampered odd ids dropped in-flight
+    assert all(r.event_id % 2 == 0 for r in rows)
+
+
+def test_watermark_drops_late_rows(spark, tmpdir):
+    """Two micro-batches: batch 2 carries an event 2 hours older than the
+    advanced watermark -> its window is already closed and the row is
+    dropped from the append-mode output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(batch_id, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),  # ns
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{tmpdir}/b{batch_id}.parquet")
+
+    H = 3_600_000_000_000  # 1h in ns
+    base = 1_700_000_000_000_000_000
+    write(0, [(0, base + 0 * H), (1, base + 4 * H)])  # watermark -> 4h - 10m
+    # late event in hour-0 window: watermark (3h50m) >> window end (1h) -> drop
+    write(1, [(2, base + 1), (3, base + 5 * H)])
+
+    stream = st.events_file_stream(spark, tmpdir, max_files_per_trigger=1)
+    counts = st.windowed_counts_stream(stream, watermark="10 minutes")
+    got = _run_stream_to_memory(spark, counts, "late_counts")
+    total = got.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 3, "late row must be dropped, open windows not emitted"
+
+
+def test_stateful_dedup_within_watermark(spark, tmpdir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([base, base + 1000, base, base + 5000, base], pa.int64()),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([1.0] * 5),
+            "props": pa.array(['{"k": 1}'] * 5),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/dups.parquet")
+    stream = st.stateful_dedup_stream(st.events_file_stream(spark, tmpdir))
+    got = _run_stream_to_memory(spark, stream.select("event_id"), "dedup_stream")
+    assert sorted(r.event_id for r in got.collect()) == [1, 2, 3]
+
+
+def test_parquet_sink_checkpointed(spark, sf_dir, tmpdir):
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    out, ckpt = f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    stream = st.decrypted_stream(st.events_file_stream(spark, tmpdir))
+    q = (
+        st.write_parquet_sink(
+            stream.select("event_id", "props_decrypted"), out, ckpt
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = load_events(spark, sf_dir).count()
+    assert spark.read.parquet(out).count() == n
+    import os
+
+    assert os.path.isdir(ckpt), "checkpoint log must exist (exactly-once)"
