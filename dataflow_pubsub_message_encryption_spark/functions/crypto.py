@@ -131,11 +131,39 @@ def mac_col(payload: Column) -> Column:
 
 
 def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_dek",
-                   mac: str = "mac", out: str = "props_decrypted"):
+                   mac: str = "mac", out: str = "props_decrypted",
+                   strategy: str = "cached_udf"):
     """The reference ``DecryptDoFn`` as a DataFrame transformation:
-    unwrap (cached UDF) -> AES-decrypt (JVM expression) -> recompute MAC ->
-    drop rows whose tag does not verify. Works identically on batch and
-    streaming DataFrames (Structured Streaming's unified model)."""
+    unwrap DEK -> AES-decrypt (JVM expression) -> recompute MAC -> drop
+    rows whose tag does not verify. Works identically on batch and
+    streaming DataFrames (Structured Streaming's unified model).
+
+    Two unwrap strategies, both amortizing the per-message KMS RPC the
+    reference exists to avoid [U/H]:
+
+    - ``cached_udf`` (default; reference parity): every row passes through
+      the vectorized unwrap UDF backed by the executor-local expiring
+      cache — the exact per-worker-cache semantics of the reference DoFn.
+      Required under streaming (a distinct+join would re-shuffle state).
+    - ``broadcast`` (the 100 TB batch shape): unwrap only the DISTINCT
+      wrapped keys (a key-population-sized DataFrame), broadcast-join the
+      plaintext DEKs back. The per-row path is then 100% JVM codegen — no
+      Python worker round-trip — and KMS cost is once per key per *query*,
+      not per key per worker.
+    """
+    if strategy == "broadcast":
+        keys = (
+            df.select(F.col(wrapped).alias("_w"))
+            .distinct()
+            .withColumn("_dek", unwrap_dek_udf(F.col("_w")))
+        )
+        joined = df.join(F.broadcast(keys), F.col(wrapped) == F.col("_w"))
+        plain = F.aes_decrypt(F.col(ciphertext), F.col("_dek")).cast("string")
+        return (
+            joined.withColumn(out, plain)
+            .filter(mac_col(F.col(out)) == F.col(mac))
+            .drop("_w", "_dek")
+        )
     dek_bin = unwrap_dek_udf(F.col(wrapped))
     plain = F.aes_decrypt(F.col(ciphertext), dek_bin).cast("string")
     return (

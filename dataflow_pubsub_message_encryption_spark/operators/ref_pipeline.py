@@ -210,7 +210,10 @@ def pipeline_end_to_end(spark, sf_dir):
     env = with_envelope(
         load_events(spark, sf_dir), n_keys=_N_KEYS, tamper=True
     )
-    plain = crypto.decrypt_verify(env)
+    # batch flagship uses the broadcast unwrap (per-row path is pure JVM
+    # codegen); the cached-UDF reference-parity path is exercised by
+    # envelope_roundtrip / mac_verify_filter / dek_cache and streaming.
+    plain = crypto.decrypt_verify(env, strategy="broadcast")
     parsed = plain.withColumn(
         "k", F.from_json("props_decrypted", "k INT").getField("k")
     )

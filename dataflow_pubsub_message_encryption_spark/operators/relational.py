@@ -756,3 +756,31 @@ def udf_surface(spark, sf_dir):
         char_sum(F.col("event_type")).alias("type_charsum"),
         tag(F.col("event_type")).alias("type_tag"),
     )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) per group. Both
+    engines interpolate linearly over identical doubles -> identical
+    results; 6dp rounding is identity for the <=3dp interpolated values.
+    (The sketch-based scale path is percentile_approx, ROWS-class.)"""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias(
+                "p90_price"
+            ),
+        )
+    )

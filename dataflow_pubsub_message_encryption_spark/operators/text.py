@@ -124,8 +124,9 @@ def text_langid(spark, sf_dir):
     """Heuristic n-gram/stopword language ID: count marker-stopword hits per
     candidate language, pick the max with a fixed priority order (en > fr >
     es > de > und). Pure column arithmetic — at scale this is a single
-    narrow map stage. Accuracy vs the fixture's ``lang`` label is measured
-    in tests (zh has no Latin markers and maps to 'und' by design)."""
+    narrow map stage. NB the fixture corpus shares one vocabulary across
+    all lang labels, so tests pin the heuristic against a Python reference
+    rather than measuring label accuracy (zh maps to 'und' by design)."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens("text")
     h = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
@@ -222,4 +223,56 @@ def text_fingerprint(spark, sf_dir):
     first stage of a dedup cascade (exact-hash -> fingerprint -> minhash)."""
     return load(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+@query(
+    "text_tfidf_top3",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_top3(spark, sf_dir):
+    """TF-IDF: top-3 most characteristic terms per document. Three
+    aggregations (tf per doc-term, df per term, corpus N) composed with a
+    broadcast of the term-df table and a ranking window — the standard
+    shape for corpus statistics at scale (df table is vocabulary-sized,
+    always broadcastable; tf shuffles on doc_id which is the natural
+    partition key)."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.count()  # scalar corpus size; driver-held literal, not a collect of data
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
     )

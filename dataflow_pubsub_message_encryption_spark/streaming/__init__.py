@@ -5,4 +5,6 @@ from .pipeline import (  # noqa: F401
     stateful_dedup_stream,
     windowed_counts_stream,
     write_parquet_sink,
+    write_text_sink,
 )
+from .stateful import running_user_census  # noqa: F401

@@ -118,3 +118,14 @@ def write_parquet_sink(
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def write_text_sink(df: DataFrame, out_dir: str, checkpoint_dir: str, col: str):
+    """TextIO-style sink [U/M: the reference logs / writes decrypted
+    payloads as text]: one line per record, streaming, checkpointed."""
+    return (
+        df.select(F.col(col).cast("string").alias("value"))
+        .writeStream.format("text")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )

@@ -110,3 +110,29 @@ def test_mac_matches_duckdb(spark, duck):
         "SELECT sha256(concat(?, ?))", [crypto.MAC_KEY, payload]
     ).fetchone()[0]
     assert s == d
+
+
+def test_broadcast_strategy_equals_cached_udf(spark, sf_dir):
+    """Both unwrap strategies must produce the identical surviving row set
+    and plaintext (same semantics, different physical shape)."""
+    events = load_events(spark, sf_dir)
+    env = with_envelope(events, tamper=True)
+    a = crypto.decrypt_verify(env).select("event_id", "props_decrypted")
+    b = crypto.decrypt_verify(env, strategy="broadcast").select(
+        "event_id", "props_decrypted"
+    )
+    rows_a = sorted((r.event_id, r.props_decrypted) for r in a.collect())
+    rows_b = sorted((r.event_id, r.props_decrypted) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_broadcast_strategy_keeps_row_path_jvm_only(spark, sf_dir):
+    """The broadcast unwrap must leave no Python eval node on the fact-row
+    side — ArrowEvalPython may appear only under the tiny distinct-keys
+    branch feeding the broadcast exchange."""
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+
+    env = with_envelope(load_events(spark, sf_dir))
+    df = crypto.decrypt_verify(env, strategy="broadcast")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan

@@ -164,3 +164,29 @@ def test_minhash_lsh_finds_exact_duplicate_sets(spark, sf_dir):
                 if (ids[i], ids[j]) not in pairs:
                     missed.append((ids[i], ids[j]))
     assert not missed, f"identical-token-set pairs missed by LSH: {missed[:5]}"
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    """Salted two-phase aggregation must be a pure physical rewrite —
+    identical results to the plain groupBy for associative aggregates."""
+    from dataflow_pubsub_message_encryption_spark.functions.skew import salted_agg
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    salted = salted_agg(
+        ev,
+        key="event_type",
+        salt_src="event_id",
+        aggs={
+            "n": ("event_id", "count"),
+            "v_sum": ("value", "sum"),
+            "v_max": ("value", "max"),
+        },
+        n_salts=8,
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v_sum"), F.max("value").alias("v_max")
+    )
+    s = {r.event_type: (r.n, round(r.v_sum, 6), r.v_max) for r in salted.collect()}
+    p = {r.event_type: (r.n, round(r.v_sum, 6), r.v_max) for r in plain.collect()}
+    assert s == p

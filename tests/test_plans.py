@@ -65,15 +65,18 @@ def test_probe_broadcast_in_cosine_topk(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
-def test_decrypt_pipeline_has_no_shuffle_before_window(spark, sf_dir):
-    """The whole DecryptDoFn equivalent (unwrap+decrypt+verify) must be a
-    narrow pipeline; the only exchange is the windowed groupBy's."""
+def test_decrypt_pipeline_fact_path_is_narrow(spark, sf_dir):
+    """The DecryptDoFn equivalent must keep the fact-row path narrow: the
+    only fact-side shuffle is the windowed groupBy's. The broadcast unwrap
+    adds one hash exchange on the key-population-sized distinct (4 rows)
+    plus the broadcast itself — both O(keys), not O(rows)."""
     from dataflow_pubsub_message_encryption_spark.operators.ref_pipeline import (
         QUERIES as REFQ,
     )
 
     df = REFQ["pipeline_end_to_end"](spark, sf_dir)
-    assert count_exchanges(df) == 1
+    assert has_broadcast_join(df), "DEK map must broadcast, not shuffle facts"
+    assert count_exchanges(df) == 2  # key-distinct (tiny) + window agg
 
 
 def test_no_collect_in_engine_code():

@@ -154,3 +154,57 @@ def test_parquet_sink_checkpointed(spark, sf_dir, tmpdir):
     import os
 
     assert os.path.isdir(ckpt), "checkpoint log must exist (exactly-once)"
+
+
+def test_custom_stateful_operator_accumulates_across_batches(spark, sf_dir, tmpdir):
+    """applyInPandasWithState: state must persist across micro-batches —
+    final census equals the batch groupBy over the full replay."""
+    import glob
+    import shutil as sh
+
+    from dataflow_pubsub_message_encryption_spark.streaming.stateful import (
+        running_user_census,
+    )
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.events_file_stream(spark, tmpdir)
+    census = running_user_census(stream)
+    q = (
+        census.writeStream.format("memory")
+        .queryName("user_census")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: last row per user is the final state
+    from pyspark.sql import Window
+
+    got = spark.table("user_census")
+    rows = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in got.collect()}
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    for r in batch:
+        assert rows[r.user_id] == (r.n, r.tv), r.user_id
+
+
+def test_text_sink_writes_decrypted_lines(spark, sf_dir, tmpdir):
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    out, ckpt = f"{tmpdir}/txt", f"{tmpdir}/txt_ckpt"
+    stream = st.decrypted_stream(st.events_file_stream(spark, tmpdir))
+    q = (
+        st.write_text_sink(stream, out, ckpt, col="props_decrypted")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lines = spark.read.text(out)
+    assert lines.count() == load_events(spark, sf_dir).count()
+    assert lines.filter(F.col("value").startswith('{"k":')).count() == lines.count()
