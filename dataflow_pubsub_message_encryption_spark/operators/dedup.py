@@ -69,13 +69,14 @@ def dedup_exact_hash(spark, sf_dir):
     "dedup_near_jaccard",
     f"""
     WITH d AS (
-      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks,
+             len(list_distinct(string_split(text, ' '))) AS n
       FROM documents
     )
     SELECT doc_a, doc_b, jac FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+                   / (a.n + b.n - len(list_intersect(a.toks, b.toks))), 6) AS jac
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE jac >= {_JACCARD_TAU}
     """,
@@ -95,10 +96,10 @@ def dedup_near_jaccard(spark, sf_dir):
     # size-ratio prune: jac >= tau requires |A| >= tau*|B| and |B| >= tau*|A|
     # — a necessary condition evaluated on two ints, so most pairs never pay
     # the O(|A|+|B|) intersection. Pure pruning: the result set is unchanged.
+    # |A∪B| = |A|+|B|-|A∩B| for distinct sets: one set op per pair, not two
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     jac = F.round(
-        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-        / F.size(F.array_union(F.col("a.toks"), F.col("b.toks"))),
-        6,
+        inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter), 6
     )
     return (
         a.join(
@@ -131,7 +132,8 @@ def dedup_near_jaccard(spark, sf_dir):
     SELECT doc_a, doc_b, jac FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+                   / (len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams))), 6) AS jac
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE jac >= {{_NGRAM_TAU}}
     """.format(_NGRAM_TAU=_NGRAM_TAU),
@@ -153,9 +155,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
         "doc_id", "source", grams.alias("grams")
     )
     a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     jac = F.round(
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
-        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams"))),
+        inter.cast("double")
+        / (F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter),
         6,
     )
     return (
@@ -243,7 +246,8 @@ def _lsh_bands_sql() -> tuple[str, str]:
     SELECT doc_a, doc_b, jac FROM (
       SELECT doc_a, doc_b,
              round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
-                   / len(list_distinct(list_concat(toks_a, toks_b))), 6) AS jac
+                   / (len(toks_a) + len(toks_b)
+                      - len(list_intersect(toks_a, toks_b))), 6) AS jac
       FROM cand
     ) WHERE jac >= {_LSH_TAU}
     """,
@@ -284,9 +288,10 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         cand.join(toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a")
         .join(toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
     )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = F.round(
-        F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-        / F.size(F.array_union("toks_a", "toks_b")),
+        inter.cast("double")
+        / (F.size("toks_a") + F.size("toks_b") - inter),
         6,
     )
     return cand.select("doc_a", "doc_b", jac.alias("jac")).filter(

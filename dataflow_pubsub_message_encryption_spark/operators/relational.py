@@ -784,3 +784,123 @@ def agg_percentile(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix. The pivot values are
+    declared explicitly — at scale an undeclared pivot forces an extra
+    distinct-values job before the real aggregation."""
+    return (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "filt_scalar_subquery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price
+    FROM lineitem
+    WHERE l_extendedprice > 1.8 * (SELECT AVG(l_extendedprice) FROM lineitem)
+    """,
+)
+def filt_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate: lineitems priced at over 1.8x the
+    corpus average. Catalyst plans the subquery as a separate tiny job
+    whose result folds into the filter — no per-row recomputation."""
+    li = load(spark, sf_dir, "lineitem")
+    avg_price = li.select(F.avg("l_extendedprice").alias("a"))
+    return (
+        li.join(F.broadcast(avg_price))
+        .filter(F.col("l_extendedprice") > 1.8 * F.col("a"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            money(dec4("l_extendedprice")).alias("price"),
+        )
+    )
+
+
+@query(
+    "win_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1990-01-01',
+                                                       CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS sum_30d
+    FROM orders
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE window frame: per customer, rolling 30-day order-value sum
+    (value-based frame over an epoch-day ordering column, vs the row-based
+    frame of win_running_sum). Decimal sum keeps it bit-deterministic
+    even though frame contents, not accumulation order, define the value."""
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        money(F.sum(dec4("o_totalprice")).over(w)).alias("sum_30d"),
+    )
+
+
+@query(
+    "sql_entrypoint_q3",
+    """
+    SELECT o.o_orderkey,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def sql_entrypoint_q3(spark, sf_dir):
+    """The SQL entry point: TPC-H Q3 shape submitted as SQL text over temp
+    views — same Catalyst plan as the DataFrame API (one engine, two
+    dialects). Views are registered per-sf_dir to keep calls re-entrant."""
+    for t in ("customer", "orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"sg_{t}")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                    AS DOUBLE) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+               o.o_orderpriority
+        FROM sg_customer c JOIN sg_orders o ON c.c_custkey = o.o_custkey
+                           JOIN sg_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """
+    )

@@ -136,3 +136,18 @@ def test_broadcast_strategy_keeps_row_path_jvm_only(spark, sf_dir):
     df = crypto.decrypt_verify(env, strategy="broadcast")
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_aes_roundtrip_unicode_payloads(spark):
+    """Envelope crypto must round-trip non-ASCII payloads byte-exactly
+    (zh documents, emoji, combining chars)."""
+    payloads = ["中文文本测试", "héllo wörld", "👍🏽🚀", 'json={"k": "値"}']
+    key = crypto.dek(2)
+    df = spark.createDataFrame([(p,) for p in payloads], "x STRING")
+    out = df.select(
+        "x",
+        F.aes_decrypt(
+            F.aes_encrypt(F.col("x").cast("binary"), F.lit(key)), F.lit(key)
+        ).cast("string").alias("rt"),
+    )
+    assert all(r.x == r.rt for r in out.collect())

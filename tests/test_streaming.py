@@ -208,3 +208,22 @@ def test_text_sink_writes_decrypted_lines(spark, sf_dir, tmpdir):
     lines = spark.read.text(out)
     assert lines.count() == load_events(spark, sf_dir).count()
     assert lines.filter(F.col("value").startswith('{"k":')).count() == lines.count()
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, tmpdir):
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.sliding_counts_stream(st.events_file_stream(spark, tmpdir))
+    got = _run_stream_to_memory(spark, stream, "sliding_counts")
+    batch = REFQ["window_sliding_counts"](spark, sf_dir)
+    g = {
+        (r.window_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type): r.cnt
+        for r in got.collect()
+    }
+    b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+    assert g.items() <= b.items()
+    held = {k[0] for k in b if k not in g}
+    # only the last two pane-starts can still be open (1h window, 30m hop)
+    assert len(held) <= 2, f"too many held panes: {sorted(held)[-4:]}"
