@@ -904,3 +904,26 @@ def sql_entrypoint_q3(spark, sf_dir):
         ORDER BY revenue DESC, o_orderkey LIMIT 10
         """
     )
+
+
+@query("udaf_surface")  # ROWS-only: custom aggregation logic, no SQL mirror
+def udaf_surface(spark, sf_dir):
+    """C32b — user-defined aggregate surface: a GROUPED_AGG pandas UDF
+    (Arrow-batched Series -> scalar) computing the geometric mean of
+    lineitem quantity per return flag. The vectorized UDAF is the escape
+    hatch when no builtin aggregate composes — but unlike builtins it gets
+    no map-side partial aggregation (the UDF needs the whole group), so
+    the group's rows shuffle in full. Prefer builtins in hot paths; this
+    one is decomposable (geomean = exp(avg(ln x))) and exists to pin the
+    UDAF surface."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.clip(lower=1e-12)).mean()))
+
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.round(geo_mean("l_quantity"), 6).alias("qty_geomean"))
+    )

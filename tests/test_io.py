@@ -61,3 +61,34 @@ def test_json_roundtrip_preserves_nested(spark, sf_dir, tmpdir):
     a = sorted(r.meta.mime for r in back.select("meta").collect())
     b = sorted(r.meta.mime for r in m.select("meta").collect())
     assert a == b
+
+
+def test_ann_bucket_partition_layout_prunes_probe_scan(spark, sf_dir, tmpdir):
+    """The similarity.py scale claim, made real: embeddings written
+    partitioned by LSH bucket; a probe-bucket query prunes to one
+    directory (PartitionFilters), i.e. ANN search = partial scan."""
+    from pyspark.sql import functions as F2
+
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _planes,
+        cosine_free_dot,
+    )
+    from dataflow_pubsub_message_encryption_spark.functions.vectors import as_double
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    bits = [
+        F2.when(cosine_free_dot(emb, plane) > 0, "1").otherwise("0")
+        for plane in _planes()
+    ]
+    bucketed = e.withColumn("bucket", F2.concat(*bits))
+    sinks.write_partitioned_parquet(bucketed, f"{tmpdir}/ann", ["bucket"])
+
+    back = sinks.read_partitioned_parquet(spark, f"{tmpdir}/ann")
+    probe_bucket = bucketed.filter("vec_id = 0").select("bucket").collect()[0][0]
+    q = back.filter(F.col("bucket") == probe_bucket).select("vec_id")
+    plan = formatted_plan(q)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert q.count() == bucketed.filter(F.col("bucket") == probe_bucket).count()
