@@ -420,7 +420,7 @@ def agg_grouping_sets(spark, sf_dir):
 @query(
     "win_rank_topk",
     """
-    SELECT o_custkey, o_orderkey, rn,
+    SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn,
            CAST(round(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS total
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -498,7 +498,7 @@ def win_lag_delta(spark, sf_dir):
     "win_ntile",
     """
     SELECT c_custkey,
-           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
     FROM customer
     """,
 )

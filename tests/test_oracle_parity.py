@@ -25,6 +25,10 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
         return
     ddf = duck.execute(ORACLES[name]).fetchdf()
     assert sorted(sdf.columns) == sorted(ddf.columns)
+    for c in sdf.columns:
+        assert str(sdf[c].dtype) == str(ddf[c].dtype), (
+            f"dtype mismatch on {c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+        )
     assert len(sdf) == len(ddf)
     a, b = canon(sdf), canon(ddf)
     mismatches = [(x, y) for x, y in zip(a, b) if repr(x) != repr(y)]

@@ -33,6 +33,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if s_cols != d_cols:
         problems.append(f"columns spark={s_cols} duck={d_cols}")
         return problems
+    for c in s_cols:
+        if str(spark_pdf[c].dtype) != str(duck_pdf[c].dtype):
+            problems.append(
+                f"dtype[{c}] spark={spark_pdf[c].dtype} duck={duck_pdf[c].dtype}"
+            )
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         neq = (a.map(repr) != b.map(repr)).any(axis=1)
