@@ -299,3 +299,30 @@ def window_session_stats(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "envelope_map_attrs",
+    "SELECT event_id, props AS props_decrypted FROM events",
+)
+def envelope_map_attrs(spark, sf_dir):
+    """R2b — the faithful wire shape: attributes as MAP<STRING,STRING>
+    beside the opaque payload (Pub/Sub's attribute map [U/H]). The
+    envelope columns are packed into a map, the pipeline extracts them by
+    key (element_at) and decrypts — proving MapType flows through the
+    whole decrypt DAG. Oracle: identity, as for R5."""
+    env = with_envelope(load_events(spark, sf_dir), n_keys=_N_KEYS)
+    wired = env.select(
+        "event_id",
+        "ciphertext",
+        F.create_map(
+            F.lit("wrapped_dek"), F.col("wrapped_dek"), F.lit("mac"), F.col("mac")
+        ).alias("attrs"),
+    )
+    unpacked = wired.select(
+        "event_id",
+        "ciphertext",
+        F.element_at("attrs", "wrapped_dek").alias("wrapped_dek"),
+        F.element_at("attrs", "mac").alias("mac"),
+    )
+    return crypto.decrypt_verify(unpacked).select("event_id", "props_decrypted")

@@ -927,3 +927,71 @@ def udaf_surface(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.round(geo_mean("l_quantity"), 6).alias("qty_geomean"))
     )
+
+
+@query(
+    "join_multiway_q5",
+    """
+    SELECT n.n_name,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_q5(spark, sf_dir):
+    """TPC-H Q5 shape: 5-table join tree. The dims (region, nation) are
+    explicit broadcasts — only customer⋈orders⋈lineitem shuffle, each on
+    its key; Catalyst pushes r_name='ASIA' through the broadcast chain so
+    non-ASIA customers never reach the big joins."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            money(
+                F.sum(dec4("l_extendedprice") * (1 - dec4("l_discount")))
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "agg_having_subquery",
+    """
+    SELECT o_custkey,
+           CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+           > 3 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def agg_having_subquery(spark, sf_dir):
+    """HAVING with a scalar subquery: customers whose total spend exceeds
+    3x the corpus-average order value — the aggregated-filter shape. The
+    subquery is one tiny job broadcast into a post-aggregation filter (no
+    second shuffle of the grouped data)."""
+    o = load(spark, sf_dir, "orders")
+    avg_total = o.select(F.avg("o_totalprice").alias("avg_tp"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(dec4("o_totalprice")).alias("spend_dec"))
+        .join(F.broadcast(avg_total))
+        .filter(F.col("spend_dec") > 3 * F.col("avg_tp"))
+        .select("o_custkey", money(F.col("spend_dec")).alias("total_spend"))
+    )

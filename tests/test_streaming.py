@@ -227,3 +227,34 @@ def test_sliding_stream_equals_batch(spark, sf_dir, tmpdir):
     held = {k[0] for k in b if k not in g}
     # only the last two pane-starts can still be open (1h window, 30m hop)
     assert len(held) <= 2, f"too many held panes: {sorted(held)[-4:]}"
+
+
+def test_session_window_stream_prefix_of_batch(spark, sf_dir, tmpdir):
+    """session_window under a watermark in streaming mode: every emitted
+    session must match the batch gaps-and-islands result; only sessions
+    still open at the watermark may be withheld."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.events_file_stream(spark, tmpdir)
+    sess = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    got = _run_stream_to_memory(spark, sess, "stream_sessions")
+    batch = REFQ["window_session_stats"](spark, sf_dir)
+    g = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S.%f")): r.n_events
+        for r in got.collect()
+    }
+    b = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
+    assert g.items() <= b.items(), "emitted sessions must match batch exactly"
+    held = len(b) - len(g)
+    assert held <= max(1, len(b) // 20), f"too many sessions withheld: {held}/{len(b)}"
