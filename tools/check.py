@@ -4,6 +4,11 @@ Emulates the driver's t2 gate (row-count + schema-shape + order-insensitive
 value comparison) so regressions surface locally before a round ends.
 
 Usage: python tools/check.py [sf_dir] [query ...]
+       python tools/check.py --wrapper [sf_dir] [query ...]
+
+--wrapper: exercise the exact driver path — a bare SparkSession (no engine
+confs pre-applied) calling ``__spark_entry__.queries()`` / ``oracle_sql()``
+instead of the internal registry.
 """
 
 from __future__ import annotations
@@ -51,14 +56,30 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    wrapper = "--wrapper" in args
+    args = [a for a in args if a != "--wrapper"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from dataflow_pubsub_message_encryption_spark.operators import registry
-    from dataflow_pubsub_message_encryption_spark.session import get_session
+    if wrapper:
+        from pyspark.sql import SparkSession
 
-    queries, oracles = registry()
-    spark = get_session("check")
+        import __spark_entry__ as entry_mod
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("check-wrapper")
+            .getOrCreate()
+        )
+        queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    else:
+        from dataflow_pubsub_message_encryption_spark.operators import registry
+        from dataflow_pubsub_message_encryption_spark.session import get_session
+
+        queries, oracles = registry()
+        spark = get_session("check")
 
     con = duckdb.connect()
     for t in [
