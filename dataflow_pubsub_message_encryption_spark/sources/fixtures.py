@@ -86,6 +86,7 @@ def with_envelope(
     events: DataFrame,
     n_keys: int = 4,
     tamper: bool = False,
+    rebalance: bool = True,
 ) -> DataFrame:
     """Synthesize the reference's encrypted wire format from ``events``.
 
@@ -108,8 +109,20 @@ def with_envelope(
 
     All of this is JVM-side codegen (aes_encrypt / sha2 are native Spark
     expressions) — no Python in the encrypt path.
+
+    ``rebalance`` repartitions to the session's default parallelism before
+    the crypto map: the fixture tables are single-row-group files, so the
+    scan is one task and, without a shuffle first, ALL downstream AES/MAC
+    work would run on one core (measured 3x slowdown at sf0.1). A real
+    multi-file source already arrives partitioned — the repartition is then
+    a cheap no-op-sized shuffle, and batch callers can pass False.
     """
     from ..functions import crypto
+
+    if rebalance and not events.isStreaming:
+        events = events.repartition(
+            events.sparkSession.sparkContext.defaultParallelism
+        )
 
     key_id = (F.col("user_id") % F.lit(n_keys)).cast("int")
     dek_map = F.create_map(

@@ -76,7 +76,10 @@ def test_decrypt_pipeline_fact_path_is_narrow(spark, sf_dir):
 
     df = REFQ["pipeline_end_to_end"](spark, sf_dir)
     assert has_broadcast_join(df), "DEK map must broadcast, not shuffle facts"
-    assert count_exchanges(df) == 2  # key-distinct (tiny) + window agg
+    # rebalance repartition (narrow rows, unlocks parallel crypto on the
+    # single-row-group fixture; appears once per lineage branch — AQE
+    # reuses it at runtime) x2 + key-distinct (tiny) + window agg
+    assert count_exchanges(df) == 4
 
 
 def test_no_collect_in_engine_code():

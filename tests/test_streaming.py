@@ -258,3 +258,78 @@ def test_session_window_stream_prefix_of_batch(spark, sf_dir, tmpdir):
     assert g.items() <= b.items(), "emitted sessions must match batch exactly"
     held = len(b) - len(g)
     assert held <= max(1, len(b) // 20), f"too many sessions withheld: {held}/{len(b)}"
+
+
+def test_rate_source_through_decrypt_pipeline(spark):
+    """Unbounded non-file source: the rate source synthesizes messages on
+    the fly; the same envelope+decrypt transformations apply unchanged —
+    source-agnostic pipeline, the Structured Streaming design point."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()  # (timestamp, value)
+    )
+    events = rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.concat(F.lit('{"k": '), (F.col("value") % 100), F.lit("}")).alias("props"),
+    )
+    dec = st.decrypted_stream(events)
+    q = (
+        dec.select("event_id", "props_decrypted")
+        .writeStream.format("memory")
+        .queryName("rate_decrypt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("rate_decrypt").count()
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100, f"only {n} rows decrypted from rate source"
+        sample = spark.table("rate_decrypt").limit(5).collect()
+        assert all(r.props_decrypted.startswith('{"k": ') for r in sample)
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_sink_custom_logic(spark, sf_dir, tmpdir):
+    """R9 variant: foreachBatch — arbitrary batch-DataFrame logic per
+    micro-batch (the escape hatch for sinks Spark lacks, e.g. upserts).
+    Here each batch appends its per-type counts with the batch id."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    out = f"{tmpdir}/batch_counts"
+
+    def sink(batch_df, batch_id):
+        (
+            batch_df.groupBy("event_type")
+            .count()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(out)
+        )
+
+    stream = st.events_file_stream(spark, tmpdir)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{tmpdir}/fb_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    total = got.agg(F.sum("count")).collect()[0][0]
+    from dataflow_pubsub_message_encryption_spark.sources import load_events as le
+
+    assert total == le(spark, sf_dir).count()
