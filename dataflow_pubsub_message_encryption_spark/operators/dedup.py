@@ -152,20 +152,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
         )
     )
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", grams.alias("grams")
+        "doc_id", "source", grams.alias("grams"), F.size(grams).alias("n")
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     jac = F.round(
-        inter.cast("double")
-        / (F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter),
-        6,
+        inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter), 6
     )
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio necessary condition (exact-preserving prune)
+            & (F.col("a.n") >= _NGRAM_TAU * F.col("b.n"))
+            & (F.col("b.n") >= _NGRAM_TAU * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
