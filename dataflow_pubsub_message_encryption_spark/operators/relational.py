@@ -995,3 +995,90 @@ def agg_having_subquery(spark, sf_dir):
         .filter(F.col("spend_dec") > 3 * F.col("avg_tp"))
         .select("o_custkey", money(F.col("spend_dec")).alias("total_spend"))
     )
+
+
+@query(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           round((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                           * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(*))
+                 / (count(*) - 1), 6) AS qty_var,
+           round(sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                                * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / count(*))
+                      / (count(*) - 1)), 6) AS qty_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Variance / stddev via explicit moment sums: builtin var_samp
+    accumulates engine-specifically (Welford vs naive => different FP), so
+    the cross-engine-exact form derives both from DECIMAL moment sums
+    (x is clean 4dp -> x^2 exact at 8dp) with identical double arithmetic
+    at the end. Moment sums also partial-aggregate map-side — the shape a
+    100 TB stats pass wants anyway."""
+    q = dec4("l_quantity")
+    sum_x = F.sum(q).cast("double")
+    sum_x2 = F.sum(q * q).cast("double")
+    n = F.count("*")
+    var = (sum_x2 - sum_x * sum_x / n) / (n - 1)
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(var, 6).alias("qty_var"),
+            F.round(F.sqrt(var), 6).alias("qty_stddev"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS INTEGER) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Collection aggregate with deterministic order: collect_set is
+    unordered (and collect_list arrival-ordered — never hash that), so the
+    portable form sorts before emitting, serialized to a string."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+                "statuses"
+            ),
+            F.size(F.collect_set("l_linestatus")).alias("n_statuses"),
+        )
+    )
+
+
+@query(
+    "scalar_edit_distance",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, substr(p_type, 1, 8)) AS INTEGER)
+             AS brand_type_dist
+    FROM part
+    """,
+)
+def scalar_edit_distance(spark, sf_dir):
+    """Edit distance (Levenshtein) — the string-similarity scalar both
+    engines implement identically; useful as the verify stage of fuzzy
+    entity dedup."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.substring("p_type", 1, 8)).alias(
+            "brand_type_dist"
+        ),
+    )
