@@ -61,17 +61,19 @@ def _load_events_arrow(spark: SparkSession, path: str) -> DataFrame:
     """Fallback if the session rejects the nanosAsLong conf: read through
     pyarrow and truncate ns->us there. Fine at fixture scale; the conf path
     is the scale path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
-    schema = tbl.schema
-    import pyarrow as pa
-
-    fields = [
-        pa.field(f.name, pa.timestamp("us")) if f.name == "ts" else f
-        for f in schema
-    ]
-    tbl = tbl.cast(pa.schema(fields))
+    idx = tbl.schema.get_field_index("ts")
+    # ns -> us truncation must be explicit (safe casts refuse to drop
+    # sub-microsecond digits); positive epochs make truncation == floor,
+    # matching both the primary loader's `div` and DuckDB's own read.
+    ts_us = pc.cast(
+        tbl.column("ts"), pa.timestamp("us"), safe=False
+    )
+    tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("us")), ts_us)
     return spark.createDataFrame(tbl.to_pandas())
 
 

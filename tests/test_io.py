@@ -92,3 +92,21 @@ def test_ann_bucket_partition_layout_prunes_probe_scan(spark, sf_dir, tmpdir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1)
     assert q.count() == bucketed.filter(F.col("bucket") == probe_bucket).count()
+
+
+def test_events_arrow_fallback_loader(spark, sf_dir):
+    """The pyarrow fallback for sessions that reject the nanosAsLong conf
+    must produce the same rows as the primary loader."""
+    from dataflow_pubsub_message_encryption_spark.sources.fixtures import (
+        _load_events_arrow,
+        load_events,
+    )
+
+    a = _load_events_arrow(spark, f"{sf_dir}/events.parquet")
+    b = load_events(spark, sf_dir)
+    assert a.count() == b.count()
+    ra = {r.event_id: r.ts for r in a.select("event_id", "ts").collect()}
+    rb = {r.event_id: r.ts for r in b.select("event_id", "ts").collect()}
+    # both truncate ns->us; values must agree exactly
+    mismatches = [k for k in ra if ra[k] != rb[k]]
+    assert not mismatches, f"ts mismatch for {mismatches[:5]}"
