@@ -133,8 +133,9 @@ def join_sortmerge(spark, sf_dir):
     """C6 — large⋈large equi join + aggregation (orders⋈lineitem revenue by
     priority). Both sides shuffle on o_orderkey/l_orderkey; AQE picks
     sort-merge or shuffled-hash and splits skewed partitions at runtime. At
-    100 TB, bucketing both tables on orderkey would eliminate the shuffle
-    entirely (documented, not pre-materialized here)."""
+    100 TB, bucketing both tables on orderkey eliminates the input shuffle
+    entirely — demonstrated in tests/test_bucketing.py (bucketed variant
+    joins with zero exchanges before the final aggregation)."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (

@@ -333,3 +333,89 @@ def test_foreach_batch_sink_custom_logic(spark, sf_dir, tmpdir):
     from dataflow_pubsub_message_encryption_spark.sources import load_events as le
 
     assert total == le(spark, sf_dir).count()
+
+
+def test_checkpoint_resume_is_exactly_once(spark, sf_dir, tmpdir):
+    """Stop-and-resume against the same checkpoint must process new files
+    only — every event reaches the sink exactly once across restarts."""
+    import glob
+    import shutil as sh
+
+    src, out, ckpt = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    import os
+
+    os.makedirs(src)
+    events_file = glob.glob(f"{sf_dir}/events.parquet")[0]
+    sh.copy(events_file, f"{src}/batch1.parquet")
+
+    def run_once():
+        stream = st.events_file_stream(spark, src)
+        q = (
+            st.write_parquet_sink(stream.select("event_id"), out, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    # second batch arrives (same rows, different file name), query restarts
+    sh.copy(events_file, f"{src}/batch2.parquet")
+    run_once()
+    got = spark.read.parquet(out)
+    n_events = load_events(spark, sf_dir).count()
+    assert n1 == n_events
+    assert got.count() == 2 * n_events  # batch1 NOT reprocessed on resume
+    # each event id appears exactly twice (once per source file), never more
+    over = got.groupBy("event_id").count().filter("count != 2").count()
+    assert over == 0
+
+
+def test_observe_metrics_on_decrypt_stream(spark, sf_dir, tmpdir):
+    """The observe() API: in-flight metrics (rows, MAC failures survive as
+    row-count delta) without a second pass over the stream."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.decrypted_stream(
+        st.events_file_stream(spark, tmpdir), tamper=True
+    ).observe("decrypt_metrics", F.count(F.lit(1)).alias("rows_out"))
+    captured = {}
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            om = e.progress.observedMetrics
+            if "decrypt_metrics" in om:
+                captured["rows_out"] = captured.get("rows_out", 0) + om[
+                    "decrypt_metrics"
+                ]["rows_out"]
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmpdir}/obs_ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        time.sleep(2)  # listener delivery is async
+        n = load_events(spark, sf_dir).count()
+        assert captured.get("rows_out") == n // 2  # tampered half dropped
+    finally:
+        spark.streams.removeListener(listener)
