@@ -31,3 +31,27 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def list_queries() -> list[str]:
+    """Names of every registered operator query."""
+    from .operators import registry
+
+    return sorted(registry()[0])
+
+
+def run_query(name: str, spark, sf_dir: str):
+    """Run a registered operator query against a fixture directory and
+    return its DataFrame (lazy — caller chooses the action/sink)."""
+    from .operators import registry
+    from .session import configure
+
+    configure(spark)
+    queries, _ = registry()
+    try:
+        fn = queries[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown query {name!r}; see list_queries()"
+        ) from None
+    return fn(spark, sf_dir)
