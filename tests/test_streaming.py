@@ -419,3 +419,35 @@ def test_observe_metrics_on_decrypt_stream(spark, sf_dir, tmpdir):
         assert captured.get("rows_out") == n // 2  # tampered half dropped
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir, tmpdir):
+    """The claimed 100 TB state backend: the same windowed aggregation
+    runs on the RocksDB state store provider (off-heap state, the large-
+    key-space configuration) and produces identical results."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = st.events_file_stream(spark, tmpdir)
+        counts = st.windowed_counts_stream(stream, watermark="10 minutes")
+        got = _run_stream_to_memory(spark, counts, "rocksdb_counts")
+        batch = REFQ["window_tumbling_counts"](spark, sf_dir)
+        g = {
+            (r.window_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type): r.cnt
+            for r in got.collect()
+        }
+        b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+        assert g.items() <= b.items() and len(g) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
