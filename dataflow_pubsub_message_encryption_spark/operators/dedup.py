@@ -374,3 +374,113 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= _COS_TAU)
     )
+
+
+_MIN_TOKENS = 20  # quality floor for the cleaning pipeline
+
+
+@query(
+    "corpus_clean_pipeline",
+    f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+    ),
+    exact_kept AS (
+      SELECT doc_id, lang, text, n_tokens FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    sig AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             {', '.join(_minhash_sql_cols())}
+      FROM exact_kept
+    ),
+    banded AS (
+      SELECT doc_id, toks,
+             {_lsh_bands_sql()[0]} AS band1,
+             {_lsh_bands_sql()[1]} AS band2
+      FROM sig
+    ),
+    near_dropped AS (
+      SELECT DISTINCT doc_b AS doc_id FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS ta, b.toks AS tb
+        FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.toks, b.toks
+        FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+      )
+      WHERE CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+            / (len(ta) + len(tb) - len(list_intersect(ta, tb))) >= {_LSH_TAU}
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+    FROM exact_kept
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_dropped)
+    GROUP BY lang
+    """,
+)
+def corpus_clean_pipeline(spark, sf_dir):
+    """The composed training-data cleaning pipeline — what a corpus team
+    actually runs, end to end in one DAG: quality floor (token count) ->
+    exact-hash dedup (keep lowest doc_id) -> MinHash+LSH near-dup removal
+    (drop the higher doc_id of every verified pair) -> per-language corpus
+    census. Every stage is one of this engine's operators composed
+    declaratively; Catalyst pipelines the narrow stages and the only
+    shuffles are the dedup hash, the band joins, and the final census."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = docs.filter(F.size(toks) >= _MIN_TOKENS).select(
+        "doc_id", "lang", "text", F.size(toks).alias("n_tokens")
+    )
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    exact_kept = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    banded = exact_kept.select(
+        "doc_id", distinct_tokens("text").alias("toks"), *_minhash_cols()
+    ).select(
+        "doc_id",
+        "toks",
+        F.sha2(F.concat(*_BAND1), 256).alias("band1"),
+        F.sha2(F.concat(*_BAND2), 256).alias("band2"),
+    )
+
+    def band_pairs(band):
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{band}") == F.col(f"b.{band}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.toks").alias("ta"),
+            F.col("b.toks").alias("tb"),
+        )
+
+    cand = band_pairs("band1").union(band_pairs("band2")).dropDuplicates(
+        ["doc_a", "doc_b"]
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    near_dropped = (
+        cand.filter(
+            inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+            >= _LSH_TAU
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    clean = exact_kept.join(near_dropped, "doc_id", "left_anti")
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias(
+            "avg_tokens"
+        ),
+    )
