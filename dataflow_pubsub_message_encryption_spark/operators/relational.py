@@ -1083,3 +1083,65 @@ def scalar_edit_distance(spark, sf_dir):
             "brand_type_dist"
         ),
     )
+
+
+@query(
+    "scalar_null_conditional",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_norm,
+           greatest(CAST(round(CAST(c_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE),
+                    0.0) AS bal_floor,
+           CAST(least(CAST(c_nationkey AS INTEGER), 10) AS INTEGER) AS nation_capped,
+           (c_acctbal IS NOT NULL AND c_acctbal > 0) AS is_positive
+    FROM customer
+    """,
+)
+def scalar_null_conditional(spark, sf_dir):
+    """Null-handling / conditional scalar surface: nullif + coalesce
+    (value normalization), greatest/least (clamping), boolean predicates
+    as columns."""
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("segment_norm"),
+        F.greatest(money(dec4("c_acctbal")), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_nationkey"), F.lit(10)).alias("nation_capped"),
+        (F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 0)).alias(
+            "is_positive"
+        ),
+    )
+
+
+@query(
+    "win_first_last",
+    """
+    SELECT DISTINCT o_custkey,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order,
+           strftime(last_value(o_orderdate) OVER w, '%Y-%m-%d') AS last_order,
+           count(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first_value/last_value analytics over the full-partition frame
+    (explicit UNBOUNDED FOLLOWING — last_value under the default frame is
+    a classic correctness trap), deduplicated to one row per customer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            date_str(F.first("o_orderdate").over(w)).alias("first_order"),
+            date_str(F.last("o_orderdate").over(w)).alias("last_order"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .distinct()
+    )
