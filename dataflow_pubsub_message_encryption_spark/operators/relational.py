@@ -1145,3 +1145,23 @@ def win_first_last(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query("agg_approx_percentile")  # ROWS-only: sketch estimates are engine-specific
+def agg_approx_percentile(spark, sf_dir):
+    """Sketch percentiles (approx_percentile, accuracy 10000): the scale
+    path when exact percentiles' full sort/collection per group is too
+    expensive — single pass, mergeable sketches, map-side partials. The
+    unit test bounds the error against the exact agg_percentile values."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
+            ).alias("median_approx"),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)), 6
+            ).alias("p90_approx"),
+        )
+    )

@@ -190,3 +190,18 @@ def test_salted_agg_equals_plain_groupby(spark, sf_dir):
     s = {r.event_type: (r.n, round(r.v_sum, 6), r.v_max) for r in salted.collect()}
     p = {r.event_type: (r.n, round(r.v_sum, 6), r.v_max) for r in plain.collect()}
     assert s == p
+
+
+def test_approx_percentile_error_bound(spark, sf_dir):
+    exact = {
+        r.l_returnflag: (r.median_price, r.p90_price)
+        for r in RELQ["agg_percentile"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.median_approx, r.p90_approx)
+        for r in RELQ["agg_approx_percentile"](spark, sf_dir).collect()
+    }
+    for k, (m, p90) in exact.items():
+        am, ap = approx[k]
+        assert abs(am - m) / m < 0.02, f"median sketch err {k}"
+        assert abs(ap - p90) / p90 < 0.02, f"p90 sketch err {k}"
