@@ -262,3 +262,68 @@ def sim_ann_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(_TOPK)
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    SELECT vec_id,
+           CAST(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 127 + 0.5) AS INTEGER)),
+             'sum') AS BIGINT) AS q_checksum,
+           CAST(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(abs(CAST(floor(x * 127 + 0.5) AS INTEGER))
+                                      AS INTEGER)),
+             'max') AS INTEGER) AS q_max_abs
+    FROM embeddings
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Embedding int8 quantization (x -> floor(x*127 + 0.5)): the standard
+    4x compression for ANN indexes. The explicit floor(+0.5) formula runs
+    the identical double ops in both engines (builtin round() half-mode
+    differs), making the quantized values — summarized here as checksum +
+    max-abs per vector — EXACT-checkable. Narrow map, no shuffle."""
+    emb = as_double("embedding")
+    q = F.transform(emb, lambda x: F.floor(x * 127 + 0.5).cast("int"))
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+        F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_max_abs"),
+    )
+
+
+@query(
+    "emb_norm_stats",
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])))
+                          AS DECIMAL(18,10))) AS DOUBLE) / count(*), 6)
+             AS avg_l2_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def emb_norm_stats(spark, sf_dir):
+    """Per-label embedding-norm QA (catches unnormalized or degenerate
+    vectors before they poison cosine search). Each row's L2 norm is
+    bit-identical cross-engine (same double ops in index order); the group
+    average goes through an exact DECIMAL sum so accumulation order can't
+    shift the rounded result."""
+    from ..functions.vectors import norm
+
+    n = norm(as_double("embedding"))
+    return (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(n.cast("decimal(18,10)")).cast("double") / F.count("*"), 6
+            ).alias("avg_l2_norm"),
+        )
+    )
