@@ -152,6 +152,11 @@ def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_d
       not per key per worker.
     """
     if strategy == "broadcast":
+        if df.isStreaming:
+            raise ValueError(
+                "broadcast unwrap needs a bounded distinct over the wrapped "
+                "keys; use strategy='cached_udf' on streaming DataFrames"
+            )
         keys = (
             df.select(F.col(wrapped).alias("_w"))
             .distinct()

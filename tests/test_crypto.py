@@ -151,3 +151,19 @@ def test_aes_roundtrip_unicode_payloads(spark):
         ).cast("string").alias("rt"),
     )
     assert all(r.x == r.rt for r in out.collect())
+
+
+def test_broadcast_strategy_rejected_on_streams(spark, sf_dir, tmp_path):
+    import glob
+    import shutil as sh
+
+    import pytest as _pytest
+
+    from dataflow_pubsub_message_encryption_spark import streaming as st
+    from dataflow_pubsub_message_encryption_spark.sources import with_envelope as we
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], str(tmp_path / "e.parquet"))
+    stream = st.events_file_stream(spark, str(tmp_path))
+    env = we(stream)
+    with _pytest.raises(ValueError, match="cached_udf"):
+        crypto.decrypt_verify(env, strategy="broadcast")
