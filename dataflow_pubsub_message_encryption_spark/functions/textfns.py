@@ -23,6 +23,19 @@ def distinct_tokens(c: Column | str) -> Column:
     return F.array_distinct(tokens(c))
 
 
+def fp64(arr: Column) -> Column:
+    """Map a string array to sorted int64 fingerprints (``xxhash64`` per
+    element). Set-intersection/union SIZES over the fingerprints equal
+    those over the strings as long as no two distinct elements of a
+    compared pair collide — for documents of ~10² tokens the per-pair
+    collision probability is < 10⁴/2⁶⁴ ≈ 5e-16, and the EXACT oracle gate
+    (which intersects the literal strings in DuckDB) verifies the
+    equality on every fixture run. Longs intersect ~6x faster than
+    strings and shuffle 8 bytes/token instead of the token bytes — this
+    is the hot-path representation for every pairwise-verify stage."""
+    return F.array_sort(F.transform(arr, lambda t: F.xxhash64(t)))
+
+
 def fingerprint(c: Column | str) -> Column:
     """Canonical document fingerprint: sha256 of the sorted distinct token
     set joined by a single space. Word-order- and duplication-insensitive,

@@ -25,9 +25,20 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import sim
-from ..functions.textfns import distinct_tokens
+from ..functions.textfns import distinct_tokens, fp64
 from ..sources import load
 from .base import make_registry
+
+
+def _parallel(spark, df):
+    """Spread a fixture scan across the executors before heavy per-row
+    compute (tokenize/hash/shingle). The fixture files are single-row-group
+    parquet, so without this the narrow map stages run on ONE task
+    (measured 11.1s -> 1.0s on dedup_near_jaccard at sf0.1). A real
+    multi-file corpus already arrives partitioned; the repartition then
+    degrades to a cheap balanced shuffle of the text column, which the
+    pairwise join below would have shuffled anyway."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 QUERIES, ORACLES, query = make_registry()
 
@@ -84,11 +95,14 @@ def dedup_exact_hash(spark, sf_dir):
 def dedup_near_jaccard(spark, sf_dir):
     """X4 — near-duplicate pairs within each ``source``: token-set Jaccard
     >= 0.85. The join key keeps the quadratic term group-bounded (<=250
-    docs/source at sf0.1)."""
-    d = load(spark, sf_dir, "documents").select(
+    docs/source at sf0.1). Token sets travel as int64 fingerprints
+    (``fp64``): the pairwise intersect compares longs, not strings — the
+    oracle intersects the literal strings, so the EXACT gate doubles as a
+    collision check."""
+    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
-        distinct_tokens("text").alias("toks"),
+        fp64(distinct_tokens("text")).alias("toks"),
         F.size(distinct_tokens("text")).alias("n"),
     )
     a = d.alias("a")
@@ -141,7 +155,9 @@ def dedup_near_jaccard(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """n-gram (word-bigram) Jaccard near-dup: stricter than unigram sets
     because word order now matters. Same group-bounded pairing shape as
-    X4; the shingling itself is a narrow map (sequence + transform)."""
+    X4; the shingling itself is a narrow map (sequence + transform).
+    Shingles travel as int64 fingerprints (see ``fp64``); the string
+    shingles never leave the map stage."""
     toks = F.split(F.col("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -151,8 +167,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
             ),
         )
     )
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", grams.alias("grams"), F.size(grams).alias("n")
+    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", fp64(grams).alias("grams"), F.size(grams).alias("n")
     )
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -259,8 +275,12 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     Jaccard >= 0.9. THE scalable near-dup shape: candidate generation is a
     shuffle join on band hashes (cost ∝ collisions), and only candidates
     pay the set-intersection verify. Fully EXACT-oracle-checked, bands and
-    all."""
-    docs = load(spark, sf_dir, "documents")
+    all. The 16-permutation sha256 signature is the heavy narrow map —
+    ``_parallel`` spreads it off the single-row-group scan; the verify
+    intersect runs on int64 fingerprints (``fp64``), while the signature
+    itself stays sha256-over-strings because the band hashes define the
+    candidate set the oracle mirrors bit-for-bit."""
+    docs = _parallel(spark, load(spark, sf_dir, "documents"))
     # bands carry only (doc_id, band hash): the candidate union/distinct
     # shuffles 2 ids + a hash per pair, never the token arrays.
     banded = docs.select(
@@ -284,7 +304,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 
     cand = pairs_on("band1").union(pairs_on("band2")).distinct()
     # token sets join in only for the verify stage, keyed by doc id
-    toks = docs.select("doc_id", distinct_tokens("text").alias("toks"))
+    toks = docs.select("doc_id", fp64(distinct_tokens("text")).alias("toks"))
     cand = (
         cand.join(toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a")
         .join(toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
@@ -443,8 +463,10 @@ def corpus_clean_pipeline(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    # toks as int64 fingerprints (fp64): the band joins below carry the
+    # verify sets with them, so 8 bytes/token instead of the token bytes.
     banded = exact_kept.select(
-        "doc_id", distinct_tokens("text").alias("toks"), *_minhash_cols()
+        "doc_id", fp64(distinct_tokens("text")).alias("toks"), *_minhash_cols()
     ).select(
         "doc_id",
         "toks",
