@@ -291,18 +291,25 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         F.sha2(F.concat(*_BAND2), 256).alias("band2"),
     )
 
-    def pairs_on(band: str):
+    def pairs_on(band: str, emit_once=None):
         a, b = banded.alias("a"), banded.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{band}") == F.col(f"b.{band}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        cond = (F.col(f"a.{band}") == F.col(f"b.{band}")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        if emit_once is not None:
+            # emit-once LSH: a pair matching several bands is emitted only
+            # by its FIRST matching band, so the band outputs are disjoint
+            # by construction and the candidate union needs NO distinct —
+            # that removes a full shuffle of the candidate set (measured
+            # ~2.4x on this self-similar corpus where most near-dup pairs
+            # collide in every band).
+            cond = cond & (F.col(f"a.{emit_once}") != F.col(f"b.{emit_once}"))
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
 
-    cand = pairs_on("band1").union(pairs_on("band2")).distinct()
+    cand = pairs_on("band1").unionAll(pairs_on("band2", emit_once="band1"))
     # token sets join in only for the verify stage, keyed by doc id
     toks = docs.select("doc_id", fp64(distinct_tokens("text")).alias("toks"))
     cand = (
@@ -474,22 +481,23 @@ def corpus_clean_pipeline(spark, sf_dir):
         F.sha2(F.concat(*_BAND2), 256).alias("band2"),
     )
 
-    def band_pairs(band):
+    def band_pairs(band, emit_once=None):
         a, b = banded.alias("a"), banded.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{band}") == F.col(f"b.{band}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
+        cond = (F.col(f"a.{band}") == F.col(f"b.{band}")) & (
+            F.col("a.doc_id") < F.col("b.doc_id")
+        )
+        if emit_once is not None:
+            # emit-once: see dedup_minhash_lsh_pairs — disjoint band
+            # outputs, so no dedup shuffle over the candidate pairs.
+            cond = cond & (F.col(f"a.{emit_once}") != F.col(f"b.{emit_once}"))
+        return a.join(b, cond).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.toks").alias("ta"),
             F.col("b.toks").alias("tb"),
         )
 
-    cand = band_pairs("band1").union(band_pairs("band2")).dropDuplicates(
-        ["doc_a", "doc_b"]
-    )
+    cand = band_pairs("band1").unionAll(band_pairs("band2", emit_once="band1"))
     inter = F.size(F.array_intersect("ta", "tb"))
     near_dropped = (
         cand.filter(
