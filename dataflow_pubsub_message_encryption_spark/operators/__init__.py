@@ -15,6 +15,7 @@ _MODULES = [
     "dedup",
     "similarity",
     "multimodal",
+    "sampling",
 ]
 
 

@@ -1,0 +1,198 @@
+"""Sampling / splitting / batching operators for training-data curation.
+
+The corpus-side counterpart to ``operators/dedup.py``: once a corpus is
+cleaned, a training pipeline still has to (a) carve deterministic
+train/val/test splits without contamination, (b) subsample per stratum,
+(c) drop degenerate repetitive documents, and (d) pack documents into
+fixed token budgets for sequence batching. None of these exist in the
+reference (it is a message-decryption pipeline, SURVEY §0) — they are the
+§2 "beyond the reference" training-data group, built Spark-first.
+
+Scale notes (100 TB):
+- The split is a stateless narrow map over a content hash — no shuffle,
+  no coordination, reproducible across reruns and cluster sizes.
+- Stratified sampling and packing are window functions partitioned by
+  stratum — one shuffle on the stratum key. A skewed stratum (one lang
+  dominating a web corpus) is the known hazard; the scale path is
+  two-level: per-partition pre-top-k / pre-pack, then a final merge pass
+  over per-partition summaries (noted per operator).
+- The repetition filter is explode -> two-stage aggregation, so the
+  token-frequency count is map-side partial before the doc_id shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_PACK_CAPACITY = 256  # tokens per packed sequence (fixture docs are ~40-80)
+_STRATUM_K = 5  # docs kept per stratum
+_REP_TAU = 0.12  # top-unigram fraction above which a doc is "repetitive"
+
+# Split by FIRST HEX CHAR of sha256(text): '0'-'9','a'-'f' sort the same in
+# both engines, so '<' comparisons bucket identically. 13/16 train ('0'-'c'),
+# 2/16 val ('d','e'), 1/16 test ('f'). Hashing the CONTENT (not doc_id)
+# puts byte-identical duplicates in the SAME split — train/test
+# contamination through duplicated text is structurally impossible.
+_SPLIT_CASE_SQL = """
+  CASE WHEN substr(sha256(text), 1, 1) < 'd' THEN 'train'
+       WHEN substr(sha256(text), 1, 1) < 'f' THEN 'val'
+       ELSE 'test' END
+"""
+
+
+def _split_col():
+    h1 = F.substring(F.sha2("text", 256), 1, 1)
+    return (
+        F.when(h1 < "d", "train").when(h1 < "f", "val").otherwise("test")
+    )
+
+
+@query(
+    "split_train_test",
+    f"""
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (SELECT lang, text, {_SPLIT_CASE_SQL} AS split FROM documents)
+    GROUP BY split, lang
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """Deterministic content-hash train/val/test split (~81/12.5/6.25) +
+    per-(split, lang) census. The assignment is a pure narrow map — zero
+    shuffle, zero state; any executor recomputes the same split for the
+    same document forever, which is what makes 100 TB resumable. The
+    census groupBy is the only exchange and it partial-aggregates
+    map-side."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", _split_col().alias("split"), F.size(tokens("text")).alias("nt"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(text), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {_STRATUM_K}
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified deterministic sample: the K docs per lang with the
+    smallest content hash — an order-free "random but reproducible"
+    choice (the hash order is uniform over content, stable across runs
+    and partitionings; doc_id breaks exact-duplicate ties). One shuffle
+    on the stratum key. At scale, row_number over a mega-stratum
+    serializes that stratum through one task — the scale path is a
+    per-partition top-K (sort-limit inside mapPartitions or a
+    first-level groupBy on (lang, salt)) merged by a second tiny top-K,
+    which computes the identical result because min-K of a union is
+    min-K of per-part min-Ks."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.sha2("text", 256), "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _STRATUM_K)
+    )
+
+
+@query(
+    "text_repetition_filter",
+    f"""
+    SELECT doc_id,
+           CAST(SUM(c) AS INTEGER) AS n_tokens,
+           round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_tok_ratio,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) > {_REP_TAU} AS is_repetitive
+    FROM (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition screen: fraction of the document taken by
+    its single most frequent token; degenerate boilerplate (keyword
+    stuffing, template spam) scores high. Shape: explode -> count per
+    (doc_id, term) -> max/sum per doc_id. Both aggregations partial
+    map-side; the shuffle key doc_id is unique per doc so there is no
+    skew by construction. The ratio is an int/int division of identical
+    integers in both engines -> bit-identical doubles."""
+    docs = load(spark, sf_dir, "documents")
+    per_term = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    ratio = F.max("c").cast("double") / F.sum("c")
+    return per_term.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_tokens"),
+        F.round(ratio, 6).alias("top_tok_ratio"),
+        (ratio > _REP_TAU).alias("is_repetitive"),
+    )
+
+
+@query(
+    "pack_sequences",
+    f"""
+    SELECT source, CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS tokens_packed
+    FROM (
+      SELECT source, nt,
+             CAST(floor(COALESCE(SUM(nt) OVER (PARTITION BY source
+                                ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)
+                        / {_PACK_CAPACITY}) AS BIGINT) AS bin
+      FROM (SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS nt FROM documents)
+    )
+    GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: stream documents (per source, doc_id order) into
+    fixed token-budget bins — bin = floor(running-tokens-before / C).
+    This is the deterministic streaming approximation of bin packing
+    every large pretraining pipeline uses (exact packing is NP-hard and
+    order-unstable); oversized docs still land in a bin and overflow it,
+    matching "never split a document" packing. One window shuffle on
+    source; skewed sources pack hierarchically at scale (pack within
+    partition, then concatenate partial last-bins — capacity waste is at
+    most one bin per partition boundary)."""
+    docs = load(spark, sf_dir, "documents")
+    nt = F.size(tokens("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "source",
+        nt.alias("nt"),
+        F.floor(
+            F.coalesce(F.sum(nt).over(w), F.lit(0)) / _PACK_CAPACITY
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("tokens_packed"),
+    )

@@ -1,0 +1,85 @@
+"""Sampling/splitting/packing behavior tests — invariants the DuckDB value
+hash can't express: split determinism + contamination-freedom, stratum
+caps, packing conservation and capacity bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+    _PACK_CAPACITY,
+    _STRATUM_K,
+    QUERIES,
+    _split_col,
+)
+from dataflow_pubsub_message_encryption_spark.sources import load
+
+
+def test_split_covers_everything_and_is_sane(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    total = docs.count()
+    out = QUERIES["split_train_test"](spark, sf_dir).collect()
+    by_split: dict[str, int] = {}
+    for r in out:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(by_split.values()) == total
+    # 13/16 expectation with slack: train must dominate
+    assert by_split["train"] > total * 0.6
+
+
+def test_split_duplicate_texts_never_cross_splits(spark, sf_dir):
+    # content-hash splitting => identical text -> identical split, so a
+    # duplicated document can never leak from train into val/test
+    docs = load(spark, sf_dir, "documents")
+    n_leaky = (
+        docs.select("text", _split_col().alias("split"))
+        .groupBy("text")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert n_leaky == 0
+
+
+def test_stratified_sample_caps_and_determinism(spark, sf_dir):
+    a = QUERIES["sample_stratified"](spark, sf_dir).collect()
+    per_lang: dict[str, int] = {}
+    for r in a:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert 1 <= r.rk <= _STRATUM_K
+    assert all(v <= _STRATUM_K for v in per_lang.values())
+    b = QUERIES["sample_stratified"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_bins(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    max_doc = docs.select(
+        F.max(F.size(F.split("text", " "))).alias("m")
+    ).collect()[0].m
+    bins = QUERIES["pack_sequences"](spark, sf_dir).collect()
+    # conservation: every token of every doc lands in exactly one bin
+    assert sum(r.tokens_packed for r in bins) == total_tokens
+    for r in bins:
+        assert r.n_docs >= 1
+        # a bin overflows only by the doc that straddles its boundary
+        assert r.tokens_packed < _PACK_CAPACITY + max_doc
+    # bins are dense per source: 0..max_bin all present
+    per_src: dict[str, set] = {}
+    for r in bins:
+        per_src.setdefault(r.source, set()).add(r.bin)
+    for src, got in per_src.items():
+        assert got == set(range(len(got))), src
+
+
+def test_repetition_ratio_bounds(spark, sf_dir):
+    rows = QUERIES["text_repetition_filter"](spark, sf_dir).collect()
+    docs_n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert 0 < r.top_tok_ratio <= 1.0
+        assert r.n_tokens >= 1
