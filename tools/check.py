@@ -90,6 +90,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name would otherwise "pass" by checking nothing
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
+
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
