@@ -16,6 +16,7 @@ _MODULES = [
     "similarity",
     "multimodal",
     "sampling",
+    "curation",
 ]
 
 

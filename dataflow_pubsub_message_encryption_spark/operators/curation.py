@@ -1,0 +1,307 @@
+"""Corpus-curation operators: chunking, decontamination, PII scrubbing.
+
+Completes the training-data-pipeline family (dedup.py / sampling.py /
+text.py) with the three remaining stages every large pretraining corpus
+passes through before tokenization: context-window chunking, benchmark
+decontamination, and PII redaction. None exist in the reference (a
+message-decryption pipeline, SURVEY §0); all are Spark-first built-in
+column expressions — zero Python UDFs — and each carries an EXACT DuckDB
+oracle.
+
+Scale notes (100 TB):
+- Chunking is a stateless narrow map (sequence/slice/posexplode) — no
+  shuffle at all; output rows ~= corpus_tokens / stride, each chunk
+  recomputable from its document alone.
+- Decontamination is a shingle-hash equi-join. The benchmark side
+  (test split / eval suites) is orders of magnitude smaller than the
+  train side, so it is broadcast — the 100 TB train corpus streams
+  through map-side without a shuffle of its shingles. Shingles travel
+  as int64 xxhash64 fingerprints (8 bytes), not strings.
+- PII scrubbing is a narrow map of regexp_replace chains; at scale it
+  is bounded by scan + regex CPU and parallelizes perfectly.
+
+Also here (relational coverage additions): a correlated-scalar-subquery
+aggregate (TPC-H Q17 shape — exercises Catalyst's decorrelation into a
+per-key aggregate join) and the percent_rank/cume_dist window surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import tokens
+from ..sources import load
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_CHUNK_W = 32  # tokens per chunk (context window)
+_CHUNK_STRIDE = 24  # overlap = W - stride = 8 tokens
+_SHINGLE_N = 5  # decontamination n-gram width
+
+# Same content-hash split rule as sampling.split_train_test: first hex char
+# of sha256(text); 'f' -> test (the "benchmark" side), < 'd' -> train.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_LONGNUM_RE = "[0-9]{6,}"
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(least({_CHUNK_W}, nt - s) AS INTEGER) AS chunk_tokens,
+           sha256(array_to_string(list_slice(toks, s + 1, s + {_CHUNK_W}), ' '))
+             AS chunk_sha
+    FROM (
+      SELECT doc_id, toks, nt, unnest(range(0, nt, {_CHUNK_STRIDE})) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS nt
+            FROM documents)
+    )
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping context-window chunking: W=32-token windows at stride 24
+    (8-token overlap), the standard prep for fixed-context training and
+    embedding indexing. Pure narrow map — ``sequence`` emits the start
+    offsets, ``slice`` + ``array_join`` materializes each chunk,
+    ``posexplode``-free (chunk_idx derives from the offset, so the result
+    is order-independent). At 100 TB this is scan-bound with zero
+    exchange; chunk rows inherit the scan's partitioning."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "nt",
+        F.explode(
+            F.sequence(F.lit(0), F.col("nt") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_W), F.col("nt") - F.col("s"))
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.sha2(
+            F.array_join(F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_W)), " "),
+            256,
+        ).alias("chunk_sha"),
+    )
+
+
+@query(
+    "decontam_ngram_overlap",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CASE WHEN substr(sha256(text), 1, 1) < 'd' THEN 'train'
+                  WHEN substr(sha256(text), 1, 1) < 'f' THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_SHINGLE_N - 1}),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i, i + {_SHINGLE_N - 1}),
+                      ' ')))) AS s
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}
+    )
+    SELECT b.doc_id,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_contaminating_train_docs,
+           CAST(count(DISTINCT t.s) AS BIGINT) AS n_shared_shingles
+    FROM (SELECT * FROM sh WHERE split = 'test') b
+    JOIN (SELECT * FROM sh WHERE split = 'train') t ON b.s = t.s
+    GROUP BY b.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: for each held-out (test-split) document,
+    how many train-split documents share at least one 5-gram, and how many
+    distinct 5-grams leak. This is the n-gram-overlap decontamination
+    check pretraining pipelines run against eval suites. Shingles are
+    distinct per doc, fingerprinted to int64 (xxhash64) so the join ships
+    8 bytes per shingle; the benchmark side is broadcast — at 100 TB the
+    train corpus never shuffles, it streams map-side past the broadcast
+    hash table. (The EXACT oracle joins the literal shingle strings in
+    DuckDB, which also certifies the fingerprint join collision-free on
+    every fixture run.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    h1 = F.substring(F.sha2("text", 256), 1, 1)
+    split = F.when(h1 < "d", "train").when(h1 < "f", "val").otherwise("test")
+    base = docs.select("doc_id", toks.alias("t"), split.alias("split")).filter(
+        F.size("t") >= _SHINGLE_N
+    )
+    shingled = base.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("t", i, _SHINGLE_N), " ")
+                    ),
+                )
+            )
+        ).alias("s"),
+    )
+    bench = shingled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("b_doc"), "s"
+    )
+    train = shingled.filter(F.col("split") == "train").select("doc_id", "s")
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy(F.col("b_doc").alias("doc_id"))
+        .agg(
+            F.count_distinct("doc_id").alias("n_contaminating_train_docs"),
+            F.count_distinct("s").alias("n_shared_shingles"),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(injected, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(injected, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_LONGNUM_RE}')) AS INTEGER) AS n_longnums,
+           sha256(regexp_replace(
+                    regexp_replace(injected, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                    '{_LONGNUM_RE}', '<NUM>', 'g')) AS scrubbed_sha
+    FROM (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' acct ' || CAST(doc_id * 7919 + 100000 AS VARCHAR)
+                       ELSE '' END AS injected
+      FROM documents
+    )
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction: replace email addresses then long digit runs with
+    typed placeholders, reporting per-doc match counts and the sha256 of
+    the scrubbed text. The fixture corpus is synthetic and PII-free, so
+    PII is first INJECTED deterministically (emails on doc_id%3==0,
+    account numbers on doc_id%5==0) — the operator is exercised on real
+    matches, and both engines inject identically. Long-number counting
+    runs on the email-scrubbed text so digits inside addresses are not
+    double-counted. Patterns restrict to the RE2 ∩ Java-regex common
+    subset (character classes + bounded repetition, no lookaround) so
+    Spark and DuckDB match identical spans. Narrow map, scan-bound,
+    embarrassingly parallel at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" acct "),
+                (F.col("doc_id") * 7919 + 100000).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    no_email = F.regexp_replace(injected, _EMAIL_RE, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(injected, F.lit(_EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_LONGNUM_RE), 0))
+        .cast("int")
+        .alias("n_longnums"),
+        F.sha2(F.regexp_replace(no_email, _LONGNUM_RE, "<NUM>"), 256).alias(
+            "scrubbed_sha"
+        ),
+    )
+
+
+@query(
+    "agg_correlated_subquery",
+    """
+    SELECT CAST(round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_lots
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def agg_correlated_subquery(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of small-lot orders — lineitems
+    below 20% of their part's average order quantity. Submitted as SQL
+    with the correlated scalar subquery intact so Catalyst's
+    decorrelation rewrites it (into a per-partkey aggregate joined back —
+    visible in the plan as an extra Aggregate + Join, not a per-row
+    re-execution). avg(l_quantity) is a sum of small integers in a
+    double — exact in any accumulation order — and the revenue sum is
+    DECIMAL(18,4) before the double finish, so both engines agree
+    bit-for-bit. At scale the rewritten plan is two shuffles on
+    l_partkey (pre-aggregate + join), both AQE-coalesced; the brand
+    filter prunes the part side before the join."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"sg_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+                               AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_small_lots
+        FROM sg_lineitem l JOIN sg_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM sg_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@query(
+    "win_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_distribution(spark, sf_dir):
+    """Distribution window functions: percent_rank + cume_dist of customer
+    account balance within market segment. Both derive from integer rank
+    and partition count — rank/(n-1) and rank_ties/n — so they are
+    deterministic doubles given the total order (c_custkey tie-break);
+    6dp rounding guards the division. One window shuffle on the segment
+    key; at scale a skewed segment serializes its partition — the scale
+    path is the standard two-pass (per-partition histogram, then
+    rank-from-offsets), not needed at fixture sizes."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
