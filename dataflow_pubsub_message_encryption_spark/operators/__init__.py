@@ -17,6 +17,7 @@ _MODULES = [
     "multimodal",
     "sampling",
     "curation",
+    "cdc",
 ]
 
 

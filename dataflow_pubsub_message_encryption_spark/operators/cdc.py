@@ -1,0 +1,117 @@
+"""Change-data-capture / merge operators: upsert-latest and SCD2 history.
+
+The reference's delivery model is at-least-once Pub/Sub (SURVEY §2 R11), so
+any consumer materializing state from its stream is, in effect, applying a
+change log. This module makes that capability first-class the way warehouse
+engines do: MERGE-style latest-wins upsert with delete tombstones, and
+slowly-changing-dimension (type 2) validity intervals. Both treat `events`
+as the change log: each event is an upsert of that user's state; an
+``error`` event is the delete tombstone.
+
+Scale notes (100 TB):
+- Both ops are one window/aggregation shuffle on the merge key (user_id) —
+  the same shape a warehouse MERGE compiles to (co-partition log with base
+  on the key). No driver-side state, no collect.
+- Latest-wins uses max_by (JVM-side, partial-aggregating) instead of a
+  row_number window: it combines map-side, so the shuffle carries one
+  candidate row per (partition, key), not the whole change log — at 100 TB
+  that is the difference between shuffling the log and shuffling the keys.
+- SCD2 needs the full per-key ordered history (lead over the partition) —
+  inherently a window; skewed keys (a bot user with millions of events)
+  would serialize, the documented mitigation is range-partitioning the
+  window on (user_id, coarse time bucket) and stitching bucket boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import dec4, duck_ts, money, ts_str
+from ..sources import load_events
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_OPEN_END = "9999-12-31 00:00:00.000000"
+
+
+@query(
+    "cdc_upsert_latest",
+    f"""
+    SELECT user_id, event_type AS last_event_type,
+           CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS last_value,
+           {duck_ts('ts')} AS last_ts,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_upsert_latest(spark, sf_dir):
+    """MERGE-style latest-wins upsert: collapse the change log to one
+    current row per user — the newest event by (ts, event_id) — and drop
+    users whose final event is the ``error`` tombstone (a delete that
+    arrives after every update deletes the row; one arriving before a
+    later update is superseded, exactly MERGE semantics). Implemented
+    with ``max_by`` keyed on the (ts, event_id) struct rather than a
+    row_number window: max_by partial-aggregates map-side, so only one
+    candidate per key per map partition reaches the shuffle. The
+    (ts, event_id) ordering struct is totally ordered (event_id unique),
+    so the winner is deterministic in both engines."""
+    ev = load_events(spark, sf_dir)
+    ordk = F.struct("ts", "event_id")
+    merged = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", ordk).alias("last_event_type"),
+            F.max_by(dec4("value"), ordk).alias("last_value_dec"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_versions"),
+        )
+        .filter(F.col("last_event_type") != "error")
+    )
+    return merged.select(
+        "user_id",
+        "last_event_type",
+        money("last_value_dec").alias("last_value"),
+        ts_str("last_ts").alias("last_ts"),
+        "n_versions",
+    )
+
+
+@query(
+    "cdc_scd2_intervals",
+    f"""
+    SELECT user_id, event_id, event_type,
+           {duck_ts('ts')} AS valid_from,
+           COALESCE({duck_ts("lead(ts) OVER w")}, '{_OPEN_END}') AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD type-2 historization: each change-log event becomes a version
+    row with a [valid_from, valid_to) interval — valid_to is the next
+    version's timestamp (lead over the per-user ordered history) and the
+    open current version carries the sentinel end + is_current flag. This
+    is the standard warehouse dimension-history build, done as one window
+    pass instead of a self-join. Timestamps leave as formatted strings
+    (NTZ, 6-digit micros) so both engines agree byte-for-byte."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_str("ts").alias("valid_from"),
+        F.coalesce(ts_str(nxt), F.lit(_OPEN_END)).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
