@@ -18,6 +18,7 @@ _MODULES = [
     "sampling",
     "curation",
     "cdc",
+    "graph",
 ]
 
 

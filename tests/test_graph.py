@@ -1,0 +1,60 @@
+"""Connected-components behavior tests: exact agreement with a
+union-find referee, canonical/size laws, convergence bound."""
+
+from __future__ import annotations
+
+from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+    QUERIES as DEDUP_QUERIES,
+)
+from dataflow_pubsub_message_encryption_spark.operators.graph import QUERIES
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find(spark, sf_dir):
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    referee = _union_find(pairs)
+    # referee's root is path-compressed but not guaranteed min — normalize
+    comp_min: dict[int, int] = {}
+    for node, root in referee.items():
+        comp_min[root] = min(comp_min.get(root, node), node)
+    expect = {node: comp_min[root] for node, root in referee.items()}
+
+    got_rows = QUERIES["dedup_cluster_components"](spark, sf_dir).collect()
+    got = {r.doc_id: r.cluster_id for r in got_rows}
+    assert got == expect
+
+    # laws: canonical iff doc_id == cluster_id; sizes partition the nodes;
+    # every cluster's canonical member is present
+    sizes: dict[int, int] = {}
+    for r in got_rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+        assert r.cluster_id <= r.doc_id
+    for r in got_rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.cluster_size >= 2  # every node here came from a pair
+    assert set(sizes) == {
+        min(n for n, c in got.items() if c == cid) for cid in sizes
+    }
