@@ -1,4 +1,5 @@
 from .pipeline import (  # noqa: F401
+    attribution_join_stream,
     decrypted_stream,
     events_file_stream,
     sliding_counts_stream,

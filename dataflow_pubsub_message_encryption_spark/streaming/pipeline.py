@@ -106,6 +106,59 @@ def stateful_dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> D
     )
 
 
+def attribution_join_stream(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``purchase`` to the same
+    user's ``click`` events in the preceding ``horizon_minutes`` — the
+    canonical funnel-attribution shape. Both sides carry watermarks and
+    the join predicate bounds event-time distance; together they give the
+    engine a provable state-expiry horizon (a click older than
+    watermark + horizon can never match again and its state is evicted).
+    This is the stream-processor capability Beam expresses with
+    CoGroupByKey over windowed PCollections [U/M]; here it is one
+    declarative join. At scale state is partitioned by the equi-key
+    (user_id) and bounded by the horizon — state size ∝ click rate ×
+    horizon, independent of stream length."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND click_ts <= purchase_ts
+            AND purchase_ts <= click_ts + INTERVAL {horizon_minutes} MINUTES
+            """
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
 def write_parquet_sink(
     df: DataFrame, out_dir: str, checkpoint_dir: str, mode: str = "append"
 ):

@@ -65,6 +65,46 @@ def test_stream_windowed_counts_equal_batch(spark, sf_dir, tmpdir):
     assert all(k[0] == max_start for k in held), f"non-trailing windows held: {held}"
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdir):
+    """The watermarked stream-stream attribution join, drained over the
+    full replay, must produce exactly the batch interval-join result."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.events_file_stream(spark, tmpdir)
+    got = _run_stream_to_memory(
+        spark, st.attribution_join_stream(stream), "stream_ssjoin"
+    ).collect()
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND click_ts <= purchase_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select("click_id", "purchase_id")
+        .collect()
+    )
+    assert len(batch) > 0
+    assert {(r.click_id, r.purchase_id) for r in got} == {
+        (r.click_id, r.purchase_id) for r in batch
+    }
+
+
 def test_stream_decrypt_matches_batch(spark, sf_dir, tmpdir):
     import glob
     import shutil as sh
