@@ -19,6 +19,7 @@ _MODULES = [
     "curation",
     "cdc",
     "graph",
+    "behavior",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Behavioral / product-analytics operators: funnel conversion, retention.
+
+The decrypted event stream (SURVEY §2.1 R5) is exactly the clickstream
+shape product analytics engines aggregate; these operators round out the
+"same query capabilities" surface with the two canonical event-sequence
+analyses: ordered funnel conversion and cohort retention. Both are pure
+multi-stage aggregations — no windows over the whole stream, no UDFs.
+
+Scale notes (100 TB):
+- The funnel is three conditional min-aggregations chained by broadcast
+  joins on user_id — each stage's survivor set only shrinks, and every
+  aggregation partial-combines map-side, so the shuffles carry one row
+  per user, not per event.
+- Retention is two aggregations on (user) then (cohort, offset); the
+  first shuffle carries a (user_id, first_day) pair per user; the second
+  is distinct-count sized by cohorts × offsets. A mega-user (bot) skews
+  nothing: keys are users then cohort cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.normalize import date_str
+from ..sources import load_events
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_signup,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel: users who signed up → later clicked → later
+    purchased, each stage strictly after the previous stage's FIRST
+    occurrence (min ts — deterministic under ties). Three conditional
+    aggregations; each later stage re-scans events filtered to one type
+    and joins the (tiny) survivor set from the stage before — broadcast
+    at any scale, since survivors ≤ distinct users. Catalyst pushes the
+    event_type filters into each scan."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(week_offset AS INTEGER) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM (
+      SELECT e.user_id,
+             f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+               AS week_offset
+      FROM events e
+      JOIN (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id) f
+        ON e.user_id = f.user_id
+    )
+    GROUP BY cohort_day, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct in each subsequent week offset (0 = their first week). Two
+    shuffles: per-user first-day, then the (cohort, offset) distinct
+    count; the first-day table broadcasts back onto the event scan. Week
+    arithmetic is integer day-difference // 7 — engine-neutral, unlike
+    date_trunc('week') whose week-start convention varies."""
+    ev = load_events(spark, sf_dir).select("user_id", F.col("ts").cast("date").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff("day", "cohort_day") / 7).alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+        .select(
+            date_str("cohort_day").alias("cohort_day"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_active_users",
+        )
+    )

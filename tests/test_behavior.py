@@ -1,0 +1,60 @@
+"""Behavioral-operator tests: python referee for the ordered funnel,
+retention matrix laws (week-0 completeness, monotone cohort coverage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.operators.behavior import QUERIES
+from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+
+def test_funnel_matches_python_referee(spark, sf_dir):
+    rows = (
+        load_events(spark, sf_dir)
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_s = n_c = n_p = 0
+    for evs in by_user.values():
+        s = min((t for t, k in evs if k == "signup"), default=None)
+        if s is None:
+            continue
+        n_s += 1
+        c = min((t for t, k in evs if k == "click" and t > s), default=None)
+        if c is None:
+            continue
+        n_c += 1
+        p = min((t for t, k in evs if k == "purchase" and t > c), default=None)
+        if p is not None:
+            n_p += 1
+    got = QUERIES["funnel_conversion"](spark, sf_dir).collect()[0]
+    assert (got.n_signup, got.n_click_after_signup, got.n_purchase_after_click) == (
+        n_s,
+        n_c,
+        n_p,
+    )
+    # funnel monotonicity: each stage can only lose users
+    assert n_s >= n_c >= n_p
+
+
+def test_retention_cohort_laws(spark, sf_dir):
+    out = QUERIES["retention_cohorts"](spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir)
+    n_users = ev.select("user_id").distinct().count()
+    # week 0 across cohorts covers every user exactly once (everyone is
+    # active in their own first week by definition)
+    week0 = sum(r.n_active_users for r in out if r.week_offset == 0)
+    assert week0 == n_users
+    for r in out:
+        assert r.week_offset >= 0
+        assert r.n_active_users >= 1
+    # no (cohort, offset) cell can exceed its cohort's week-0 population
+    pop = {
+        r.cohort_day: r.n_active_users for r in out if r.week_offset == 0
+    }
+    for r in out:
+        assert r.n_active_users <= pop[r.cohort_day]
