@@ -103,7 +103,7 @@ def dedup_cluster_components(spark, sf_dir):
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
-        total = labels.agg(F.sum("lbl").alias("t")).collect()[0].t
+        total = labels.agg(F.sum("lbl").alias("t")).collect()[0].t  # driver-scalar
         if total == prev:
             break
         prev = total

@@ -90,7 +90,12 @@ def test_no_collect_in_engine_code():
     pkg = pathlib.Path(__file__).parent.parent / "dataflow_pubsub_message_encryption_spark"
     offenders = []
     for py in pkg.rglob("*.py"):
-        text = py.read_text()
-        if ".collect()" in text or ".toPandas()" in text:
-            offenders.append(str(py))
+        for line in py.read_text().splitlines():
+            if ".collect()" in line or ".toPandas()" in line:
+                # the one sanctioned exception: a single-scalar aggregate
+                # fetched for an iterative fixed-point convergence check,
+                # explicitly marked. Anything unmarked is an offender.
+                if "# driver-scalar" in line and ".agg(" in line:
+                    continue
+                offenders.append(f"{py}: {line.strip()}")
     assert not offenders, f"driver-side materialization in: {offenders}"
