@@ -760,6 +760,45 @@ def udf_surface(spark, sf_dir):
 
 
 @query(
+    "udtf_surface",
+    """
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+           toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def udtf_surface(spark, sf_dir):
+    """C32c — user-defined TABLE function surface (Spark 4 Python UDTF):
+    a generator class invoked through a SQL LATERAL join, expanding each
+    document into (pos, bigram) rows. Unlike the UDF/UDAF demos this one
+    IS EXACT-oracle-checked — the UDTF's expansion has a pure-SQL mirror
+    (generate_series + list indexing in DuckDB), so the whole Python UDTF
+    execution path (pickling, worker protocol, lateral correlation) is
+    value-verified cross-engine, not just row-counted. Row-at-a-time
+    Python is the slow path — in-engine hot paths use the built-in
+    explode/sequence form (see text_chunk_windows); this operator exists
+    to pin the extension surface."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("sg_bigrams", Bigrams)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("sg_documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.bigram "
+        "FROM sg_documents d, LATERAL sg_bigrams(d.text) t"
+    )
+
+
+@query(
     "agg_percentile",
     """
     SELECT l_returnflag,

@@ -105,6 +105,34 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdir):
     }
 
 
+def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
+    """Stream-static join: the unbounded event stream enriched against a
+    static (batch) dimension — no watermark needed on the static side;
+    Spark re-plans the static relation per micro-batch. The drained
+    stream must equal the batch join."""
+    import glob
+    import shutil as sh
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    ev_batch = load_events(spark, sf_dir)
+    dim = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = st.events_file_stream(spark, tmpdir)
+    got = _run_stream_to_memory(
+        spark,
+        stream.join(dim, "user_id").select("event_id", "tier"),
+        "stream_static_join",
+    ).collect()
+    batch = ev_batch.join(dim, "user_id").select("event_id", "tier").collect()
+    assert {(r.event_id, r.tier) for r in got} == {
+        (r.event_id, r.tier) for r in batch
+    }
+    assert len(got) == ev_batch.count()  # dim covers every user: no drops
+
+
 def test_stream_decrypt_matches_batch(spark, sf_dir, tmpdir):
     import glob
     import shutil as sh
