@@ -70,7 +70,13 @@ def text_chunk_windows(spark, sf_dir):
     ``posexplode``-free (chunk_idx derives from the offset, so the result
     is order-independent). At 100 TB this is scan-bound with zero
     exchange; chunk rows inherit the scan's partitioning."""
-    docs = load(spark, sf_dir, "documents")
+    return chunk_windows(load(spark, sf_dir, "documents"))
+
+
+def chunk_windows(docs):
+    """DataFrame-in transform behind ``text_chunk_windows`` (any frame
+    with ``doc_id``/``text``) — also property-tested over generated
+    corpora in tests/test_properties.py."""
     toks = tokens("text")
     base = docs.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("nt")

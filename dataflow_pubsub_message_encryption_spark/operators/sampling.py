@@ -178,7 +178,13 @@ def pack_sequences(spark, sf_dir):
     source; skewed sources pack hierarchically at scale (pack within
     partition, then concatenate partial last-bins — capacity waste is at
     most one bin per partition boundary)."""
-    docs = load(spark, sf_dir, "documents")
+    return pack_bins(load(spark, sf_dir, "documents"))
+
+
+def pack_bins(docs):
+    """DataFrame-in transform behind ``pack_sequences`` (any frame with
+    ``source``/``doc_id``/``text``) — also property-tested over generated
+    corpora in tests/test_properties.py."""
     nt = F.size(tokens("text"))
     w = (
         Window.partitionBy("source")

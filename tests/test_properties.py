@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the curation transform laws,
+run over GENERATED corpora — not the fixtures — so edge shapes the driver
+data never produces (1-token docs, exact-multiple lengths, duplicate
+texts across sources) are exercised. One Spark job per example; examples
+kept small and few so the suite stays fast."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.operators.curation import (
+    _CHUNK_STRIDE,
+    _CHUNK_W,
+    chunk_windows,
+)
+from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+    _PACK_CAPACITY,
+    _split_col,
+    pack_bins,
+)
+
+# docs: ids are list positions; token counts 1..90 hit the 1-chunk,
+# exact-boundary, and multi-chunk regimes around W=32 / stride=24
+_corpus = st.lists(
+    st.integers(min_value=1, max_value=90), min_size=1, max_size=12
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _docs_df(spark, token_counts):
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(token_counts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@given(token_counts=_corpus)
+@settings(**_SETTINGS)
+def test_chunking_laws_hold_for_any_corpus(spark, token_counts):
+    out = chunk_windows(_docs_df(spark, token_counts)).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(range(len(token_counts)))
+    for doc_id, n in enumerate(token_counts):
+        cs = sorted(per_doc[doc_id], key=lambda r: r.chunk_idx)
+        # chunk count: ceil(n / stride); indices dense from 0
+        assert len(cs) == (n + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        # width law + total-coverage law (stride-prefixes tile the doc)
+        for c in cs:
+            assert c.chunk_tokens == min(
+                _CHUNK_W, n - c.chunk_idx * _CHUNK_STRIDE
+            )
+        covered = sum(min(_CHUNK_STRIDE, n - c.chunk_idx * _CHUNK_STRIDE) for c in cs)
+        assert covered == n
+
+
+@given(token_counts=_corpus)
+@settings(**_SETTINGS)
+def test_packing_laws_hold_for_any_corpus(spark, token_counts):
+    docs = _docs_df(spark, token_counts)
+    bins = pack_bins(docs).collect()
+    assert sum(r.tokens_packed for r in bins) == sum(token_counts)
+    per_src_bins: dict[str, set] = {}
+    for r in bins:
+        per_src_bins.setdefault(r.source, set()).add(r.bin)
+        assert r.n_docs >= 1
+        # overflow bounded by the single doc straddling the boundary
+        assert r.tokens_packed < _PACK_CAPACITY + max(token_counts)
+    for src, got in per_src_bins.items():
+        assert got == set(range(len(got))), src
+
+
+@given(token_counts=_corpus, dup_idx=st.integers(min_value=0, max_value=11))
+@settings(**_SETTINGS)
+def test_split_is_content_deterministic(spark, token_counts, dup_idx):
+    # duplicate one text under a DIFFERENT doc_id/source: identical text
+    # must land in the identical split (contamination-freedom), and the
+    # assignment must be stable across evaluations
+    dup_idx %= len(token_counts)
+    docs = _docs_df(spark, token_counts)
+    dup = docs.filter(F.col("doc_id") == dup_idx).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.lit("sX").alias("source"),
+        "text",
+    )
+    both = docs.unionByName(dup).select("doc_id", "text", _split_col().alias("split"))
+    leaky = (
+        both.groupBy("text")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaky == 0
+    a = {r.doc_id: r.split for r in both.collect()}
+    b = {r.doc_id: r.split for r in both.collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
