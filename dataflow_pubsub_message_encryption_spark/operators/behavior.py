@@ -21,11 +21,72 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.normalize import date_str
+from ..functions.normalize import date_str, ts_str
 from ..sources import load_events
 from .base import make_registry
 
 QUERIES, ORACLES, query = make_registry()
+
+
+@query(
+    "window_gapfill_counts",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS mn,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    c AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS cnt
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN c ON c.h = g.h AND c.event_type = t.event_type
+    """,
+)
+def window_gapfill_counts(spark, sf_dir):
+    """Gap-filled hourly counts: the dense (hour × event_type) grid from
+    the stream's first to last hour, zero-filled where no events landed —
+    what dashboards and downsampling jobs need (a plain groupBy silently
+    omits empty buckets). The grid derives from a 1-row min/max aggregate
+    expanded with ``sequence``; both grid and type list broadcast onto
+    the counts, so the only real shuffle is the counts aggregation
+    itself. Grid size ∝ time span, independent of event volume — at
+    100 TB the grid is still tiny while counts partial-aggregate
+    map-side."""
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(
+        hour.alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(counts, ["h", "event_type"], "left")
+        .select(
+            ts_str("h").alias("window_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("cnt"),
+        )
+    )
 
 
 @query(

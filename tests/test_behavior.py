@@ -41,6 +41,24 @@ def test_funnel_matches_python_referee(spark, sf_dir):
     assert n_s >= n_c >= n_p
 
 
+def test_gapfill_dense_grid_and_conservation(spark, sf_dir):
+    out = QUERIES["window_gapfill_counts"](spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir)
+    # conservation: zero-filling adds cells, never counts
+    assert sum(r.cnt for r in out) == ev.count()
+    types = {r.event_type for r in out}
+    hours = sorted({r.window_start for r in out})
+    # dense: every (hour, type) cell present exactly once
+    assert len(out) == len(hours) * len(types)
+    from datetime import datetime, timedelta
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    lo, hi = datetime.strptime(hours[0], fmt), datetime.strptime(hours[-1], fmt)
+    assert len(hours) == int((hi - lo) / timedelta(hours=1)) + 1
+    # the fixture stream has at least one silent (hour, type) cell
+    assert any(r.cnt == 0 for r in out)
+
+
 def test_retention_cohort_laws(spark, sf_dir):
     out = QUERIES["retention_cohorts"](spark, sf_dir).collect()
     ev = load_events(spark, sf_dir)
