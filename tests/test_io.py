@@ -94,6 +94,45 @@ def test_ann_bucket_partition_layout_prunes_probe_scan(spark, sf_dir, tmpdir):
     assert q.count() == bucketed.filter(F.col("bucket") == probe_bucket).count()
 
 
+def test_dynamic_partition_overwrite_upserts_incrementally(spark, sf_dir, tmpdir):
+    """Incremental-batch upsert into a partitioned table: with dynamic
+    partition overwrite, rewriting ONE partition's refreshed data must
+    replace only that partition and leave the others byte-identical —
+    the warehouse pattern a CDC pipeline (operators/cdc.py) feeds, done
+    with plain parquet + partition layout, no table format required."""
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = f"{tmpdir}/docs_by_lang"
+    docs.write.partitionBy("lang").parquet(path)
+    before = {
+        (r.doc_id, r.lang, r.n_chars)
+        for r in spark.read.parquet(path).collect()
+    }
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert len(langs) >= 2
+    target = sorted(langs)[0]
+
+    refreshed = (
+        docs.filter(F.col("lang") == target)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    (
+        refreshed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    after = {
+        (r.doc_id, r.lang, r.n_chars)
+        for r in spark.read.parquet(path).collect()
+    }
+    expect = {
+        (d, lang, n + 1000 if lang == target else n) for d, lang, n in before
+    }
+    assert after == expect
+
+
 def test_events_arrow_fallback_loader(spark, sf_dir):
     """The pyarrow fallback for sessions that reject the nanosAsLong conf
     must produce the same rows as the primary loader."""
