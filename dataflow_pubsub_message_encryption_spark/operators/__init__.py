@@ -11,6 +11,7 @@ from importlib import import_module
 _MODULES = [
     "ref_pipeline",
     "relational",
+    "tpch",
     "text",
     "dedup",
     "similarity",
