@@ -346,16 +346,40 @@ def agg_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # ROWS-only: Spark HLL++ sketch != DuckDB sketch
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           true AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """C15 — HyperLogLog++ approximate count-distinct: the scale path when
-    exact distinct's double shuffle is too expensive. ROWS-only check by
-    design (sketch estimates are engine-specific); the unit test bounds the
-    relative error vs the exact count instead."""
+    exact distinct's double shuffle is too expensive. Sketch estimates are
+    engine-specific, so the cross-engine check is an error-bound contract:
+    the query emits the exact distinct count plus a Spark-computed
+    "approx within 5% of exact" boolean; the DuckDB oracle computes the
+    same exact count and literal ``true``. A drifting HLL++ implementation
+    flips the boolean and fails the hash — a genuine correctness gate, not
+    a rows-only count. The approx-vs-exact tolerance test in
+    tests/test_oracle_parity.py pins the raw estimate as well."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= F.lit(0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -734,17 +758,31 @@ def scalar_map_json(spark, sf_dir):
     )
 
 
-@query("udf_surface")  # ROWS-only: arbitrary Python logic, no SQL mirror
+@query(
+    "udf_surface",
+    """
+    SELECT event_id,
+           CAST(list_aggregate(
+                  list_transform(string_split(event_type, ''),
+                                 c -> unicode(c)),
+                  'sum') % 1000 AS BIGINT) AS type_charsum,
+           'evt:' || substr(event_type, 1, 2) AS type_tag
+    FROM events
+    """,
+)
 def udf_surface(spark, sf_dir):
     """C32 — the UDF escape hatch, demonstrated at both speeds: a
     vectorized pandas UDF (Arrow-batched — the only acceptable form in a
     hot path; the cached DEK unwrap in functions/crypto.py is the
     production example) and a row-at-a-time Python UDF (the slow path,
-    present for surface completeness). ROWS-only; unit test pins the
-    values."""
-    from pyspark.sql.types import IntegerType, StringType
+    present for surface completeness). Both UDFs compute pure functions
+    with SQL mirrors (codepoint-sum mod 1000; prefix tag), so the whole
+    Python execution path — pickling, Arrow batch transfer, worker
+    protocol — is value-verified against a DuckDB oracle, not just
+    row-counted."""
+    from pyspark.sql.types import LongType, StringType
 
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(LongType())
     def char_sum(s: pd.Series) -> pd.Series:  # vectorized
         return s.map(lambda x: sum(ord(c) for c in x) % 1000)
 

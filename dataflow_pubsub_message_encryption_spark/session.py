@@ -43,7 +43,14 @@ def get_session(app_name: str = "spark-graft", cpus: int | None = None) -> Spark
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            # local mode = one JVM doing driver + all 32 executor threads'
+            # work; an 8g heap forces full GCs once a few query plans' shuffle
+            # and broadcast state accumulate (measured: q8 steady-state 1.7s
+            # solo -> 3.5s after 7 queries on 8g). Size for the host.
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

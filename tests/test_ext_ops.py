@@ -110,16 +110,14 @@ def test_centroid_assignment_beats_chance(spark, sf_dir):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in RELQ["agg_approx_distinct"](spark, sf_dir).collect()
-    }
+    rows = RELQ["agg_approx_distinct"](spark, sf_dir).collect()
     exact = {
         r.l_returnflag: r.distinct_parts
         for r in RELQ["agg_distinct"](spark, sf_dir).collect()
     }
-    for k, e in exact.items():
-        assert abs(approx[k] - e) / e < 0.1, f"HLL err too high for {k}"
+    for r in rows:
+        assert r.exact_parts == exact[r.l_returnflag]
+        assert r.approx_within_5pct, f"HLL err too high for {r.l_returnflag}"
 
 
 def test_decode_stub_deterministic_and_batched(spark, sf_dir):
