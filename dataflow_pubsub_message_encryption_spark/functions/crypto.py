@@ -125,14 +125,48 @@ def mac_col(payload: Column) -> Column:
     Modeled as ``sha2(key || payload)`` rather than true HMAC because Spark
     has no hmac builtin and DuckDB must compute the identical value for the
     oracle (``sha256(key || payload)``); both emit lowercase hex. The
-    security delta (length-extension) is irrelevant to a mock.
+    security delta (length-extension) is irrelevant to a mock. For the
+    reference's actual algorithm see :func:`hmac_col` — the engine carries
+    both: sha2 keeps oracles cross-engine-computable, HMAC is the
+    wire-faithful mode.
     """
     return F.sha2(F.concat(F.lit(MAC_KEY), payload), 256)
 
 
+def make_hmac_udf(key: bytes):
+    """Build a vectorized HMAC-SHA256 UDF bound to ``key`` (lowercase hex
+    output). True RFC 2104 HMAC — the reference signs payloads with
+    HMAC-SHA256 [U/H, SURVEY §2 R6], and this is the faithful form of that
+    MAC, as opposed to :func:`mac_col`'s oracle-expressible sha2 model.
+    Arrow-batched (one Python crossing per batch, not per row); the inner
+    ``hmac.digest`` is C-accelerated stdlib. Pinned against RFC 4231 test
+    vectors in tests/test_crypto.py."""
+    import hmac as _hmac
+
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def hmac_hex(payload: pd.Series) -> pd.Series:
+        return payload.map(
+            lambda p: _hmac.digest(key, p.encode("utf-8"), "sha256").hex()
+        )
+
+    return hmac_hex
+
+
+#: engine-default HMAC UDF (MAC_KEY-bound), used by the hmac MAC mode
+hmac_hex_udf = make_hmac_udf(MAC_KEY.encode("utf-8"))
+
+
+def hmac_col(payload: Column) -> Column:
+    """HMAC-SHA256(MAC_KEY, payload), lowercase hex — the wire-faithful
+    integrity tag (vectorized UDF; see :func:`make_hmac_udf`)."""
+    return hmac_hex_udf(payload)
+
+
 def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_dek",
                    mac: str = "mac", out: str = "props_decrypted",
-                   strategy: str = "cached_udf"):
+                   strategy: str = "cached_udf", mac_mode: str = "sha2"):
     """The reference ``DecryptDoFn`` as a DataFrame transformation:
     unwrap DEK -> AES-decrypt (JVM expression) -> recompute MAC -> drop
     rows whose tag does not verify. Works identically on batch and
@@ -150,7 +184,12 @@ def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_d
       plaintext DEKs back. The per-row path is then 100% JVM codegen — no
       Python worker round-trip — and KMS cost is once per key per *query*,
       not per key per worker.
+
+    ``mac_mode`` selects the integrity tag recomputed for the verify-drop:
+    ``sha2`` (oracle-expressible model, JVM codegen) or ``hmac`` (true
+    HMAC-SHA256 like the reference, vectorized UDF).
     """
+    tag = {"sha2": mac_col, "hmac": hmac_col}[mac_mode]
     if strategy == "broadcast":
         if df.isStreaming:
             raise ValueError(
@@ -166,12 +205,12 @@ def decrypt_verify(df, ciphertext: str = "ciphertext", wrapped: str = "wrapped_d
         plain = F.aes_decrypt(F.col(ciphertext), F.col("_dek")).cast("string")
         return (
             joined.withColumn(out, plain)
-            .filter(mac_col(F.col(out)) == F.col(mac))
+            .filter(tag(F.col(out)) == F.col(mac))
             .drop("_w", "_dek")
         )
     dek_bin = unwrap_dek_udf(F.col(wrapped))
     plain = F.aes_decrypt(F.col(ciphertext), dek_bin).cast("string")
     return (
         df.withColumn(out, plain)
-        .filter(mac_col(F.col(out)) == F.col(mac))
+        .filter(tag(F.col(out)) == F.col(mac))
     )

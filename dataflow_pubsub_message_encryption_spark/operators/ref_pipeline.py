@@ -132,6 +132,31 @@ def mac_verify_filter(spark, sf_dir):
     return crypto.decrypt_verify(env).select("event_id", "mac")
 
 
+@query(
+    "mac_hmac_verify_filter",
+    """
+    SELECT event_id, props AS props_decrypted FROM events
+    WHERE event_id % 2 = 0
+    """,
+)
+def mac_hmac_verify_filter(spark, sf_dir):
+    """R6b — MAC verify + drop-tampered with TRUE HMAC-SHA256, the
+    reference's actual signing algorithm [U/H: publisher HMACs the payload,
+    DoFn verifies and rejects]. Sign and verify both run the vectorized
+    hmac UDF (functions/crypto.py make_hmac_udf, RFC 4231-pinned in
+    tests/test_crypto.py); tamper is injected deterministically on odd
+    event_ids, so the surviving row set — even ids with their decrypted
+    payloads — is oracle-checkable without DuckDB ever computing an HMAC.
+    The sha2-model twin (mac_verify_filter) keeps the tag value itself
+    cross-engine-checked."""
+    env = with_envelope(
+        load_events(spark, sf_dir), n_keys=_N_KEYS, tamper=True, mac_mode="hmac"
+    )
+    return crypto.decrypt_verify(env, mac_mode="hmac").select(
+        "event_id", "props_decrypted"
+    )
+
+
 def _dek_cache_oracle() -> str:
     whens = "\n      ".join(
         f"WHEN {i} THEN '{_WRAPPED[i]}'" for i in range(_N_KEYS)

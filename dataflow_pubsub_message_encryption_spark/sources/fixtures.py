@@ -89,6 +89,7 @@ def with_envelope(
     n_keys: int = 4,
     tamper: bool = False,
     rebalance: bool = True,
+    mac_mode: str = "sha2",
 ) -> DataFrame:
     """Synthesize the reference's encrypted wire format from ``events``.
 
@@ -104,8 +105,11 @@ def with_envelope(
     - ``ciphertext``  : ``aes_encrypt(props, dek)`` — AES-256-GCM, random
                         IV, hence nondeterministic: never hashed or
                         compared, only the decrypt round-trip is.
-    - ``mac``         : ``sha2(MAC_KEY || props)`` lowercase hex
-                        (attribute). With ``tamper=True`` the MAC of every
+    - ``mac``         : integrity tag, lowercase hex (attribute):
+                        ``mac_mode="sha2"`` -> ``sha2(MAC_KEY || props)``
+                        (oracle-expressible model), ``"hmac"`` -> true
+                        HMAC-SHA256(MAC_KEY, props) like the reference
+                        publisher. With ``tamper=True`` the MAC of every
                         odd ``event_id`` is corrupted deterministically so
                         both engines agree on the surviving row set.
 
@@ -144,7 +148,12 @@ def with_envelope(
             F.aes_encrypt(F.col("props").cast("binary"), dek_map[F.col("key_id")]),
         )
         .withColumn("wrapped_dek", wrapped_map[F.col("key_id")])
-        .withColumn("mac", crypto.mac_col(F.col("props")))
+        .withColumn(
+            "mac",
+            {"sha2": crypto.mac_col, "hmac": crypto.hmac_col}[mac_mode](
+                F.col("props")
+            ),
+        )
     )
     if tamper:
         df = df.withColumn(

@@ -167,3 +167,66 @@ def test_broadcast_strategy_rejected_on_streams(spark, sf_dir, tmp_path):
     env = we(stream)
     with _pytest.raises(ValueError, match="cached_udf"):
         crypto.decrypt_verify(env, strategy="broadcast")
+
+
+def test_hmac_udf_rfc4231_vectors(spark):
+    """RFC 4231 HMAC-SHA256 test vectors through the Spark UDF path."""
+    vectors = [
+        (  # test case 1
+            b"\x0b" * 20,
+            "Hi There",
+            "b0344c61d8db38535ca8afceaf0bf12b881dc200c9833da726e9376c2e32cff7",
+        ),
+        (  # test case 2
+            b"Jefe",
+            "what do ya want for nothing?",
+            "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843",
+        ),
+    ]
+    for key, msg, want in vectors:
+        udf = crypto.make_hmac_udf(key)
+        got = (
+            spark.range(1)
+            .select(udf(F.lit(msg)).alias("h"))
+            .collect()[0]
+            .h
+        )
+        assert got == want, f"RFC 4231 mismatch for key={key!r}"
+
+
+def test_hmac_udf_matches_stdlib_on_fixture(spark, sf_dir):
+    import hmac as _hmac
+
+    rows = (
+        load_events(spark, sf_dir)
+        .limit(50)
+        .select("props", crypto.hmac_col(F.col("props")).alias("h"))
+        .collect()
+    )
+    key = crypto.MAC_KEY.encode()
+    for r in rows:
+        assert r.h == _hmac.digest(key, r.props.encode(), "sha256").hex()
+
+
+def test_hmac_differs_from_sha2_model(spark, sf_dir):
+    """The two MAC modes must not be interchangeable (hmac != sha2(k||p))."""
+    row = (
+        load_events(spark, sf_dir)
+        .limit(1)
+        .select(
+            crypto.hmac_col(F.col("props")).alias("h"),
+            crypto.mac_col(F.col("props")).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert row.h != row.s
+
+
+def test_hmac_tamper_detection_drops_rows(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    n = events.count()
+    env = with_envelope(events, tamper=True, mac_mode="hmac")
+    survivors = crypto.decrypt_verify(env, mac_mode="hmac")
+    ids = [r.event_id for r in survivors.select("event_id").collect()]
+    assert len(ids) == n // 2
+    assert all(i % 2 == 0 for i in ids)
