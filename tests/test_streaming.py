@@ -519,3 +519,84 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmpdir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- Kafka-wire topic: publisher + streaming consumer -----------------------
+
+
+def test_wire_topic_publish_and_stream_decrypt(spark, sf_dir, tmpdir):
+    """Publisher/pipeline split over the Kafka wire layout: publish an
+    encrypted topic (value BINARY + headers, tampered), consume it as an
+    unbounded stream, decrypt + verify in flight; the decrypted stream must
+    equal the batch decode of the same topic, and survivors are exactly
+    the untampered (even event_id) messages."""
+    from dataflow_pubsub_message_encryption_spark.sources import wire
+
+    n = wire.publish_topic(spark, sf_dir, tmpdir, tamper=True, n_files=4)
+    assert n == load_events(spark, sf_dir).count()
+
+    stream = wire.read_topic_stream(spark, tmpdir, max_files_per_trigger=1)
+    got = _run_stream_to_memory(
+        spark, wire.decode_wire(stream), "wire_decrypted"
+    ).select("event_id", "props_decrypted")
+
+    batch = wire.decode_wire(wire.read_topic_batch(spark, tmpdir)).select(
+        "event_id", "props_decrypted"
+    )
+    g = {(r.event_id, r.props_decrypted) for r in got.collect()}
+    b = {(r.event_id, r.props_decrypted) for r in batch.collect()}
+    assert g == b and len(g) == n // 2
+    assert all(eid % 2 == 0 for eid, _ in g)
+
+
+def test_wire_topic_windowed_counts_stream_equals_batch(spark, sf_dir, tmpdir):
+    """Full reference pipeline over the wire: encrypted topic -> streaming
+    decrypt -> watermarked tumbling counts == the same aggregation computed
+    in batch over the same topic."""
+    from dataflow_pubsub_message_encryption_spark.sources import wire
+
+    wire.publish_topic(spark, sf_dir, tmpdir, n_files=4)
+
+    stream = wire.decode_wire(wire.read_topic_stream(spark, tmpdir))
+    counts = st.windowed_counts_stream(stream, watermark="10 minutes")
+    got = _run_stream_to_memory(spark, counts, "wire_counts")
+
+    batch = (
+        wire.decode_wire(wire.read_topic_batch(spark, tmpdir))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "cnt")
+    )
+    g = {(r.window_start, r.event_type): r.cnt for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
+    # append mode withholds windows the watermark never closed
+    assert g and all(b[k] == v for k, v in g.items())
+
+
+def test_wire_topic_hmac_mode(spark, sf_dir, tmpdir):
+    """Wire topic signed with true HMAC-SHA256 decrypts + verifies."""
+    from dataflow_pubsub_message_encryption_spark.sources import wire
+
+    n = wire.publish_topic(
+        spark, sf_dir, tmpdir, tamper=True, mac_mode="hmac", n_files=2
+    )
+    out = wire.decode_wire(
+        wire.read_topic_batch(spark, tmpdir), mac_mode="hmac"
+    )
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == n // 2 and all(i % 2 == 0 for i in ids)
+
+
+def test_wire_schema_matches_kafka_source_contract(spark, sf_dir, tmpdir):
+    """The published topic's schema is byte-for-byte Spark's Kafka source
+    schema — the documented drop-in seam."""
+    from dataflow_pubsub_message_encryption_spark.sources import wire
+
+    wire.publish_topic(spark, sf_dir, tmpdir, n_files=2)
+    got = spark.read.parquet(tmpdir).schema.simpleString()
+    want = (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int,"
+        "headers:array<struct<key:string,value:binary>>>"
+    )
+    assert got == want

@@ -4,7 +4,12 @@ pipeline (whose motivation was that per-message KMS RPCs cap throughput;
 here the cached unwrap makes decrypt compute-bound).
 
 Usage: python tools/soak.py [seconds] [rows_per_second]
+       python tools/soak.py --topic TOPIC_DIR [seconds]
 Prints one JSON line with rows processed and sustained events/sec.
+
+``--topic`` consumes a topic written by tools/publish.py (the reference's
+publisher/pipeline split): Kafka-wire layout in, headers -> cached unwrap ->
+AES decrypt -> MAC verify in flight — no in-flight envelope synthesis.
 """
 
 from __future__ import annotations
@@ -18,30 +23,62 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    seconds = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    rps = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    args = sys.argv[1:]
+    topic_dir = None
+    if args and args[0] == "--topic":
+        topic_dir = args[1]
+        args = args[2:]
+    seconds = int(args[0]) if args else 30
+    rps = int(args[1]) if len(args) > 1 else 200_000
     from pyspark.sql import functions as F
 
     from dataflow_pubsub_message_encryption_spark import streaming as st
     from dataflow_pubsub_message_encryption_spark.session import get_session
 
     spark = get_session("soak")
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", str(rps))
-        .option("numPartitions", "32")
-        .load()
-    )
-    events = rate.select(
-        F.col("value").alias("event_id"),
-        F.col("timestamp").alias("ts"),
-        (F.col("value") % 1000).alias("user_id"),
-        F.lit("click").alias("event_type"),
-        F.lit(1.0).alias("value"),
-        F.concat(F.lit('{"k": '), (F.col("value") % 100), F.lit("}")).alias("props"),
-    )
-    # full pipeline: envelope synth + cached unwrap + AES decrypt + MAC verify
-    dec = st.decrypted_stream(events)
+    if topic_dir is not None:
+        from dataflow_pubsub_message_encryption_spark.sources import wire
+
+        stream = wire.read_topic_stream(spark, topic_dir, max_files_per_trigger=4)
+        dec = wire.decode_wire(stream)
+        # bounded replay: drain the whole topic and measure wall time
+        q = dec.writeStream.format("noop").trigger(availableNow=True).start()
+        t0 = time.time()
+        q.awaitTermination(600)
+        elapsed = time.time() - t0
+        total = sum(p["numInputRows"] for p in q.recentProgress)
+        print(
+            json.dumps(
+                {
+                    "metric": "published-topic drain: decrypt+verify throughput",
+                    "events_processed": total,
+                    "seconds": round(elapsed, 1),
+                    "events_per_sec": round(total / elapsed),
+                    "topic": topic_dir,
+                }
+            )
+        )
+        spark.stop()
+        return
+    else:
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rps))
+            .option("numPartitions", "32")
+            .load()
+        )
+        events = rate.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 1000).alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.concat(F.lit('{"k": '), (F.col("value") % 100), F.lit("}")).alias(
+                "props"
+            ),
+        )
+        # full pipeline: envelope synth + cached unwrap + AES decrypt + MAC verify
+        dec = st.decrypted_stream(events)
 
     q = dec.writeStream.format("noop").start()
     t0 = time.time()
