@@ -7,30 +7,39 @@ pipelines (Spark MLlib's LSH, text-dedup toolchains) run after candidate
 verification. It is also this engine's representative *iterative*
 algorithm: a fixed-point loop the DataFrame API drives from plain joins.
 
-Algorithm: min-label propagation. Every node starts labeled with itself;
-each round every node takes the min label among itself and its neighbors;
-at the fixed point every node carries the minimum doc_id of its component
-(the canonical representative — deterministic, no tie-breaking needed).
+Algorithm: alternating large-star / small-star contraction (the
+MapReduce-round-optimal connected-components construction published as
+"Connected Components in MapReduce and Beyond", Kiveris et al., SOCC 2014
+— see PAPERS.md). Each round rewires edges toward component minima:
+
+- **large-star** at node u: every neighbor v > u is re-pointed at
+  m = min(neighbors(u) ∪ {u});
+- **small-star** at node u (edges oriented big→small): every smaller
+  neighbor, and u itself, is re-pointed at m.
+
+Both steps preserve connectivity; the fixed point is a star forest whose
+roots are the component minima (the canonical representative —
+deterministic, no tie-breaking needed). Convergence needs O(log n) rounds
+on adversarial graphs (e.g. long paths) where plain min-label propagation
+needs O(diameter) — the upgrade SCALING.md §5 calls for; a 512-node path
+converges in 10 rounds here (tests/test_graph.py pins a ceil(log2 n)+3
+bound; the fixed-point signature check costs one extra confirming round).
 
 Scale notes (100 TB):
-- Each round is one shuffle join (edges ⋈ labels on the src key) + one
-  groupBy-min — both partial-aggregating, ids-only payloads (16 bytes/row).
-- Rounds needed = graph diameter. Near-dup components are dense (a dup
-  family collides in every band), so diameters are tiny — the fixture
-  graph's 199-node component converges in 3 rounds. For adversarial long
-  chains the documented upgrade is the large-star/small-star contraction
-  (O(log n) rounds, same join primitives).
+- Each round is two shuffle join+groupBy-min pairs — partial-aggregating,
+  ids-only payloads (16 bytes/row). No step materializes anything wider
+  than an edge.
 - Lineage is truncated with an eager ``localCheckpoint`` per round —
   without it the plan doubles every iteration and Catalyst re-optimizes
   the whole history. On a cluster use ``checkpoint`` to HDFS instead.
-- The ONLY driver-side data transfer is the one-scalar convergence check
-  per round (sum of labels, strictly decreasing until fixed point). The
-  label table itself never leaves the executors.
+- The ONLY driver-side data transfer is the 3-scalar edge-set signature
+  (count, sum of endpoints) compared per round for the fixed-point check.
+  The edge table itself never leaves the executors.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .base import make_registry
 from .dedup import ORACLES as _DEDUP_ORACLES
@@ -38,7 +47,80 @@ from .dedup import QUERIES as _DEDUP_QUERIES
 
 QUERIES, ORACLES, query = make_registry()
 
-_MAX_ROUNDS = 15
+_MAX_ROUNDS = 25
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
+    """Alternating star contraction over an undirected edge list.
+
+    ``pairs``: DataFrame with two integer id columns (an edge per row).
+    Returns ``(labels, rounds)`` — labels is (node, lbl) with lbl = the
+    minimum id of the node's component, rounds the number of
+    large-star+small-star rounds executed to reach the fixed point.
+    """
+    a, b = pairs.columns[0], pairs.columns[1]
+    # canonical big→small orientation, self-loops dropped
+    edges = (
+        pairs.select(F.col(a).cast("long").alias("x"), F.col(b).cast("long").alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: symmetric neighborhoods; re-point every bigger
+        # neighbor v > u at m(u) = min(N(u) ∪ {u}). Each undirected edge is
+        # processed from its smaller endpoint, so the edge count is
+        # preserved and every output edge already satisfies u > v.
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the big→small orientation: all neighbors are < u,
+        # so m = min(N(u)); re-point each of them, and u itself, at m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(mins2.select(F.col("u").alias("n"), "m"))
+        )
+        edges = (
+            small.filter(F.col("n") != F.col("m"))
+            .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            edges.agg(
+                F.count("*").alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
+            ).collect()[0]  # driver-scalar
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point = star forest rooted at component minima
+    labels = nodes.join(
+        edges.groupBy("u").agg(F.min("v").alias("lbl")),
+        nodes.node == F.col("u"),
+        "left",
+    ).select("node", F.coalesce("lbl", "node").alias("lbl"))
+    return labels, rounds
 
 
 @query(
@@ -72,41 +154,15 @@ def dedup_cluster_components(spark, sf_dir):
     graph: each document that appears in any near-dup pair is assigned its
     component's canonical id (the component's minimum doc_id) plus the
     component size — the keep-one-per-group decision a corpus cleaner
-    executes. Iterative min-label propagation with a per-round eager
-    localCheckpoint; converges when the (monotonically decreasing) label
-    sum stops changing. The EXACT oracle recomputes the same components in
-    DuckDB via a recursive CTE — the full iterative fixed point is
-    value-checked cross-engine, not just row counts."""
+    executes. Alternating large-star/small-star contraction (O(log n)
+    rounds; see module docstring) with a per-round eager localCheckpoint.
+    The EXACT oracle recomputes the same components in DuckDB via a
+    recursive CTE — the full iterative fixed point is value-checked
+    cross-engine, not just row counts."""
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("s", "d")
-    edges = edges.localCheckpoint(eager=True)  # pairs are reused every round
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev = None
-    for _ in range(_MAX_ROUNDS):
-        # fixture graphs are broadcast-sized; at 100 TB drop the hint and
-        # this is the standard shuffled join on the src key
-        nbr = F.broadcast(edges).join(labels, edges.s == labels.node).select(
-            F.col("d").alias("node"), "lbl"
-        )
-        labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        total = labels.agg(F.sum("lbl").alias("t")).collect()[0].t  # driver-scalar
-        if total == prev:
-            break
-        prev = total
+    labels, _ = connected_components(pairs)
     comp = labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return comp.join(F.broadcast(sizes), "cluster_id").select(

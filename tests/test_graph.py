@@ -58,3 +58,47 @@ def test_components_match_union_find(spark, sf_dir):
     assert set(sizes) == {
         min(n for n, c in got.items() if c == cid) for cid in sizes
     }
+
+
+def test_star_contraction_long_path_log_rounds(spark):
+    """A 512-node path graph is the adversarial case for min-label
+    propagation (O(diameter) = 511 rounds); the large-star/small-star
+    contraction must converge in O(log n) — assert <= ceil(log2 n) + 3."""
+    import math
+
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 512
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a BIGINT, b BIGINT"
+    )
+    labels, rounds = connected_components(pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= math.ceil(math.log2(n)) + 3, f"took {rounds} rounds"
+
+
+def test_star_contraction_multiple_components(spark):
+    """Disjoint components keep distinct minima; singleton-free edge input
+    (two triangles + one 4-chain + an isolated pair)."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [
+        (10, 11), (11, 12), (12, 10),          # triangle -> 10
+        (20, 23), (23, 21), (21, 20),          # triangle -> 20
+        (5, 6), (6, 7), (7, 8),                # chain -> 5
+        (100, 99),                             # pair -> 99
+    ]
+    pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    labels, _ = connected_components(pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 23: 20,
+        5: 5, 6: 5, 7: 5, 8: 5,
+        99: 99, 100: 99,
+    }
