@@ -106,11 +106,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = tuple(
-            edges.agg(
-                F.count("*").alias("c"), F.sum("u").alias("su"), F.sum("v").alias("sv")
-            ).collect()[0]  # driver-scalar
-        )
+        sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])  # driver-scalar
         if sig == prev_sig:
             break
         prev_sig = sig

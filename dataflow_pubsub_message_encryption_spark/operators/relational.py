@@ -984,7 +984,13 @@ def sql_entrypoint_q3(spark, sf_dir):
     )
 
 
-@query("udaf_surface")  # ROWS-only: custom aggregation logic, no SQL mirror
+@query(
+    "udaf_surface",
+    """
+    SELECT l_returnflag, count(*) AS n, true AS udaf_matches_decomposition
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def udaf_surface(spark, sf_dir):
     """C32b — user-defined aggregate surface: a GROUPED_AGG pandas UDF
     (Arrow-batched Series -> scalar) computing the geometric mean of
@@ -992,18 +998,37 @@ def udaf_surface(spark, sf_dir):
     hatch when no builtin aggregate composes — but unlike builtins it gets
     no map-side partial aggregation (the UDF needs the whole group), so
     the group's rows shuffle in full. Prefer builtins in hot paths; this
-    one is decomposable (geomean = exp(avg(ln x))) and exists to pin the
-    UDAF surface."""
+    one is decomposable (geomean = exp(avg(ln x))), which is exactly what
+    makes it oracle-checkable: the geomean double itself is
+    accumulation-order-dependent (np pairwise vs streaming sums differ in
+    the last bits), so instead of hashing it the query emits a
+    Spark-computed "UDAF agrees with its built-in decomposition to 1e-9"
+    boolean beside the deterministic group counts; the oracle emits the
+    same counts and literal true. The UDAF execution path (Arrow group
+    transfer, grouped-agg protocol) is thereby value-gated cross-engine."""
     import numpy as np
 
     @F.pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.clip(lower=1e-12)).mean()))
 
-    return (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.round(geo_mean("l_quantity"), 6).alias("qty_geomean"))
+    li = load(spark, sf_dir, "lineitem")
+    # grouped-agg pandas UDFs cannot share an .agg() with non-pandas
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations joined
+    # on the 3-row group key, both partial-shuffled on the same column
+    udaf = li.groupBy("l_returnflag").agg(geo_mean("l_quantity").alias("gm_udaf"))
+    builtin = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.exp(F.avg(F.log(F.greatest(F.col("l_quantity"), F.lit(1e-12))))).alias(
+            "gm_builtin"
+        ),
+    )
+    return builtin.join(F.broadcast(udaf), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (F.abs(F.col("gm_udaf") - F.col("gm_builtin")) < 1e-9).alias(
+            "udaf_matches_decomposition"
+        ),
     )
 
 
@@ -1224,21 +1249,39 @@ def win_first_last(spark, sf_dir):
     )
 
 
-@query("agg_approx_percentile")  # ROWS-only: sketch estimates are engine-specific
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+           true AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark, sf_dir):
     """Sketch percentiles (approx_percentile, accuracy 10000): the scale
     path when exact percentiles' full sort/collection per group is too
-    expensive — single pass, mergeable sketches, map-side partials. The
-    unit test bounds the error against the exact agg_percentile values."""
+    expensive — single pass, mergeable sketches, map-side partials.
+    Sketch estimates are engine-specific, so (like agg_approx_distinct)
+    the cross-engine check is an error-bound contract: emit the exact
+    interpolated percentiles plus a Spark-computed "both approximations
+    within 1% of exact" boolean; the oracle computes the same exact
+    values and literal true. A drifting sketch flips the boolean and
+    fails the hash."""
+    apx50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    apx90 = F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000))
+    ex50 = F.percentile("l_extendedprice", F.lit(0.5))
+    ex90 = F.percentile("l_extendedprice", F.lit(0.9))
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(
-                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
-            ).alias("median_approx"),
-            F.round(
-                F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000)), 6
-            ).alias("p90_approx"),
+            F.round(ex50, 6).alias("median_exact"),
+            F.round(ex90, 6).alias("p90_exact"),
+            (
+                (F.abs(apx50 - ex50) / ex50 <= 0.01)
+                & (F.abs(apx90 - ex90) / ex90 <= 0.01)
+            ).alias("approx_within_1pct"),
         )
     )

