@@ -327,3 +327,99 @@ def emb_norm_stats(spark, sf_dir):
             ).alias("avg_l2_norm"),
         )
     )
+
+
+_KNN_K = 3
+_KNN_STRIDE = 100  # query set = every 100th vector
+
+
+@query(
+    "sim_knn_join",
+    f"""
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT q.vec_id AS q_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6)
+               AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])), 6) DESC, e.vec_id)
+               AS rn
+      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id % {_KNN_STRIDE} = 0
+    ) WHERE rn <= {_KNN_K}
+    """,
+)
+def sim_knn_join(spark, sf_dir):
+    """Batch k-NN JOIN — top-k corpus neighbors for EVERY query vector at
+    once (the retrieval/labeling workload shape), not a single probe like
+    sim_cosine_topk. The query set broadcasts (it is the small side by
+    construction); each corpus partition scores all queries locally —
+    an embarrassingly parallel nested loop with NO shuffle of the corpus —
+    and only the per-(query, corpus-partition) top-k rows reach the
+    ranking window's shuffle, which is sized |queries| x k x partitions,
+    independent of corpus width. Ranking orders by the ROUNDED similarity
+    with vec_id tie-break in both engines, so the selected set is
+    deterministic. At 100 TB: same plan, query batch capped to keep the
+    broadcast under the executor budget."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % _KNN_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("q_emb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("q_id", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "emb_dim_census",
+    """
+    SELECT CAST(pos - 1 AS INTEGER) AS dim, count(*) AS n,
+           CAST(min(val) AS DOUBLE) AS minv,
+           CAST(max(val) AS DOUBLE) AS maxv,
+           CAST(SUM(CASE WHEN val > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM (
+      SELECT unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY 1
+    """,
+)
+def emb_dim_census(spark, sf_dir):
+    """Per-dimension corpus census (count / min / max / positive-count) —
+    the QA pass an ANN index build runs first (dead dimensions, range
+    drift, sign balance). posexplode is a narrow map; the 64-key group-by
+    partial-aggregates map-side, so the shuffle carries 64 rows per task.
+    Only order-independent statistics are emitted (min/max/counts —
+    float32 widened exactly to double in both engines); means/variances
+    over floats are accumulation-order-dependent and belong to the
+    decimal-moment pattern (emb_norm_stats)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("val").cast("double").alias("minv"),
+            F.max("val").cast("double").alias("maxv"),
+            F.sum(F.when(F.col("val") > 0, 1).otherwise(0)).alias("n_pos"),
+        )
+    )

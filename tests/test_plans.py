@@ -99,3 +99,17 @@ def test_no_collect_in_engine_code():
                     continue
                 offenders.append(f"{py}: {line.strip()}")
     assert not offenders, f"driver-side materialization in: {offenders}"
+
+
+def test_knn_join_broadcasts_queries_not_corpus(spark, sf_dir):
+    """sim_knn_join: the query set is the broadcast side; the corpus scan
+    must not shuffle for the scoring join (only the top-k ranking window
+    exchanges, on the tiny (q_id, k) survivor set)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SIMQ,
+    )
+
+    df = SIMQ["sim_knn_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan  # non-equi join -> BroadcastNestedLoopJoin
+    assert "BroadcastExchange" in plan
