@@ -74,7 +74,12 @@ def sim_knn_label_centroid(spark, sf_dir):
     (label, position) -> re-assemble centroid arrays -> cross join (10
     centroids, broadcast) -> argmin by cosine. ROWS-only by design: avg
     over floats is accumulation-order-dependent so cross-engine hashes
-    can't be pinned; the unit test asserts assignment accuracy instead."""
+    can't be pinned, and the decimal-moment escape used elsewhere is
+    closed too — probed round 2: Spark casts float32->DECIMAL(38,28) via
+    double with round-half-up (~17 significant digits) while DuckDB's
+    FLOAT->DECIMAL keeps different trailing digits entirely, so even
+    'exact' decimal sums disagree cross-engine. The unit test asserts
+    assignment accuracy instead."""
     e = load(spark, sf_dir, "embeddings")
     cent = (
         e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
