@@ -21,6 +21,7 @@ _MODULES = [
     "cdc",
     "graph",
     "behavior",
+    "scale",
 ]
 
 

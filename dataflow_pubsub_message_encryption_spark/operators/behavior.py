@@ -19,6 +19,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import date_str, ts_str
@@ -189,5 +190,164 @@ def retention_cohorts(spark, sf_dir):
             date_str("cohort_day").alias("cohort_day"),
             F.col("week_offset").cast("int").alias("week_offset"),
             "n_active_users",
+        )
+    )
+
+
+@query(
+    "window_gapfill_interp",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS mn,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+    ),
+    c AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    j AS (
+      SELECT g.h, CAST(epoch(g.h) AS BIGINT) AS hsec, c.n
+      FROM grid g LEFT JOIN c ON c.h = g.h
+    ),
+    w AS (
+      SELECT h, hsec, n,
+             last_value(n IGNORE NULLS) OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN n IS NOT NULL THEN hsec END IGNORE NULLS)
+               OVER (ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(n IGNORE NULLS) OVER (ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN n IS NOT NULL THEN hsec END IGNORE NULLS)
+               OVER (ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           CAST(COALESCE(n, -1) AS BIGINT) AS cnt_raw,
+           round(CASE WHEN n IS NOT NULL THEN n * 1.0
+                      WHEN pv IS NULL THEN nv * 1.0
+                      WHEN nv IS NULL THEN pv * 1.0
+                      ELSE pv + (nv - pv) * (hsec - ph) / (nh - ph)
+                 END, 6) AS cnt_filled
+    FROM w
+    """,
+)
+def window_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation gap fill over the hourly 'purchase' count
+    series — the hypertable/downsampling idiom where empty buckets take
+    the value implied by their known neighbors (boundary gaps clamp to
+    the nearest known value). Built from two IGNORE-NULLS window scans
+    (last-known-before, first-known-after); the interpolation term is
+    pure int64 arithmetic until a single double division, so both
+    engines compute the identical double. The global ORDER BY window is
+    single-partition by construction — acceptable because it runs over
+    the GRID (∝ time span, 720 rows here), never over events; at 100 TB
+    the same plan holds because the grid is still tiny."""
+    ev = load_events(spark, sf_dir)
+    counts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    j = grid.join(counts, "h", "left").select(
+        "h", F.unix_timestamp("h").alias("hsec"), "n"
+    )
+    w_prev = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    known_hsec = F.when(F.col("n").isNotNull(), F.col("hsec"))
+    w = j.select(
+        "h",
+        "hsec",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_hsec, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("n", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_hsec, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("n").isNotNull(), F.col("n") * 1.0)
+        .when(F.col("pv").isNull(), F.col("nv") * 1.0)
+        .when(F.col("nv").isNull(), F.col("pv") * 1.0)
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hsec") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return w.select(
+        ts_str("h").alias("window_start"),
+        F.coalesce("n", F.lit(-1)).cast("long").alias("cnt_raw"),
+        F.round(interp, 6).alias("cnt_filled"),
+    )
+
+
+@query(
+    "anomaly_mad_outliers",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ),
+    md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(min(d.med), 6) AS med,
+           round(min(md.mad), 6) AS mad,
+           CAST(count(CASE WHEN d.dev > 3 * md.mad THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad_outliers(spark, sf_dir):
+    """Robust outlier detection per event_type: median + MAD (median
+    absolute deviation), flagging |x − med| > 3·MAD. The robust-stats
+    alternative to z-scores (mean/stddev are skew-fragile AND their
+    float accumulation order is nondeterministic — medians interpolate
+    two sorted doubles, deterministic in both engines, which is what
+    makes this EXACT-checkable). Shape: two interpolated-percentile
+    aggregations chained by broadcast joins of the 5-row stats tables
+    back onto the scan — at 100 TB the exact median is the scale
+    bottleneck (full sort per group); the production swap is
+    percentile_approx for med/MAD with the same downstream plan
+    (ROWS-class then, like agg_approx_percentile)."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("dev") > 3 * F.col("mad"), 1)).alias(
+                "n_outliers"
+            ),
         )
     )

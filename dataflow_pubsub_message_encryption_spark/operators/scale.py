@@ -1,0 +1,211 @@
+"""Scale-pattern operators: the shuffle-level techniques a 1000-executor
+cluster needs, each proven RESULT-IDENTICAL to the naive plan by an EXACT
+DuckDB oracle.
+
+The reference has no distributed-shuffle layer at all [U/H, SURVEY §2.1 —
+a linear Beam pipeline; Dataflow owns its physical execution]; these rows
+make the engine's 100 TB story *checkable* instead of narrative. Each
+operator implements a well-known scale mitigation (skew salting, space-
+filling-curve layout clustering, Arrow grouped-map) whose OUTPUT must be
+bit-identical to the unmitigated query — which is exactly what the oracle
+gate asserts. SCALING.md §8 referenced these as design notes; here they
+are executable.
+
+Scale notes (100 TB):
+- ``join_skew_salted``: a hot key (one event_type = 40 % of the fact
+  table) serializes the naive shuffle through one reducer. Salting
+  splits each key across ``_N_SALT`` reducers (fact side: deterministic
+  ``pmod(event_id, N)``; dim side: replicate ×N) and re-merges with a
+  second tiny aggregation. The shuffle fan-out is restored to N× and the
+  final agg touches |keys|×N rows — negligible. AQE's skew-join handles
+  the JOIN case at runtime; explicit salting is still the tool for
+  skewed AGGREGATION and for engines/pipelines where AQE can't see the
+  skew (first-stage partial aggs hide it).
+- ``zorder_cluster``: multi-dimensional clustering for layout. Sorting
+  by the interleaved z-value co-locates rows close in BOTH dimensions,
+  so min/max parquet footer stats prune 2-D range predicates — the
+  standard lakehouse technique for (user, time) point lookups on a
+  table sorted by neither. The operator computes the curve and per-
+  bucket extents; a writer would ``repartitionByRange(zval)`` +
+  ``sortWithinPartitions(zval)`` on the way out.
+- ``grouped_map_scale``: ``applyInPandas`` is THE escape hatch for
+  per-group logic Spark expressions can't say. Cost model: one full
+  shuffle on the group key + Arrow serialization both ways; each group
+  must fit in one worker's memory (per-lang corpora here; at 100 TB the
+  group key must be finer or the logic two-pass). Kept exact-checkable
+  by doing only deterministic int/double arithmetic inside the UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..functions.normalize import money, sim
+from ..sources import load, load_events
+from .base import make_registry
+
+QUERIES, ORACLES, query = make_registry()
+
+_N_SALT = 8
+
+
+@query(
+    "join_skew_salted",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type, substr(event_type, 1, 1) AS category
+      FROM events
+    )
+    SELECT d.category,
+           e.event_type,
+           count(*) AS n_events,
+           CAST(round(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY d.category, e.event_type
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-salted join + aggregation, result-identical to the naive
+    plan (the oracle runs the UNSALTED query). Fact side gets a
+    deterministic salt ``pmod(event_id, N)``; the dim side is replicated
+    ×N via ``explode(sequence(0, N-1))`` so the equi-join key becomes
+    (event_type, salt) — a hot event_type now spreads over N reducers
+    instead of one. A first aggregation on (category, event_type, salt)
+    does the heavy lifting at N× parallelism; the second merges N
+    partials per key. Decimal sums keep the two-stage total bit-equal
+    to the one-stage oracle sum."""
+    ev = load_events(spark, sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("category", F.substring("event_type", 1, 1))
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1)))
+    )
+    fact = ev.select(
+        "event_type",
+        F.pmod("event_id", F.lit(_N_SALT)).cast("int").alias("salt"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    partial = (
+        fact.join(F.broadcast(dim_salted), ["event_type", "salt"])
+        .groupBy("category", "event_type", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("v").alias("pv"))
+    )
+    return partial.groupBy("category", "event_type").agg(
+        F.sum("pn").alias("n_events"),
+        money(F.sum("pv")).alias("total_value"),
+    )
+
+
+def _zbits(col: F.Column, offset: int) -> F.Column:
+    """Spread the low 4 bits of ``col`` onto even (offset=0) or odd
+    (offset=1) positions of an 8-bit z-value."""
+    z = F.lit(0)
+    for i in range(4):
+        bit = F.shiftright(col, i).bitwiseAND(F.lit(1))
+        z = z + F.shiftleft(bit, 2 * i + offset)
+    return z
+
+
+def _zbits_sql(expr: str, offset: int) -> str:
+    # Each shift term gets its own parens: SQL gives ``+`` tighter binding
+    # than ``<<``, so ``a << 1 + b`` would parse as ``a << (1 + b)``.
+    return " + ".join(
+        f"(((({expr}) >> {i}) & 1) << {2 * i + offset})" for i in range(4)
+    )
+
+
+@query(
+    "zorder_cluster",
+    f"""
+    WITH z AS (
+      SELECT ({_zbits_sql("user_id % 16", 1)})
+           + ({_zbits_sql("CAST(floor(hour(ts) / 2) AS BIGINT)", 0)}) AS zval,
+             user_id
+      FROM events
+    )
+    SELECT CAST(zval >> 4 AS INTEGER) AS z_bucket,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(zval) AS INTEGER) AS z_min,
+           CAST(max(zval) AS INTEGER) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_cluster(spark, sf_dir):
+    """Z-order (Morton) curve over (user bucket, hour-of-day): interleave
+    4 bits of ``pmod(user_id,16)`` with 4 bits of ``hour/2`` into an
+    8-bit z-value, then report per-z-range extents. Pure bit arithmetic
+    (shiftleft/shiftright/&) — JVM codegen, no UDF, and the identical
+    operators exist in DuckDB so the curve itself is oracle-checked.
+    The bucket histogram is what a layout optimizer inspects before
+    choosing ``repartitionByRange(zval).sortWithinPartitions(zval)`` for
+    the write: rows sharing a bucket are close in both dimensions, so
+    footer min/max stats prune 2-D range scans."""
+    ev = load_events(spark, sf_dir)
+    zval = (
+        _zbits(F.pmod("user_id", F.lit(16)), 1)
+        + _zbits(F.floor(F.hour("ts") / 2).cast("bigint"), 0)
+    ).alias("zval")
+    return (
+        ev.select(zval, "user_id")
+        .groupBy(F.shiftright("zval", 4).cast("int").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("zval").cast("int").alias("z_min"),
+            F.max("zval").cast("int").alias("z_max"),
+        )
+    )
+
+
+@query(
+    "grouped_map_scale",
+    """
+    SELECT doc_id, lang,
+           round(CASE WHEN mx = mn THEN 0.0
+                      ELSE CAST(n_chars - mn AS DOUBLE) / (mx - mn) END,
+                 6) AS scaled
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             min(n_chars) OVER (PARTITION BY lang) AS mn,
+             max(n_chars) OVER (PARTITION BY lang) AS mx
+      FROM documents
+    )
+    """,
+)
+def grouped_map_scale(spark, sf_dir):
+    """Per-group min-max normalization via ``applyInPandas`` — the
+    grouped-map Arrow path (full shuffle on the group key, whole group
+    as one pandas frame). The UDF body is deterministic int/double
+    arithmetic ((x−min)/(max−min) over exact int64s), so the Arrow
+    round-trip is bit-identical to the window-function oracle — proving
+    the grouped-map plumbing itself is loss-free. Rounding happens
+    JVM-side AFTER the UDF (same ``round(x, 6)`` both engines). At
+    100 TB the per-group frame must fit one worker — fine for per-lang
+    stats; finer keys or a two-pass (agg then broadcast join) otherwise,
+    which is exactly what this op's window-function oracle would be."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["n_chars"].min(), pdf["n_chars"].max()
+        rng = mx - mn
+        scaled = (
+            (pdf["n_chars"] - mn) / rng if rng else pdf["n_chars"] * 0.0
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "scaled": scaled.astype("float64"),
+            }
+        )
+
+    out = docs.groupBy("lang").applyInPandas(
+        scale, "doc_id long, lang string, scaled double"
+    )
+    return out.select("doc_id", "lang", sim("scaled").alias("scaled"))

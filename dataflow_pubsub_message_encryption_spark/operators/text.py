@@ -276,3 +276,80 @@ def text_tfidf_top3(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "text_vocab_build",
+    """
+    SELECT token, cnt, CAST(rk AS INTEGER) AS token_id FROM (
+      SELECT token, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token
+    ) WHERE rk <= 200
+    """,
+)
+def text_vocab_build(spark, sf_dir):
+    """Vocabulary construction — the tokenizer-training primitive: count
+    every token, rank by (frequency desc, token asc), assign contiguous
+    ids to the top 200. Two-stage count (map-side combine, shuffle ∝
+    vocabulary not corpus) then a single-partition ranking window over
+    the vocab-sized aggregate — the standard shape: at 100 TB the count
+    table is still only |vocab| rows, so the final rank is trivially
+    cheap; only the id-assignment window is serial and it runs over
+    thousands of rows, not documents."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= 200)
+        .select("token", "cnt", "token_id")
+    )
+
+
+@query(
+    "text_bigram_colloc",
+    """
+    SELECT bigram, cnt, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT bigram, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rk
+      FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+      )
+      GROUP BY bigram
+    ) WHERE rk <= 30
+    """,
+)
+def text_bigram_colloc(spark, sf_dir):
+    """Bigram collocation counts — the n-gram LM / tokenizer-merge-pair
+    statistic: slide a 2-token window over every document (array
+    ``transform`` over an index ``sequence`` — JVM codegen, no explode
+    of intermediate pairs until the count), count global bigrams, rank
+    the top 30 with a deterministic (count desc, bigram asc) tie-break.
+    Same scale shape as vocab build: shuffle ∝ distinct bigrams with
+    map-side partial counts; documents never leave their partitions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> concat(t[i], ' ', t[i + 1]))"
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 30)
+        .select("bigram", "cnt", "rk")
+    )

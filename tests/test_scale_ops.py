@@ -1,0 +1,167 @@
+"""Scale-pattern operator tests: salted == unsalted law, z-curve locality,
+grouped-map referee, interpolation laws, MAD referee — plus plan
+assertions that the mitigations actually take the intended physical shape
+(broadcast dim replicate, no Python in the bit-arithmetic path)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+    QUERIES as BEHAVIOR_QUERIES,
+)
+from dataflow_pubsub_message_encryption_spark.operators.scale import (
+    QUERIES as SCALE_QUERIES,
+)
+from dataflow_pubsub_message_encryption_spark.operators.text import (
+    QUERIES as TEXT_QUERIES,
+)
+from dataflow_pubsub_message_encryption_spark.sources import load, load_events
+
+
+def test_salted_equals_unsalted(spark, sf_dir):
+    """The salting must be invisible in the result: same rows as the
+    naive one-stage aggregation."""
+    got = {
+        (r.category, r.event_type): (r.n_events, r.total_value)
+        for r in SCALE_QUERIES["join_skew_salted"](spark, sf_dir).collect()
+    }
+    naive = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.substring("event_type", 1, 1).alias("category"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    )
+    assert got == {(r.category, r.event_type): (r.n, r.tv) for r in naive}
+
+
+def test_salted_join_broadcasts_dim(spark, sf_dir):
+    plan = SCALE_QUERIES["join_skew_salted"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_locality_beats_linear(spark, sf_dir):
+    """The point of the z-curve: rows within one z-bucket span at most
+    1/16 of the curve (z_max - z_min <= 15), i.e. both dimensions are
+    simultaneously bounded — a linear (user-only or hour-only) sort
+    cannot bound the other dimension."""
+    rows = SCALE_QUERIES["zorder_cluster"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 16
+    for r in rows:
+        assert r.z_bucket == r.z_min >> 4 == r.z_max >> 4
+        assert 0 <= r.z_max - r.z_min <= 15
+
+
+def test_zorder_is_pure_jvm(spark, sf_dir):
+    plan = SCALE_QUERIES["zorder_cluster"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_grouped_map_scale_referee(spark, sf_dir):
+    docs = {
+        r.doc_id: (r.lang, r.n_chars)
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for lang, n in docs.values():
+        lo[lang] = min(lo.get(lang, n), n)
+        hi[lang] = max(hi.get(lang, n), n)
+    got = SCALE_QUERIES["grouped_map_scale"](spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        lang, n = docs[r.doc_id]
+        rng = hi[lang] - lo[lang]
+        want = 0.0 if rng == 0 else (n - lo[lang]) / rng
+        assert r.lang == lang
+        assert math.isclose(r.scaled, round(want, 6), abs_tol=1e-9)
+        assert 0.0 <= r.scaled <= 1.0
+
+
+def test_vocab_ids_are_contiguous_and_ranked(spark, sf_dir):
+    rows = sorted(
+        TEXT_QUERIES["text_vocab_build"](spark, sf_dir).collect(),
+        key=lambda r: r.token_id,
+    )
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    # ranked by count desc, token asc
+    for a, b in zip(rows, rows[1:]):
+        assert (-a.cnt, a.token) < (-b.cnt, b.token)
+
+
+def test_bigram_counts_referee(spark, sf_dir):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for r in load(spark, sf_dir, "documents").select("text").collect():
+        t = r.text.split(" ")
+        c.update(f"{a} {b}" for a, b in zip(t, t[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = sorted(
+        TEXT_QUERIES["text_bigram_colloc"](spark, sf_dir).collect(),
+        key=lambda r: r.rk,
+    )
+    assert [(r.bigram, r.cnt) for r in got] == want
+
+
+def test_gapfill_interp_laws(spark, sf_dir):
+    rows = sorted(
+        BEHAVIOR_QUERIES["window_gapfill_interp"](spark, sf_dir).collect(),
+        key=lambda r: r.window_start,
+    )
+    known = [(i, r.cnt_raw) for i, r in enumerate(rows) if r.cnt_raw >= 0]
+    assert known, "fixture must have at least one non-empty hour"
+    for i, r in enumerate(rows):
+        if r.cnt_raw >= 0:
+            assert r.cnt_filled == float(r.cnt_raw)
+        else:
+            # interpolated values sit within the [prev, next] envelope
+            prev = max(((j, v) for j, v in known if j < i), default=None)
+            nxt = min(((j, v) for j, v in known if j > i), default=None)
+            if prev is None:
+                assert r.cnt_filled == float(nxt[1])
+            elif nxt is None:
+                assert r.cnt_filled == float(prev[1])
+            else:
+                lo = min(prev[1], nxt[1])
+                hi = max(prev[1], nxt[1])
+                assert lo <= r.cnt_filled <= hi
+                want = prev[1] + (nxt[1] - prev[1]) * (i - prev[0]) / (
+                    nxt[0] - prev[0]
+                )
+                assert math.isclose(r.cnt_filled, round(want, 6), abs_tol=1e-9)
+
+
+def test_mad_outliers_referee(spark, sf_dir):
+    import statistics
+
+    vals: dict[str, list[float]] = {}
+    for r in load_events(spark, sf_dir).select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    got = {
+        r.event_type: r
+        for r in BEHAVIOR_QUERIES["anomaly_mad_outliers"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(vals)
+    for t, xs in vals.items():
+        med = statistics.median(xs)
+        mad = statistics.median(abs(x - med) for x in xs)
+        n_out = sum(1 for x in xs if abs(x - med) > 3 * mad)
+        assert math.isclose(got[t].med, round(med, 6), abs_tol=1e-9)
+        assert math.isclose(got[t].mad, round(mad, 6), abs_tol=1e-9)
+        assert got[t].n_outliers == n_out
