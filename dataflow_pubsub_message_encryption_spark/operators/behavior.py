@@ -22,8 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import date_str, ts_str
-from ..sources import load_events
+from ..functions.normalize import date_str, money, ts_str
+from ..sources import load, load_events
 from .base import make_registry
 
 QUERIES, ORACLES, query = make_registry()
@@ -350,4 +350,133 @@ def anomaly_mad_outliers(spark, sf_dir):
                 "n_outliers"
             ),
         )
+    )
+
+
+@query(
+    "sessionize_gap_sql",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM s
+    )
+    SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           date_diff('microseconds', min(ts), max(ts)) AS duration_us
+    FROM t GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_gap_sql(spark, sf_dir):
+    """Gap-based sessionization in pure SQL windows (the batch twin of
+    the streaming ``session_window`` in R8's family): a session breaks
+    after >30 min of inactivity; session ids are the running sum of
+    break flags — the canonical lag-then-cumsum idiom, one shuffle on
+    user_id, exact in both engines because gaps and durations are
+    INTEGER MICROSECOND diffs (``timestampdiff`` ↔ ``date_diff``; a
+    float ``epoch()`` would round where Spark truncates) over NTZ
+    timestamps, ties broken by event_id. At 100 TB sessionization
+    partitions by user — skew only from bot users, the documented
+    salting/AQE case."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    t = ev.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return t.groupBy(
+        "user_id", F.col("session_idx").cast("int").alias("session_idx")
+    ).agg(
+        F.count("*").alias("n_events"),
+        ts_str(F.min("ts")).alias("session_start"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias(
+            "duration_us"
+        ),
+    )
+
+
+@query(
+    "agg_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+           CAST(round(floor(value / 25.0) * 25.0, 2) AS DOUBLE) AS bucket_lo,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event_type — the profiling /
+    distribution-QA primitive. Bucketing is ``floor(value / width)``:
+    one deterministic double division (2dp-clean fixture values never
+    sit on a floor boundary's representation edge), fully inside
+    whole-stage codegen, and the groupBy partial-aggregates map-side so
+    shuffle volume is |types| × |buckets| regardless of event count."""
+    ev = load_events(spark, sf_dir)
+    bucket = F.floor(F.col("value") / 25.0)
+    return ev.groupBy(
+        "event_type",
+        bucket.cast("int").alias("bucket"),
+        money(bucket * 25.0).alias("bucket_lo"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "market_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in ≥2
+    orders. The pair explosion is the textbook scale hazard; the shape
+    that survives 100 TB is (1) distinct items first (kills duplicate
+    lines), (2) equi-self-join keyed on the ORDER (pairs never cross
+    orders, so the blow-up is Σ k_i² over per-order item counts k_i ≤ 13
+    here — bounded by basket size, not table size), (3) ``<`` dedups
+    mirrored pairs at generation instead of a post-hoc distinct, (4)
+    count with map-side partials + a HAVING floor so only support ≥ 2
+    survives the final shuffle."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
     )

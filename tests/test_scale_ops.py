@@ -165,3 +165,62 @@ def test_mad_outliers_referee(spark, sf_dir):
         assert math.isclose(got[t].med, round(med, 6), abs_tol=1e-9)
         assert math.isclose(got[t].mad, round(mad, 6), abs_tol=1e-9)
         assert got[t].n_outliers == n_out
+
+
+def test_sessionize_referee(spark, sf_dir):
+    """Python referee over the raw events: same session partitioning."""
+    rows = (
+        load_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        idx, start, last, n = 0, None, None, 0
+        for ts, _ in evs:
+            if last is None or (ts - last).total_seconds() > 1800:
+                if start is not None:
+                    want[(uid, idx)] = (n, start)
+                idx, start, n = idx + 1, ts, 0
+            n += 1
+            last = ts
+        want[(uid, idx)] = (n, start)
+    got = BEHAVIOR_QUERIES["sessionize_gap_sql"](spark, sf_dir).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n, start = want[(r.user_id, r.session_idx)]
+        assert r.n_events == n
+        assert r.session_start == start.strftime("%Y-%m-%d %H:%M:%S.%f")
+        assert r.duration_us >= 0
+
+
+def test_histogram_total_and_bounds(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    total = ev.count()
+    rows = BEHAVIOR_QUERIES["agg_value_histogram"](spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert r.bucket_lo == r.bucket * 25.0
+        assert r.bucket >= 0
+
+
+def test_market_basket_pairs_canonical_and_supported(spark, sf_dir):
+    rows = BEHAVIOR_QUERIES["market_basket_pairs"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_orders >= 2
+    # spot referee: recount one pair from raw lineitem
+    if rows:
+        r0 = max(rows, key=lambda r: r.n_orders)
+        li = (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.filter(F.col("l_partkey") == r0.part_a).select("l_orderkey")
+        b = li.filter(F.col("l_partkey") == r0.part_b).select("l_orderkey")
+        assert a.intersect(b).count() == r0.n_orders
