@@ -149,9 +149,9 @@ def _planes() -> list[list[float]]:
     return planes
 
 
-def _lsh_bucket_sql(col: str) -> str:
+def _lsh_bucket_sql(col: str, n_planes: int | None = None) -> str:
     parts = []
-    for p, plane in enumerate(_planes()):
+    for p, plane in enumerate(_planes()[:n_planes]):
         lit = "[" + ", ".join(str(x) for x in plane) + "]"
         parts.append(
             f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
@@ -427,4 +427,72 @@ def emb_dim_census(spark, sf_dir):
             F.max("val").cast("double").alias("maxv"),
             F.sum(F.when(F.col("val") > 0, 1).otherwise(0)).alias("n_pos"),
         )
+    )
+
+
+_DEDUP_TAU = 0.3
+_BLOCK_BITS = 4  # 16 buckets: wide enough to exercise the pair stage at sf
+
+
+def _bucket_bits(emb, n_planes):
+    bits = [
+        F.when(cosine_free_dot(emb, plane) > 0, "1").otherwise("0")
+        for plane in _planes()[:n_planes]
+    ]
+    return F.concat(*bits)
+
+
+@query(
+    "dedup_embedding_lsh",
+    f"""
+    SELECT vec_a, vec_b, bucket, cos_sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+               AS cos_sim
+      FROM (SELECT vec_id, embedding,
+                   {_lsh_bucket_sql("embedding", _BLOCK_BITS)} AS bucket
+            FROM embeddings) a
+      JOIN (SELECT vec_id, embedding,
+                   {_lsh_bucket_sql("embedding", _BLOCK_BITS)} AS bucket
+            FROM embeddings) b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {_DEDUP_TAU}
+    """,
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup with LSH-BUCKET blocking — the 100 TB shape
+    that `dedup_embedding_cosine` (label-blocked exactness baseline)
+    documents as its production alternative: the blocking key is derived
+    from the vectors themselves (hyperplane sign prefix), so no trusted
+    label is needed and the pairwise stage is bounded per bucket. The
+    whole pipeline INCLUDING the bucketing is EXACT-oracle-checked
+    (planes inlined into both engines). Candidate volume is Σ b_i² over
+    bucket sizes — the prefix length is the knob (longer prefix = fewer
+    false candidates, lower recall; multi-band OR-amplification as in
+    dedup_minhash_lsh_pairs recovers it). The equi-self-join shuffles
+    ids+vectors once on the bucket key; at 100 TB the verify stage
+    re-joins vectors by id instead of carrying them (as the minhash op
+    does), a constant-factor swap the fixture scale doesn't need."""
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+        _bucket_bits(as_double("embedding"), _BLOCK_BITS).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cs = F.round(cosine(F.col("x.emb"), F.col("y.emb")), 6)
+    return (
+        x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("x.bucket").alias("bucket"),
+            cs.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _DEDUP_TAU)
     )

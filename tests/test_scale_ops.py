@@ -224,3 +224,42 @@ def test_market_basket_pairs_canonical_and_supported(spark, sf_dir):
         a = li.filter(F.col("l_partkey") == r0.part_a).select("l_orderkey")
         b = li.filter(F.col("l_partkey") == r0.part_b).select("l_orderkey")
         assert a.intersect(b).count() == r0.n_orders
+
+
+def test_embedding_lsh_dedup_subset_of_brute(spark, sf_dir):
+    """Every LSH-blocked pair must appear in the brute-force pair set at
+    the same threshold (blocking only PRUNES, never invents), and recall
+    must be non-trivial on the fixture."""
+    from dataflow_pubsub_message_encryption_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _DEDUP_TAU,
+        QUERIES as SIM_QUERIES,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    brute = {
+        (r.va, r.vb)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cs"),
+        )
+        .filter(F.col("cs") >= _DEDUP_TAU)
+        .collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in SIM_QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    assert got <= brute
+    if brute:
+        recall = len(got) / len(brute)
+        assert recall > 0.05, f"LSH recall collapsed: {recall}"
