@@ -1285,3 +1285,134 @@ def agg_approx_percentile(spark, sf_dir):
             ).alias("approx_within_1pct"),
         )
     )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH s AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(COALESCE(s.day, p.day), '%Y-%m-%d') AS day,
+           CAST(COALESCE(s.n_signup, 0) AS BIGINT) AS n_signup,
+           CAST(COALESCE(p.n_purchase, 0) AS BIGINT) AS n_purchase
+    FROM s FULL OUTER JOIN p ON s.day = p.day
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """C7b — FULL OUTER join: daily signup counts ⟗ daily purchase
+    counts, surfacing days where either side is absent (zero-filled).
+    Full outer forbids broadcast in Spark — the physical plan is a
+    sort-merge on the day key, which is the correct 100 TB shape too
+    (both sides are pre-aggregated to |days| rows first, so the outer
+    join is grid-sized, not event-sized)."""
+    ev = load_events(spark, sf_dir)
+    day = F.col("ts").cast("date").alias("day")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count("*").alias("n_purchase"))
+    )
+    return (
+        s.join(p, "day", "full_outer")
+        .select(
+            date_str("day").alias("day"),
+            F.coalesce("n_signup", F.lit(0)).cast("long").alias("n_signup"),
+            F.coalesce("n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
+        )
+    )
+
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+    ) WHERE l_orderkey <= 1000
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """C-melt — wide→long unpivot of three lineitem measures (native
+    ``DataFrame.unpivot``, the inverse of agg_pivot). Values pass
+    through untouched — the same parquet doubles in both engines, no
+    arithmetic — so the melt is trivially EXACT. Unpivot is a narrow
+    ×k row expansion (no shuffle); the oracle mirrors with UNION ALL,
+    which is also the portable fallback shape."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount")
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT user_id, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'view'
+    ) GROUP BY user_id
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """C24b — INTERSECT ALL (bag semantics): per user, min(clicks,
+    views) occurrences survive — the multiset intersection both engines
+    define identically. Aggregated to (user_id, n) so the result is a
+    compact census rather than a row-per-occurrence blob."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return (
+        clicks.intersectAll(views)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT user_id, count(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) GROUP BY user_id
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """C25b — EXCEPT ALL (bag semantics): per user, max(clicks −
+    purchases, 0) occurrences survive. Same census aggregation as
+    INTERSECT ALL."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return (
+        clicks.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
