@@ -480,3 +480,54 @@ def market_basket_pairs(spark, sf_dir):
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "window_rollup_multires",
+    """
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour' ELSE 'day' END AS resolution,
+           strftime(COALESCE(h, d), '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM (
+      SELECT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             value
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((event_type, h), (event_type, d))
+    """,
+)
+def window_rollup_multires(spark, sf_dir):
+    """Multi-resolution time rollup — the hypertable continuous-aggregate
+    shape: hourly AND daily (event_type, window) aggregates from ONE scan
+    via GROUPING SETS (Catalyst's Expand: each row feeds both
+    granularities before the partial agg, so the shuffle carries two
+    pre-combined granularities, never two scans). ``grouping()``
+    disambiguates the resolution. At 100 TB this is strictly better than
+    a per-resolution job chain; the day rows could also be derived by
+    re-aggregating hour rows (the cascade the day grain admits), which
+    Spark expresses as a second tiny agg over this result."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    g = ev.groupingSets(
+        [["event_type", "h"], ["event_type", "d"]], "event_type", "h", "d"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("v").alias("sv"),
+        F.grouping("h").alias("gh"),  # grouping() only resolves inside the agg
+    )
+    return g.select(
+        F.when(F.col("gh") == 0, "hour").otherwise("day").alias("resolution"),
+        F.coalesce(ts_str("h"), ts_str("d")).alias("window_start"),
+        "event_type",
+        "n_events",
+        money("sv").alias("total_value"),
+    )

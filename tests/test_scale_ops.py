@@ -263,3 +263,22 @@ def test_embedding_lsh_dedup_subset_of_brute(spark, sf_dir):
     if brute:
         recall = len(got) / len(brute)
         assert recall > 0.05, f"LSH recall collapsed: {recall}"
+
+
+def test_multires_rollup_cascade_law(spark, sf_dir):
+    """Day rows must equal re-aggregated hour rows (the cascade the day
+    grain admits) — single-scan GROUPING SETS can't disagree with itself."""
+    rows = BEHAVIOR_QUERIES["window_rollup_multires"](spark, sf_dir).collect()
+    hours = [r for r in rows if r.resolution == "hour"]
+    days = {(r.window_start[:10], r.event_type): r for r in rows if r.resolution == "day"}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0.0])
+    for r in hours:
+        k = (r.window_start[:10], r.event_type)
+        agg[k][0] += r.n_events
+        agg[k][1] += r.total_value
+    assert set(agg) == set(days)
+    for k, (n, tv) in agg.items():
+        assert days[k].n_events == n
+        assert abs(days[k].total_value - tv) < 1e-6
