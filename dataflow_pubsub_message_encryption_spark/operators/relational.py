@@ -1416,3 +1416,33 @@ def set_except_all(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "agg_mode_per_user",
+    """
+    SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rk = 1
+    """,
+)
+def agg_mode_per_user(spark, sf_dir):
+    """C-mode — modal (most frequent) value per group, deterministic
+    under ties (count desc, value asc): each user's dominant event type.
+    Two-stage count then a per-user ranking window over the ≤|types|
+    rows each user owns — the window input is the aggregate, never the
+    raw events, so the sort is per-key-tiny at any scale. (DuckDB's
+    native ``mode()`` breaks ties arbitrarily — the explicit window IS
+    the portable determinism discipline.)"""
+    ev = load_events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )

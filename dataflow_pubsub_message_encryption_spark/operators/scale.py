@@ -41,7 +41,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..functions.normalize import money, sim
+from ..functions.normalize import money, sim, ts_str
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -209,3 +209,56 @@ def grouped_map_scale(spark, sf_dir):
         scale, "doc_id long, lang string, scaled double"
     )
     return out.select("doc_id", "lang", sim("scaled").alias("scaled"))
+
+
+@query(
+    "join_range_binned",
+    """
+    SELECT strftime(CAST(date_trunc('hour', c.ts) AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S.%f') AS click_hour,
+           count(*) AS n_pairs,
+           CAST(count(DISTINCT c.event_id) AS BIGINT) AS n_clicks
+    FROM events c JOIN events e
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Interval join via BUCKET BINNING, result-identical to the naive
+    theta join (which is what the oracle runs): clicks paired with error
+    events within ±1 h. A bare |t_c − t_e| ≤ 1h predicate gives Spark a
+    nested-loop join — quadratic and unshuffleable. The scale rewrite:
+    bin both sides to 1-h buckets, EXPLODE the error side to its 3
+    admissible buckets (b−1, b, b+1), equi-join on the bucket, then
+    verify the exact predicate. Each pair matches in exactly ONE bucket
+    (the click's), so emit-once holds with no post-hoc distinct — the
+    same discipline as the MinHash band join. The equi-key restores
+    hash-partitioned parallelism; candidate volume is Σ per-bucket
+    |clicks|·|errors| — controlled by the bin width, which should match
+    the range radius."""
+    ev = load_events(spark, sf_dir)
+    us = F.expr("unix_micros(to_utc_timestamp(ts, 'UTC'))")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+        F.floor(us / 3_600_000_000).alias("bucket"),
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("ts").alias("e_ts"),
+            F.floor(us / 3_600_000_000).alias("eb"),
+        )
+        .withColumn("bucket", F.explode(F.expr("array(eb - 1, eb, eb + 1)")))
+    )
+    diff = F.expr("timestampdiff(MICROSECOND, c_ts, e_ts)")
+    pairs = clicks.join(errors, "bucket").filter(
+        (diff >= -3_600_000_000) & (diff <= 3_600_000_000)
+    )
+    return pairs.groupBy(
+        ts_str(F.date_trunc("hour", "c_ts")).alias("click_hour")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("c_id").alias("n_clicks"),
+    )

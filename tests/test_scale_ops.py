@@ -282,3 +282,30 @@ def test_multires_rollup_cascade_law(spark, sf_dir):
     for k, (n, tv) in agg.items():
         assert days[k].n_events == n
         assert abs(days[k].total_value - tv) < 1e-6
+
+
+def test_range_binned_equals_naive_theta(spark, sf_dir):
+    """The binned rewrite must equal the naive |diff|<=1h theta join."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "ts")
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id c_id", "ts c_ts"
+    )
+    e = ev.filter(F.col("event_type") == "error").selectExpr("ts e_ts")
+    naive = (
+        c.join(
+            e,
+            F.expr(
+                "e_ts BETWEEN c_ts - INTERVAL 1 HOUR"
+                " AND c_ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .groupBy(F.date_trunc("hour", "c_ts").alias("h"))
+        .agg(F.count("*").alias("np"), F.count_distinct("c_id").alias("nc"))
+        .collect()
+    )
+    want = {r.h.strftime("%Y-%m-%d %H:%M:%S.%f"): (r.np, r.nc) for r in naive}
+    got = {
+        r.click_hour: (r.n_pairs, r.n_clicks)
+        for r in SCALE_QUERIES["join_range_binned"](spark, sf_dir).collect()
+    }
+    assert got == want
