@@ -1446,3 +1446,88 @@ def agg_mode_per_user(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("user_id", F.col("event_type").alias("modal_type"), "n")
     )
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, frequency, monetary,
+             ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT o_custkey,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(round(monetary, 2) AS DOUBLE) AS monetary,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score <= 3 THEN 'loyal'
+                WHEN r_score >= 4 AND m_score <= 2 THEN 'at_risk_big_spender'
+                WHEN r_score >= 4 THEN 'dormant'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — the canonical warehouse scoring
+    query: per-customer recency/frequency/monetary, quintile scores via
+    ``ntile(5)`` (deterministic: every ORDER BY carries the custkey
+    tie-break, and ntile's equal-split rule is identical in both
+    engines), then a rule-based segment label. One aggregation shuffle
+    on custkey; the three ntile windows run over the CUSTOMER table
+    (not orders). Global ntile is single-partition by nature — at
+    100 TB the swap is percentile-threshold scoring (approx quantiles
+    broadcast as literals, narrow-map the scores), which avoids the
+    global sort at the cost of boundary-exactness; the rule layer is
+    identical either way."""
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(dec4("o_totalprice")).alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") == 1)
+            & (F.col("f_score") <= 2)
+            & (F.col("m_score") <= 2),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 3), "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("m_score") <= 2),
+              "at_risk_big_spender")
+        .when(F.col("r_score") >= 4, "dormant")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        "frequency",
+        money("monetary").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

@@ -309,3 +309,25 @@ def test_range_binned_equals_naive_theta(spark, sf_dir):
         for r in SCALE_QUERIES["join_range_binned"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_rfm_scores_and_segments(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.relational import (
+        QUERIES as REL_QUERIES,
+    )
+
+    rows = REL_QUERIES["rfm_segmentation"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    valid = {"champion", "loyal", "at_risk_big_spender", "dormant", "regular"}
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment in valid
+        assert r.frequency >= 1 and r.monetary > 0
+    # ntile(5) law: every quintile holds floor(n/5) or ceil(n/5) customers
+    from collections import Counter
+
+    for field in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, field) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1
