@@ -531,3 +531,51 @@ def window_rollup_multires(spark, sf_dir):
         "n_events",
         money("sv").alias("total_value"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(n AS DOUBLE)
+                      / sum(n) OVER (PARTITION BY prev_type), 6) AS DOUBLE)
+             AS p
+    FROM c
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream:
+    P(next_type | prev_type) from per-user consecutive event pairs — the
+    sequence-model / anomaly-baseline primitive (a session whose
+    transitions are improbable under this matrix is a bot candidate).
+    Shape: one ``lag`` window partitioned by user (the same shuffle
+    sessionization already pays — at 100 TB these share one
+    user-partitioned stage), then a |types|²-sized aggregate and a
+    per-row normalizing window over that tiny matrix. Determinism: ties
+    in the event order are broken by event_id; the normalizer is an
+    INTEGER sum, so the single double division is exact cross-engine."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wnorm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias("p"),
+    )

@@ -519,3 +519,63 @@ def corpus_clean_pipeline(spark, sf_dir):
             "avg_tokens"
         ),
     )
+
+
+_CONTAIN_TAU = 0.7
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks,
+             len(list_distinct(string_split(text, ' '))) AS n
+      FROM documents
+    )
+    SELECT doc_a, doc_b, inter, cont FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+             round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / least(a.n, b.n), 6) AS cont
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE cont >= {_CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Containment similarity |A∩B| / min(|A|,|B|) — the ASYMMETRIC
+    near-dup measure: a short document quoted inside a long one scores
+    ~1.0 here but near-zero Jaccard, which is why corpus cleaners run
+    containment alongside Jaccard (quote/subset extraction vs true
+    twins). Same group-bounded pairing as ``dedup_near_jaccard``, but
+    note what is MISSING: the size-ratio prune. Containment is immune to
+    it by construction (|A| ≪ |B| is precisely the interesting case), so
+    the per-block quadratic term cannot be cut by set sizes. At 100 TB
+    the blocking key must come from the SMALL side only — LSH over the
+    shorter document's shingles (prefix filtering / DivideSkip in the
+    literature) — because any symmetric signature scheme dilutes the
+    contained set's signal. Token sets travel as int64 ``fp64``
+    fingerprints; the oracle intersects the literal strings, so the
+    EXACT gate doubles as a collision check."""
+    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        fp64(distinct_tokens("text")).alias("toks"),
+        F.size(distinct_tokens("text")).alias("n"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    cont = F.round(inter.cast("double") / F.least("a.n", "b.n"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("inter"),
+            cont.alias("cont"),
+        )
+        .filter(F.col("cont") >= _CONTAIN_TAU)
+    )

@@ -167,3 +167,102 @@ def dedup_cluster_components(spark, sf_dir):
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000  # rank fixed-point scale: 1.0 == 1e6
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+      SELECT g.node,
+             CAST(150000 + (85 * COALESCE(x.contrib, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM deg g LEFT JOIN (
+        SELECT e.d AS node, sum(r.rank // dg.deg) AS contrib
+        FROM edges e
+        JOIN {prev} r ON r.node = e.s
+        JOIN deg dg ON dg.node = e.s
+        GROUP BY e.d) x ON x.node = g.node)"""
+
+
+@query(
+    "graph_pagerank_int",
+    f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]})
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT s AS node, count(*) AS deg FROM edges GROUP BY s),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+    {_pr_iter_sql("r0", "r1")},
+    {_pr_iter_sql("r1", "r2")},
+    {_pr_iter_sql("r2", "r3")}
+    SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree, rank AS pr_scaled
+    FROM r3 JOIN deg USING (node)
+    """,
+)
+def graph_pagerank_int(spark, sf_dir):
+    """PageRank over the MinHash-LSH duplicate graph (3 fixed
+    iterations, damping 0.85) — centrality as dedup triage: in a
+    near-dup cluster the highest-rank node is the best canonical pick
+    (most-corroborated copy), and PageRank is this engine's second
+    representative iterative algorithm after connected components.
+
+    The numerics are the interesting part: floating-point PageRank can
+    NEVER be exact cross-engine (sum order differs), so ranks are
+    fixed-point BIGINTs (scale 1e6) and every step is integer
+    arithmetic — contribution = rank div deg, damping = (85·sum) div
+    100. Integer addition commutes, so the result is bit-identical in
+    any engine at any parallelism: determinism by construction, not by
+    rounding. The oracle unrolls all 3 iterations as chained
+    CTEs over the SAME LSH pair SQL — the full iterative computation is
+    value-checked, like the recursive-CTE check for components.
+
+    Scale notes (100 TB): each iteration is one join on the edge list
+    (partitioned by source) + one partial-aggregating groupBy(dest) —
+    ids and two longs per row. Spark would localCheckpoint per round at
+    depth; 3 rounds keeps the plan shallow enough without. Skewed
+    celebrity nodes (huge deg) cost nothing here — contributions
+    DIVIDE by deg; the skew risk is on the RECEIVING side (sum at a hub
+    dest), the documented salting/AQE case."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg")).withColumnRenamed(
+        "s", "node"
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = deg.localCheckpoint(eager=True)
+    rank = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                deg.withColumnRenamed("node", "s").join(
+                    rank.withColumnRenamed("node", "s"), "s"
+                ),
+                "s",
+            )
+            .select(F.col("d").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        rank = deg.select("node").join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("(85 * coalesce(contrib, 0L)) div 100")
+            ).cast("long").alias("rank"),
+        )
+    return rank.join(deg, "node").select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.col("rank").alias("pr_scaled"),
+    )

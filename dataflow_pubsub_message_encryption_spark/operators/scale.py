@@ -262,3 +262,49 @@ def join_range_binned(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.count_distinct("c_id").alias("n_clicks"),
     )
+
+
+@query(
+    "agg_hll_partitioned_union",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+    """,
+)
+def agg_hll_partitioned_union(spark, sf_dir):
+    """Mergeable-sketch distinct counting — THE scale pattern exact
+    ``count_distinct`` cannot follow: per-group HLL sketches
+    (``hll_sketch_agg``, lgConfigK=14 → ~0.8 % std error) are unioned
+    into a global estimate (``hll_union_agg``) WITHOUT re-scanning the
+    fact table. At 100 TB this is how daily uniques roll into monthly
+    uniques: store one 16 KB sketch per (group, day) partition, merge on
+    demand; exact distinct would re-shuffle the raw keys every time.
+    Oracle pattern (as ``agg_approx_distinct``): the query emits the
+    EXACT count plus a Spark-computed within-5 % boolean for both the
+    per-group estimates and the merged global one; DuckDB recomputes the
+    exact counts and literal TRUE — a genuine cross-engine error-bound
+    check on the sketch AND its merge."""
+    ev = load_events(spark, sf_dir).select("event_type", "user_id")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    per_out = per.select("event_type", "exact_users", ok.alias("hll_ok"))
+    merged = per.agg(F.hll_union_agg("sk").alias("gsk"))
+    exact_g = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    g_ok = (
+        F.abs(F.hll_sketch_estimate("gsk") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    )
+    g_out = merged.crossJoin(exact_g).select(  # 1 row × 1 row
+        F.lit("ALL").alias("event_type"), "exact_users", g_ok.alias("hll_ok")
+    )
+    return per_out.unionByName(g_out)

@@ -76,3 +76,20 @@ def test_retention_cohort_laws(spark, sf_dir):
     }
     for r in out:
         assert r.n_active_users <= pop[r.cohort_day]
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import QUERIES as BQ
+    from collections import defaultdict
+
+    rows = BQ["events_transition_matrix"](spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(float)
+    cnt = defaultdict(int)
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        by_prev[r.prev_type] += r.p
+        cnt[r.prev_type] += 1
+    for prev, total in by_prev.items():
+        # each p rounded to 6dp -> row sums to 1 within #cells * 5e-7
+        assert abs(total - 1.0) <= cnt[prev] * 5e-7

@@ -200,3 +200,17 @@ def test_approx_percentile_error_bound(spark, sf_dir):
         m, p90 = exact[r.l_returnflag]
         assert r.median_exact == m and r.p90_exact == p90
         assert r.approx_within_1pct, f"sketch err {r.l_returnflag}"
+
+
+def test_containment_bounds_and_subset_law(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+        _CONTAIN_TAU,
+    )
+
+    rows = DQ["dedup_containment"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert _CONTAIN_TAU <= r.cont <= 1.0
+        assert r.inter >= 1
+        assert r.doc_a < r.doc_b

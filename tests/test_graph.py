@@ -102,3 +102,43 @@ def test_star_contraction_multiple_components(spark):
         5: 5, 6: 5, 7: 5, 8: 5,
         99: 99, 100: 99,
     }
+
+
+def test_pagerank_int_laws(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        QUERIES as GQ,
+        _PR_SCALE,
+    )
+
+    rows = GQ["graph_pagerank_int"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        # teleport floor: rank >= 0.15 * scale always
+        assert r.pr_scaled >= 150000
+        assert r.degree >= 1
+    # integer division only LOSES mass: total <= n * scale
+    assert sum(r.pr_scaled for r in rows) <= n * _PR_SCALE
+    # determinism by construction: a second run is bit-identical
+    again = {r.doc_id: r.pr_scaled for r in GQ["graph_pagerank_int"](spark, sf_dir).collect()}
+    assert again == {r.doc_id: r.pr_scaled for r in rows}
+
+
+def test_pagerank_int_symmetric_star(spark):
+    """On a 4-leaf star the hub must outrank every leaf and all leaves
+    tie exactly (integer arithmetic: EXACT equality, no tolerance)."""
+    from dataflow_pubsub_message_encryption_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    orig = G._DEDUP_QUERIES["dedup_minhash_lsh_pairs"]
+    G._DEDUP_QUERIES["dedup_minhash_lsh_pairs"] = lambda s, d: pairs
+    try:
+        got = {r.doc_id: r.pr_scaled for r in G.QUERIES["graph_pagerank_int"](spark, "unused").collect()}
+    finally:
+        G._DEDUP_QUERIES["dedup_minhash_lsh_pairs"] = orig
+    hub, leaves = got[1], [got[k] for k in (10, 11, 12, 13)]
+    assert len(set(leaves)) == 1
+    assert hub > leaves[0]

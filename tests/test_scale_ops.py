@@ -331,3 +331,15 @@ def test_rfm_scores_and_segments(spark, sf_dir):
         c = Counter(getattr(r, field) for r in rows)
         assert set(c) == {1, 2, 3, 4, 5}
         assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_hll_union_within_bound_and_merge(spark, sf_dir):
+    rows = SCALE_QUERIES["agg_hll_partitioned_union"](spark, sf_dir).collect()
+    per = {r.event_type: r for r in rows}
+    assert "ALL" in per and len(per) >= 2
+    for r in rows:
+        assert r.hll_ok  # sketch (and its merge) within 5% of exact
+    # merged-global exact >= any per-group exact
+    assert per["ALL"].exact_users >= max(
+        r.exact_users for k, r in per.items() if k != "ALL"
+    )
