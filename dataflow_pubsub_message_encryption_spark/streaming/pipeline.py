@@ -52,7 +52,21 @@ def events_file_stream(
     )
     # watermarks require TIMESTAMP (with local tz), not NTZ — the batch side
     # uses NTZ for oracle portability, streaming uses the instant type.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    #
+    # Unit normalization (probed on 4.1.2): the batch reader (schema
+    # inference + nanosAsLong) surfaces the parquet TIMESTAMP(NANOS) column
+    # as raw NANOS, but a streaming scan with this explicit BIGINT schema
+    # coerces that same column to MICROS-since-epoch; fixture files written
+    # with a plain INT64 physical column come through as raw nanos in both
+    # modes. Disambiguate by magnitude: >= 1e17 is nanos for any date past
+    # 1973, while micros stay below 1e17 until year ~5138.
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 "
+            "THEN ts div 1000 ELSE ts END)"
+        ),
+    )
 
 
 def decrypted_stream(events: DataFrame, tamper: bool = False) -> DataFrame:

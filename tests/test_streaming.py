@@ -38,7 +38,15 @@ def _run_stream_to_memory(spark, sdf, name, mode="append"):
 
 def test_stream_windowed_counts_equal_batch(spark, sf_dir, tmpdir):
     """Replaying the events table through a file stream must yield the
-    exact batch R8 result once the stream drains (prefix consistency)."""
+    exact batch R8 result once the stream drains.
+
+    Complete mode is the deterministic drain: availableNow never runs the
+    no-data micro-batch that would flush watermark-closed windows in append
+    mode (probed on 4.1.2 — append emits nothing for a fully-drained replay),
+    while complete mode's final trigger holds the entire result table, which
+    must equal batch EXACTLY (a stronger assertion than the append prefix).
+    Append-mode watermark emission/drop semantics are covered separately by
+    test_watermark_drops_late_rows."""
     # stage the parquet into a stream-source dir
     import glob
     import shutil as sh
@@ -48,7 +56,7 @@ def test_stream_windowed_counts_equal_batch(spark, sf_dir, tmpdir):
 
     stream = st.events_file_stream(spark, tmpdir)
     counts = st.windowed_counts_stream(stream, watermark="10 minutes")
-    got = _run_stream_to_memory(spark, counts, "stream_counts")
+    got = _run_stream_to_memory(spark, counts, "stream_counts", mode="complete")
 
     batch = REFQ["window_tumbling_counts"](spark, sf_dir)
     g = {
@@ -56,13 +64,7 @@ def test_stream_windowed_counts_equal_batch(spark, sf_dir, tmpdir):
         for r in got.collect()
     }
     b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
-    # append mode only emits windows the watermark has closed; the final
-    # window(s) stay open forever since no later data arrives. Every emitted
-    # window must match batch exactly, and only trailing windows may be held.
-    assert g.items() <= b.items()
-    held = {k for k in b if k not in g}
-    max_start = max(k[0] for k in b)
-    assert all(k[0] == max_start for k in held), f"non-trailing windows held: {held}"
+    assert g == b
 
 
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdir):
@@ -284,23 +286,24 @@ def test_sliding_stream_equals_batch(spark, sf_dir, tmpdir):
 
     sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
     stream = st.sliding_counts_stream(st.events_file_stream(spark, tmpdir))
-    got = _run_stream_to_memory(spark, stream, "sliding_counts")
+    got = _run_stream_to_memory(spark, stream, "sliding_counts", mode="complete")
     batch = REFQ["window_sliding_counts"](spark, sf_dir)
     g = {
         (r.window_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type): r.cnt
         for r in got.collect()
     }
     b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
-    assert g.items() <= b.items()
-    held = {k[0] for k in b if k not in g}
-    # only the last two pane-starts can still be open (1h window, 30m hop)
-    assert len(held) <= 2, f"too many held panes: {sorted(held)[-4:]}"
+    # complete-mode drain (see test_stream_windowed_counts_equal_batch):
+    # every pane, including the trailing open ones, must equal batch.
+    assert g == b
 
 
 def test_session_window_stream_prefix_of_batch(spark, sf_dir, tmpdir):
-    """session_window under a watermark in streaming mode: every emitted
-    session must match the batch gaps-and-islands result; only sessions
-    still open at the watermark may be withheld."""
+    """session_window under a watermark in streaming mode: the drained
+    stream's sessions must equal the batch gaps-and-islands result.
+    Complete-mode drain (see test_stream_windowed_counts_equal_batch) —
+    session merging across micro-batches still exercises the streaming
+    session-state machinery, and the final table must match batch EXACTLY."""
     import glob
     import shutil as sh
 
@@ -316,16 +319,14 @@ def test_session_window_stream_prefix_of_batch(spark, sf_dir, tmpdir):
             "n_events",
         )
     )
-    got = _run_stream_to_memory(spark, sess, "stream_sessions")
+    got = _run_stream_to_memory(spark, sess, "stream_sessions", mode="complete")
     batch = REFQ["window_session_stats"](spark, sf_dir)
     g = {
         (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S.%f")): r.n_events
         for r in got.collect()
     }
     b = {(r.user_id, r.session_start): r.n_events for r in batch.collect()}
-    assert g.items() <= b.items(), "emitted sessions must match batch exactly"
-    held = len(b) - len(g)
-    assert held <= max(1, len(b) // 20), f"too many sessions withheld: {held}/{len(b)}"
+    assert g == b
 
 
 def test_rate_source_through_decrypt_pipeline(spark):
@@ -506,14 +507,14 @@ def test_rocksdb_state_store_provider(spark, sf_dir, tmpdir):
     try:
         stream = st.events_file_stream(spark, tmpdir)
         counts = st.windowed_counts_stream(stream, watermark="10 minutes")
-        got = _run_stream_to_memory(spark, counts, "rocksdb_counts")
+        got = _run_stream_to_memory(spark, counts, "rocksdb_counts", mode="complete")
         batch = REFQ["window_tumbling_counts"](spark, sf_dir)
         g = {
             (r.window_start.strftime("%Y-%m-%d %H:%M:%S.%f"), r.event_type): r.cnt
             for r in got.collect()
         }
         b = {(r.window_start, r.event_type): r.cnt for r in batch.collect()}
-        assert g.items() <= b.items() and len(g) > 0
+        assert g == b and len(g) > 0
     finally:
         if prev is None:
             spark.conf.unset(key)
