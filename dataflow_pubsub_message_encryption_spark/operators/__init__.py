@@ -75,6 +75,8 @@ _WINDOW = [
     "market_basket_pairs",
     "window_rollup_multires",
     "events_transition_matrix",
+    # round-4 additions
+    "dedup_containment_blocked",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

@@ -557,10 +557,9 @@ def corpus_clean_pipeline(spark, sf_dir):
 
 _CONTAIN_TAU = 0.7
 
-
-@query(
-    "dedup_containment",
-    f"""
+# Shared by the naive and prefix-filter-blocked containment operators: the
+# blocked form must be RESULT-IDENTICAL, so both answer to the same oracle.
+_CONTAIN_SQL = f"""
     WITH d AS (
       SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks,
              len(list_distinct(string_split(text, ' '))) AS n
@@ -573,8 +572,10 @@ _CONTAIN_TAU = 0.7
                    / least(a.n, b.n), 6) AS cont
       FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE cont >= {_CONTAIN_TAU}
-    """,
-)
+    """
+
+
+@query("dedup_containment", _CONTAIN_SQL)
 def dedup_containment(spark, sf_dir):
     """Containment similarity |A∩B| / min(|A|,|B|) — the ASYMMETRIC
     near-dup measure: a short document quoted inside a long one scores
@@ -613,3 +614,89 @@ def dedup_containment(spark, sf_dir):
         )
         .filter(F.col("cont") >= _CONTAIN_TAU)
     )
+
+
+@query("dedup_containment_blocked", _CONTAIN_SQL)
+def dedup_containment_blocked(spark, sf_dir):
+    """Prefix-filter-blocked containment join — the scale path the naive
+    ``dedup_containment`` docstring calls for, proven RESULT-IDENTICAL to
+    it (same oracle, same EXACT hash gate).
+
+    Prefix-filter theorem (SSJoin/ppjoin family): order tokens by a global
+    total order (here: the int64 fingerprint value). If |A∩B| >= t, then B
+    must contain one of the first |A| - t + 1 tokens of A — else A∩B fits
+    inside A's last t-1 tokens. For containment >= tau with A the smaller
+    set, t = ceil(tau * |A|), so ONLY the smaller side needs a prefix and
+    the prefix shrinks as tau grows (tau=0.7: 30% of the small set + 1).
+
+    Plan shape: each doc emits its sorted-prefix tokens (probe side) and
+    all tokens (index side); candidates are an equi-join on (source,
+    token) oriented smaller-probes-into-larger, deduplicated, then
+    verified on the full fingerprint arrays. Versus the naive per-source
+    quadratic: the shuffle key is the token fingerprint (inverted-index
+    join, linear in corpus token count), candidate count is bounded by
+    prefix selectivity instead of block size squared, and no trusted
+    blocking label is needed for correctness — ``source`` equality rides
+    along only to mirror the naive predicate. At 100 TB the index side
+    would add the standard df-ordered token ranking + length bucketing;
+    the join/verify shape is unchanged."""
+    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.array_sort(fp64(distinct_tokens("text"))).alias("toks"),
+        F.size(distinct_tokens("text")).alias("n"),
+    )
+    t_req = F.ceil(F.lit(_CONTAIN_TAU) * F.col("n")).cast("int")
+    probe = d.select(
+        F.col("doc_id").alias("p_id"),
+        F.col("source").alias("p_src"),
+        F.col("n").alias("p_n"),
+        F.explode(F.slice("toks", 1, F.col("n") - t_req + F.lit(1))).alias("tok"),
+    )
+    index = d.select(
+        F.col("doc_id").alias("i_id"),
+        F.col("source").alias("i_src"),
+        F.col("n").alias("i_n"),
+        F.explode("toks").alias("i_tok"),
+    )
+    cand = (
+        probe.join(
+            index,
+            (F.col("tok") == F.col("i_tok"))
+            & (F.col("p_src") == F.col("i_src"))
+            & (
+                (F.col("p_n") < F.col("i_n"))
+                | ((F.col("p_n") == F.col("i_n")) & (F.col("p_id") != F.col("i_id")))
+            ),
+            "inner",
+        )
+        .select(
+            F.least("p_id", "i_id").alias("doc_a"),
+            F.greatest("p_id", "i_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    toks = d.select("doc_id", "toks", "n")
+    cand = cand.join(
+        toks.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("n").alias("n_a"),
+        ),
+        "doc_a",
+    ).join(
+        toks.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("n").alias("n_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    cont = F.round(inter.cast("double") / F.least("n_a", "n_b"), 6)
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        inter.cast("long").alias("inter"),
+        cont.alias("cont"),
+    ).filter(F.col("cont") >= _CONTAIN_TAU)

@@ -214,3 +214,19 @@ def test_containment_bounds_and_subset_law(spark, sf_dir):
         assert _CONTAIN_TAU <= r.cont <= 1.0
         assert r.inter >= 1
         assert r.doc_a < r.doc_b
+
+
+def test_containment_blocked_identical_to_naive(spark, sf_dir):
+    """Prefix-filter blocking is a pure candidate prune: the blocked
+    containment join must return exactly the naive quadratic's rows."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+    )
+
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    naive = {key(r): (r.inter, r.cont) for r in DQ["dedup_containment"](spark, sf_dir).collect()}
+    blocked = {
+        key(r): (r.inter, r.cont)
+        for r in DQ["dedup_containment_blocked"](spark, sf_dir).collect()
+    }
+    assert naive and blocked == naive
