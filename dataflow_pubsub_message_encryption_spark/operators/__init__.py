@@ -77,6 +77,7 @@ _WINDOW = [
     "events_transition_matrix",
     # round-4 additions
     "dedup_containment_blocked",
+    "sim_ann_multiprobe_topk",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

@@ -69,6 +69,29 @@ def test_ann_lsh_results_are_true_neighbors(spark, sf_dir):
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in lsh)
 
 
+def test_ann_multiprobe_recall_beats_single_bucket(spark, sf_dir):
+    """Hamming-1 probing widens the candidate set, so top-k recall versus
+    brute force must be >= the single-bucket run's, and the result set
+    must dominate it similarity-wise (same k, wider candidates)."""
+    brute = [r.vec_id for r in SIMQ["sim_cosine_topk"](spark, sf_dir).collect()]
+    single = SIMQ["sim_ann_lsh_topk"](spark, sf_dir).collect()
+    multi = SIMQ["sim_ann_multiprobe_topk"](spark, sf_dir).collect()
+    r_single = len(set(brute) & {r.vec_id for r in single}) / len(brute)
+    r_multi = len(set(brute) & {r.vec_id for r in multi}) / len(brute)
+    assert r_multi >= r_single, f"multi-probe recall regressed: {r_multi} < {r_single}"
+    # the k-th best sim can only improve when the candidate pool grows
+    if len(single) == len(multi):
+        assert min(r.cos_sim for r in multi) >= min(r.cos_sim for r in single)
+    # multi-probe may only return vectors from the probe's bucket or a
+    # hamming-1 neighbor of it
+    probe_bucket = {r.bucket for r in single} or None
+    if probe_bucket:
+        pb = next(iter(probe_bucket))
+        for r in multi:
+            dist = sum(a != b for a, b in zip(r.bucket, pb))
+            assert dist <= 1, f"{r.vec_id} from hamming-{dist} bucket"
+
+
 def test_langid_deterministic_and_marker_driven(spark, sf_dir):
     """The fixture corpus uses one shared vocabulary for every lang label
     (verified by inspection), so label accuracy is unmeasurable here; the
