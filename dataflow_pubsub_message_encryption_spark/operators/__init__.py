@@ -78,6 +78,7 @@ _WINDOW = [
     # round-4 additions
     "dedup_containment_blocked",
     "sim_ann_multiprobe_topk",
+    "agg_quantile_sketch_union",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

@@ -308,3 +308,102 @@ def agg_hll_partitioned_union(spark, sf_dir):
         F.lit("ALL").alias("event_type"), "exact_users", g_ok.alias("hll_ok")
     )
     return per_out.unionByName(g_out)
+
+
+_N_GRID = 128  # equi-depth summary resolution: 129 grid points per group
+
+
+@query(
+    "agg_quantile_sketch_union",
+    """
+    SELECT l_returnflag AS scope,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_exact,
+           TRUE AS q_ok
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', round(quantile_cont(l_extendedprice, 0.5), 6),
+           round(quantile_cont(l_extendedprice, 0.9), 6), TRUE
+    FROM lineitem
+    """,
+)
+def agg_quantile_sketch_union(spark, sf_dir):
+    """Mergeable QUANTILE summaries — the order-statistics analog of
+    ``agg_hll_partitioned_union``: per-group percentile sketches reduce to
+    a (grid, weight) summary, and the GLOBAL quantile estimate is computed
+    by merging only those summaries — the fact table is never re-scanned
+    for the merged estimate. At 100 TB this is how per-day latency
+    quantiles roll into monthly ones: store a ~1 KB equi-spaced quantile
+    grid + row count per (group, day), merge on demand.
+
+    Mechanics: each group emits ``percentile_approx`` at 129 equi-spaced
+    ranks (an equi-depth histogram; every point carries weight n/129) plus
+    its row count. The merge explodes the grids into weighted points and
+    takes the weighted rank-0.5/0.9 value — a window-cumsum over G x 129
+    rows, negligible beside the one pass that built the summaries.
+
+    Oracle pattern (as the HLL twin): both engines emit the EXACT
+    per-group and global percentiles; Spark adds booleans asserting the
+    per-group sketch is within 1 % and the grid-merged global estimate
+    within 5 % of exact (grid rank error <= 1/256 of total mass plus
+    sketch error; 5 % in value space is comfortable for this
+    distribution). DuckDB emits literal TRUE — a drifting sketch or a
+    wrong merge flips the boolean and fails the hash gate."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    qs = F.array(*[F.lit(i / _N_GRID) for i in range(_N_GRID + 1)])
+    ex50 = F.percentile("l_extendedprice", F.lit(0.5))
+    ex90 = F.percentile("l_extendedprice", F.lit(0.9))
+    apx50 = F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000))
+    apx90 = F.percentile_approx("l_extendedprice", F.lit(0.9), F.lit(10000))
+    per = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, F.lit(10000)).alias("grid"),
+        F.count("*").alias("n"),
+        F.round(ex50, 6).alias("p50_exact"),
+        F.round(ex90, 6).alias("p90_exact"),
+        (
+            (F.abs(apx50 - ex50) / ex50 <= 0.01)
+            & (F.abs(apx90 - ex90) / ex90 <= 0.01)
+        ).alias("q_ok"),
+    )
+    per_out = per.select(
+        F.col("l_returnflag").alias("scope"), "p50_exact", "p90_exact", "q_ok"
+    )
+
+    # ---- merge stage: ONLY the (grid, n) summaries are touched below ----
+    points = per.select(
+        "l_returnflag",
+        (F.col("n").cast("double") / (_N_GRID + 1)).alias("w"),
+        F.posexplode("grid").alias("pos", "x"),
+    )
+    cum = points.withColumn(
+        "cumw",
+        F.sum("w").over(
+            Window.orderBy("x", "l_returnflag", "pos").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    tot = points.agg(F.sum("w").alias("totw"))  # == total row count
+    est = cum.crossJoin(tot).agg(  # G x 129 rows x 1 — merge-stage only
+        F.min(F.when(F.col("cumw") >= 0.5 * F.col("totw"), F.col("x"))).alias(
+            "est50"
+        ),
+        F.min(F.when(F.col("cumw") >= 0.9 * F.col("totw"), F.col("x"))).alias(
+            "est90"
+        ),
+    )
+    exact_g = li.agg(
+        F.round(ex50, 6).alias("p50_exact"), F.round(ex90, 6).alias("p90_exact")
+    )
+    g_out = est.crossJoin(exact_g).select(  # 1 row x 1 row
+        F.lit("ALL").alias("scope"),
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.abs(F.col("est50") - F.col("p50_exact")) / F.col("p50_exact") <= 0.05)
+            & (F.abs(F.col("est90") - F.col("p90_exact")) / F.col("p90_exact") <= 0.05)
+        ).alias("q_ok"),
+    )
+    return per_out.unionByName(g_out)
