@@ -79,6 +79,7 @@ _WINDOW = [
     "dedup_containment_blocked",
     "sim_ann_multiprobe_topk",
     "agg_quantile_sketch_union",
+    "sample_weighted_k",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

@@ -35,6 +35,19 @@ _PACK_CAPACITY = 256  # tokens per packed sequence (fixture docs are ~40-80)
 _STRATUM_K = 5  # docs kept per stratum
 _REP_TAU = 0.12  # top-unigram fraction above which a doc is "repetitive"
 
+
+def _hash_unit_sql(hash_expr: str) -> str:
+    """Uniform-in-(0,1) from the first 8 hex chars of a content hash, as a
+    SQL fragment BOTH engines parse identically (instr/substr/double
+    division only — no engine-specific hex casts). The +0.5 offset keeps
+    the value strictly inside (0, 1) so ln(u) is finite."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({hash_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"((({terms}) + 0.5) / 4294967296.0)"
+
 # Split by FIRST HEX CHAR of sha256(text): '0'-'9','a'-'f' sort the same in
 # both engines, so '<' comparisons bucket identically. 13/16 train ('0'-'c'),
 # 2/16 val ('d','e'), 1/16 test ('f'). Hashing the CONTENT (not doc_id)
@@ -107,6 +120,55 @@ def sample_stratified(spark, sf_dir):
     w = Window.partitionBy("lang").orderBy(F.sha2("text", 256), "doc_id")
     return (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _STRATUM_K)
+    )
+
+
+@query(
+    "sample_weighted_k",
+    f"""
+    SELECT doc_id, lang, n_tokens, es_key, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang, n_tokens, es_key,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rk
+      FROM (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(ln({_hash_unit_sql('sha256(text)')})
+                     / len(string_split(text, ' ')), 6) AS es_key
+        FROM documents
+      )
+    ) WHERE rk <= {_STRATUM_K}
+    """,
+)
+def sample_weighted_k(spark, sf_dir):
+    """Weighted per-stratum sampling (Efraimidis–Spirakis), fully
+    deterministic: the classic reservoir key u^(1/w) — equivalently
+    ln(u)/w, the monotone form used here to avoid pow — with u drawn not
+    from an RNG but from the document's content hash
+    (``_hash_unit_sql``). Inclusion probability is ∝ token count (long
+    documents are proportionally likelier), yet the sample is bit-stable
+    across reruns, cluster sizes, and engines, and byte-identical
+    duplicates get identical keys (the same contamination guarantee as
+    ``split_train_test``). The key is rounded to 6dp BEFORE ranking with
+    a doc_id tie-break, so last-ulp libm differences between engines
+    cannot flip the order — that is what lets an inherently "random"
+    sample pass an EXACT cross-engine hash gate. Same one-shuffle
+    window top-K shape as ``sample_stratified``, and the same two-level
+    merge scale path: top-K of a union is the top-K of per-partition
+    top-Ks, so a mega-stratum splits into (lang, salt) pre-top-Ks."""
+    docs = load(spark, sf_dir, "documents")
+    u = F.expr(_hash_unit_sql("sha2(text, 256)"))
+    nt = F.size(tokens("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        nt.cast("long").alias("n_tokens"),
+        F.round(F.log(u) / nt, 6).alias("es_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _STRATUM_K)
     )
 

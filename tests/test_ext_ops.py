@@ -239,6 +239,27 @@ def test_containment_bounds_and_subset_law(spark, sf_dir):
         assert r.doc_a < r.doc_b
 
 
+def test_weighted_sample_skews_to_longer_docs(spark, sf_dir):
+    """Efraimidis–Spirakis with weight = token count must, on this
+    fixture, select docs whose mean length exceeds the corpus mean —
+    the observable effect of weighting (deterministic given the data)."""
+    from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+        QUERIES as SQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.functions.textfns import tokens as tk
+    import pyspark.sql.functions as FF
+
+    picked = SQ["sample_weighted_k"](spark, sf_dir).collect()
+    assert picked and all(r.rk <= 5 for r in picked)
+    mean_picked = sum(r.n_tokens for r in picked) / len(picked)
+    corpus = (
+        load(spark, sf_dir, "documents")
+        .agg(FF.avg(FF.size(tk("text"))))
+        .collect()[0][0]
+    )
+    assert mean_picked > corpus, (mean_picked, corpus)
+
+
 def test_containment_blocked_identical_to_naive(spark, sf_dir):
     """Prefix-filter blocking is a pure candidate prune: the blocked
     containment join must return exactly the naive quadratic's rows."""
