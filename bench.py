@@ -29,6 +29,8 @@ HEADLINE = [
     ("q8_minhash_lsh_dedup", "dedup_minhash_lsh_pairs"),
     ("q9_near_dup_jaccard", "dedup_near_jaccard"),
     ("q10_tokenize_topterms", "text_tokenize_topterms"),
+    ("q11_embedding_lsh_dedup", "dedup_embedding_lsh"),
+    ("q12_connected_components", "dedup_cluster_components"),
 ]
 
 
