@@ -90,8 +90,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
+        # NO distinct on large: min() below is duplicate-insensitive and
+        # the end-of-round distinct dedups the edge set anyway. Skipping it
+        # removes two exchanges per round (the (u,v) hash partition for the
+        # distinct, then the re-partition back to u for the groupBy) — on a
+        # dense 766k-edge/2.9k-node duplicate graph at sf0.1 this cut the
+        # 4-round loop from 5.6 s to 3.4 s with identical labels.
         # small-star on the big→small orientation: all neighbors are < u,
         # so m = min(N(u)); re-point each of them, and u itself, at m.
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
