@@ -80,6 +80,7 @@ _WINDOW = [
     "sim_ann_multiprobe_topk",
     "agg_quantile_sketch_union",
     "sample_weighted_k",
+    "dedup_simhash",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

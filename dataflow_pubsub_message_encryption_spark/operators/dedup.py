@@ -345,14 +345,51 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # ROWS-only: bit-twiddling UDF; pinned by unit test
+@query(
+    "dedup_simhash",
+    """
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, sha256(tok) AS h FROM t),
+    bits AS (
+      SELECT doc_id, j,
+             ((instr('0123456789abcdef', substr(h, 16 - j // 4, 1)) - 1)
+              >> (j % 4)) & 1 AS b
+      FROM th, (SELECT unnest(generate_series(0, 63)) AS j)
+    ),
+    acc AS (
+      SELECT doc_id, j, SUM(CASE WHEN b = 1 THEN 1 ELSE -1 END) AS a
+      FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN a > 0 AND j < 63
+                         THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                + SUM(CASE WHEN a > 0 AND j = 63
+                           THEN (-9223372036854775807 - 1) ELSE 0 END)
+                AS BIGINT) AS simhash,
+           CAST(SUM(CASE WHEN a > 0 AND j >= 48
+                         THEN CAST(1 AS BIGINT) << (j - 48) ELSE 0 END)
+                AS BIGINT) AS band16
+    FROM acc GROUP BY doc_id
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash (64-bit) per document via a vectorized pandas UDF — the
-    Arrow-batched escape hatch for bit-level logic that has no clean SQL
-    mirror. Near-dup candidates are then hamming-distance buckets; here we
-    emit (doc_id, simhash, band16) where band16 is the top 16 bits — the
-    bucketing key a banded hamming join would shuffle on at scale.
-    Deterministic: tests pin values against a pure-Python reference.
+    Arrow-batched escape hatch for bit-level logic with no clean
+    *expression-level* SQL mirror. Near-dup candidates are then
+    hamming-distance buckets; here we emit (doc_id, simhash, band16)
+    where band16 is the top 16 bits — the bucketing key a banded hamming
+    join would shuffle on at scale.
+
+    EXACT-oracle-checked (round 4; previously ROWS-only): the DuckDB twin
+    rebuilds every bit from the hex digest arithmetically — bit j of the
+    64-bit big-endian digest prefix lives in hex char 16 - j//4 at nibble
+    bit j%4, so the oracle unnests (token x bit-position), majority-votes
+    per (doc, j), and reassembles the signed i64 with an explicit -2^63
+    term for the sign bit. Also pinned against a pure-Python reference in
+    tests.
 
     The bit accumulation is numpy across the whole Arrow batch: one digest
     buffer for every token in the batch, unpacked to a (tokens, 64) 0/1
