@@ -81,6 +81,8 @@ _WINDOW = [
     "agg_quantile_sketch_union",
     "sample_weighted_k",
     "dedup_simhash",
+    "sim_knn_label_centroid",
+    "sim_ann_ivf_topk",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

@@ -30,6 +30,45 @@ _TOPK = 10
 _PROBE_ID = 0
 _N_PLANES = 8
 
+# Fixed-point centroid scale: component -> round(x * 1e6) as int64. Integer
+# sums commute, so per-label centroids are accumulation-order-independent —
+# the trick that upgrades the centroid family from ROWS-only to EXACT
+# (probed round 2: double avg AND decimal-cast sums both diverge
+# cross-engine; integer quantization is the determinism-by-construction
+# escape, same reasoning as graph_pagerank_int).
+_CENT_SCALE = 1_000_000
+
+_CENT_SQL = f"""cent AS (
+      SELECT label AS c_label, list(cq ORDER BY pos) AS centroid
+      FROM (
+        SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS cq
+        FROM (
+          SELECT label, i AS pos,
+                 CAST(round(CAST(embedding[i] AS DOUBLE) * {_CENT_SCALE})
+                      AS BIGINT) AS q
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    )"""
+
+
+def _int_centroids(e):
+    """Per-label centroids from fixed-point component sums (see
+    _CENT_SCALE): quantize -> integer sum -> one double division, then
+    re-assemble position-sorted centroid arrays."""
+    q = F.round(F.col("x") * _CENT_SCALE).cast("long")
+    return (
+        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg((F.sum(q).cast("double") / F.count("*")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
+        )
+    )
+
 
 @query(
     "sim_cosine_topk",
@@ -67,40 +106,49 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
-@query("sim_knn_label_centroid")  # ROWS-only: float accumulation order
+@query(
+    "sim_knn_label_centroid",
+    f"""
+    WITH {_CENT_SQL},
+    scored AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          c.centroid), 6) AS cs
+      FROM embeddings e, cent c
+    ),
+    best AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, c_label) AS rn
+      FROM scored
+    )
+    SELECT label, c_label AS assigned_label, count(*) AS n
+    FROM best WHERE rn = 1 GROUP BY label, c_label
+    """,
+)
 def sim_knn_label_centroid(spark, sf_dir):
     """X6 — per-label centroids then nearest-centroid assignment: the
-    confusion census (label, assigned_label, n). posexplode -> avg per
-    (label, position) -> re-assemble centroid arrays -> cross join (10
-    centroids, broadcast) -> argmin by cosine. ROWS-only by design: avg
-    over floats is accumulation-order-dependent so cross-engine hashes
-    can't be pinned, and the decimal-moment escape used elsewhere is
-    closed too — probed round 2: Spark casts float32->DECIMAL(38,28) via
-    double with round-half-up (~17 significant digits) while DuckDB's
-    FLOAT->DECIMAL keeps different trailing digits entirely, so even
-    'exact' decimal sums disagree cross-engine. The unit test asserts
-    assignment accuracy instead."""
+    confusion census (label, assigned_label, n). posexplode -> fixed-point
+    sum per (label, position) -> re-assemble centroid arrays -> cross join
+    (10 centroids, broadcast) -> argmin by cosine.
+
+    EXACT-oracle-checked (round 4; previously ROWS-only): float-avg
+    centroids are accumulation-order-dependent — and the decimal-cast
+    escape is closed too (probed round 2: Spark float32->DECIMAL keeps
+    different trailing digits than DuckDB) — but integer-quantized
+    component sums commute, so ``_int_centroids`` is deterministic in both
+    engines; the assignment then ranks by the 6dp-ROUNDED similarity with
+    a label tie-break so last-ulp libm drift can't flip an argmin."""
     e = load(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "cx"))
-            ).alias("pairs")
-        )
-        .select(
-            F.col("label").alias("c_label"),
-            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
-        )
-    )
+    cent = _int_centroids(e)
     scored = (
         e.select("vec_id", "label", as_double("embedding").alias("emb"))
         .join(F.broadcast(cent))
         .select(
-            "vec_id", "label", "c_label", cosine("emb", F.col("centroid")).alias("cs")
+            "vec_id",
+            "label",
+            "c_label",
+            F.round(cosine("emb", F.col("centroid")), 6).alias("cs"),
         )
     )
     from pyspark.sql import Window
@@ -299,26 +347,41 @@ def sim_ann_multiprobe_topk(spark, sf_dir):
     )
 
 
-@query("sim_ann_ivf_topk")  # ROWS-only: centroid floats (see X6); recall in tests
+@query(
+    "sim_ann_ivf_topk",
+    f"""
+    WITH {_CENT_SQL},
+    probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings
+              WHERE vec_id = {_PROBE_ID}),
+    best_cell AS (
+      SELECT c_label AS cell FROM cent, probe
+      ORDER BY round(list_cosine_similarity(centroid, pe), 6) DESC, c_label
+      LIMIT 3
+    )
+    SELECT vec_id, label, cos_sim FROM (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          probe.pe), 6) AS cos_sim
+      FROM embeddings e JOIN best_cell ON e.label = best_cell.cell, probe
+      WHERE e.vec_id != {_PROBE_ID}
+    ) ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}
+    """,
+)
 def sim_ann_ivf_topk(spark, sf_dir):
     """ANN via IVF (inverted-file): coarse cells = per-label centroids
     (stand-in for k-means at fixture scale), probe assigned to its nprobe=3
-    nearest cells, exhaustive search inside those cells only. ROWS-only
-    (centroids inherit float-accumulation order); the unit test asserts
-    recall vs brute force. At 100 TB: cells are list-partitioned on cell
-    id, nprobe controls the recall/latency trade (3/10 cells here because
-    the synthetic labels cluster weakly)."""
+    nearest cells, exhaustive search inside those cells only.
+    EXACT-oracle-checked (round 4; previously ROWS-only): cells come from
+    the fixed-point ``_int_centroids`` (deterministic cross-engine) and
+    cell selection orders by the 6dp-rounded similarity with a cell
+    tie-break, so the pruned cell set — and therefore the exhaustive
+    in-cell top-k — is value-checked end to end. The recall-vs-brute unit
+    test still guards search quality. At 100 TB: cells are
+    list-partitioned on cell id, nprobe controls the recall/latency trade
+    (3/10 cells here because the synthetic labels cluster weakly)."""
     e = load(spark, sf_dir, "embeddings")
-    cent = (
-        e.select("label", F.posexplode(as_double("embedding")).alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pairs", lambda p: p.getField("cx")).alias("centroid"),
-        )
+    cent = _int_centroids(e).select(
+        F.col("c_label").alias("cell"), "centroid"
     )
     probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
         as_double("embedding").alias("pe")
@@ -326,7 +389,9 @@ def sim_ann_ivf_topk(spark, sf_dir):
     # nprobe=3 nearest cells for the probe (10 cells, stays a DF op)
     best_cell = (
         cent.join(F.broadcast(probe))
-        .select("cell", cosine(F.col("centroid"), F.col("pe")).alias("cs"))
+        .select(
+            "cell", F.round(cosine(F.col("centroid"), F.col("pe")), 6).alias("cs")
+        )
         .orderBy(F.desc("cs"), "cell")
         .limit(3)
         .select("cell")
