@@ -83,6 +83,8 @@ _WINDOW = [
     "dedup_simhash",
     "sim_knn_label_centroid",
     "sim_ann_ivf_topk",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
     # scale-proof operators
     "join_skew_salted",
     "zorder_cluster",

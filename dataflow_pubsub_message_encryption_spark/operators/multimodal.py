@@ -72,13 +72,42 @@ def multimodal_binary_meta(spark, sf_dir):
     )
 
 
-@query("multimodal_decode_features")  # ROWS-only: UDF pipeline, pinned by tests
+@query(
+    "multimodal_decode_features",
+    """
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n,
+             (instr('0123456789abcdef', substr(hx, 2*s.i - 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(hx, 2*s.i, 1)) - 1) AS byte
+      FROM h, UNNEST(generate_series(1, h.n)) AS s(i)
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+           CAST(n AS INTEGER) AS n_bytes,
+           CAST(SUM(byte) AS DOUBLE) / n AS feat0,
+           CAST(SUM(byte % 2) AS DOUBLE) / n AS feat1
+    FROM b GROUP BY doc_id, n
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
     """Decode / feature-extract over binary media via ``mapInPandas`` —
     Arrow-batched, schema-declared, partition-preserving: the real 100 TB
     plumbing for media featurization. The codec itself is a STUB
     (``_fake_decode``): no PIL/ffmpeg in this container; a real deployment
-    swaps ``_fake_decode`` for the library call, nothing else changes."""
+    swaps ``_fake_decode`` for the library call, nothing else changes.
+
+    EXACT-oracle-checked (round 4; previously ROWS-only): the stand-in
+    codec is plain byte statistics, and DuckDB can reach the payload bytes
+    arithmetically (hex(blob) -> per-byte nibble parse, the same instr
+    trick as the simhash oracle), so the whole Arrow round-trip — schema,
+    batching, per-byte arithmetic — is value-checked cross-engine. Byte
+    sums are int/int divisions, bit-identical in any order."""
     docs = with_media(load(spark, sf_dir, "documents"))
     schema = "doc_id LONG, mime STRING, n_bytes INT, feat0 DOUBLE, feat1 DOUBLE"
 
@@ -109,13 +138,33 @@ def _fake_decode(payload: bytes) -> tuple[float, float]:
     return (sum(payload) / n, sum(b & 1 for b in payload) / n)
 
 
-@query("multimodal_frame_sample")  # ROWS-only: UDF pipeline, pinned by tests
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id, CAST((s.i - 1) // 64 AS INTEGER) AS frame_no,
+           CAST(len(substr(hx, 2*(s.i-1) + 1, 32)) // 2 AS INTEGER)
+             AS frame_len,
+           sha256(substr(hx, 2*(s.i-1) + 1, 32)) AS frame_hash
+    FROM h, UNNEST(generate_series(1, h.n, 64)) AS s(i)
+    """,
+)
 def multimodal_frame_sample(spark, sf_dir):
     """Frame/segment sampling over binary media: every k-th 16-byte chunk
     of the payload exploded to one row per sampled 'frame' (posexplode of a
     JVM-side slice — no Python). The shape of video-frame extraction: rows
     multiply by frames-per-doc, so the explode happens AFTER any
-    doc-level filter pushdown."""
+    doc-level filter pushdown.
+
+    EXACT-oracle-checked (round 4; previously ROWS-only). The frame
+    fingerprint is sha256 of the chunk's LOWERCASE-HEX encoding rather
+    than the raw bytes: DuckDB 1.0's sha256 only accepts VARCHAR and a
+    16-byte slice can split a multi-byte UTF-8 char (so blob->varchar is
+    not portable), while the hex form is byte-faithful and computable
+    identically in both engines — an equivalent injective fingerprint."""
     m = with_media(load(spark, sf_dir, "documents"))
     k, frame = 4, 16
     # frame starts: 1, 1+k*frame, 1+2*k*frame, ... (1-based substring offsets)
@@ -136,6 +185,6 @@ def multimodal_frame_sample(spark, sf_dir):
             "doc_id",
             "frame_no",
             F.octet_length("frame_bytes").alias("frame_len"),
-            F.sha2(F.col("frame_bytes"), 256).alias("frame_hash"),
+            F.sha2(F.lower(F.hex("frame_bytes")), 256).alias("frame_hash"),
         )
     )
