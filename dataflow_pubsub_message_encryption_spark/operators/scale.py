@@ -41,7 +41,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..functions.normalize import money, sim, ts_str
+from ..functions.normalize import dec4, money, sim, ts_str
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -407,3 +407,68 @@ def agg_quantile_sketch_union(spark, sf_dir):
         ).alias("q_ok"),
     )
     return per_out.unionByName(g_out)
+
+
+_N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderstatus,
+           count(*) AS n_items,
+           CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Bucketed co-located join — the storage-level shuffle eliminator
+    SCALING.md's bucketing notes describe, made executable: both fact
+    tables are written ``bucketBy(8, orderkey)`` + ``sortBy`` as managed
+    parquet tables, and the subsequent join reads bucket b of one table
+    against bucket b of the other — NO exchange on either side of the
+    SortMergeJoin (asserted in tests/test_plans.py); the only shuffle in
+    the plan is the final tiny per-status aggregate. This is the pattern
+    for a fact-fact join that repeats across a pipeline: pay the
+    partitioning once at write time, join for free forever after. At
+    100 TB the bucket count is sized so bucket x table fits an executor
+    core (e.g. 4096), and both tables MUST agree on count and key.
+    Result-identical to the plain shuffle join, which is what the oracle
+    (a naive join) checks."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, key in (
+        ("sg_bucket_orders", orders, "o_orderkey"),
+        ("sg_bucket_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # Local-mode glue: with the in-memory catalog, a managed table
+        # written by a PREVIOUS session is no longer in the catalog (so the
+        # DROP above is a no-op) but its warehouse directory survives, and
+        # saveAsTable refuses to reuse the location. Purge the orphan dir.
+        # A persistent metastore (the production case) doesn't hit this —
+        # DROP TABLE removes the location too.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        shutil.rmtree(f"{wh.path or wh.geturl()}/{name}", ignore_errors=True)
+        (
+            df.write.format("parquet")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("sg_bucket_orders")
+    l = spark.table("sg_bucket_lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            money(F.sum(dec4("l_extendedprice"))).alias("revenue"),
+        )
+    )

@@ -262,13 +262,19 @@ def text_tfidf_top3(spark, sf_dir):
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    n = docs.count()  # scalar corpus size; driver-held literal, not a collect of data
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
-        ).alias("tfidf"),
+    # corpus size as a broadcast 1-row aggregate, not a driver .count():
+    # the whole DAG stays lazy and the scan isn't executed twice.
+    n_row = docs.agg(F.count("*").cast("double").alias("corpus_n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("corpus_n") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (

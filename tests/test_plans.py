@@ -101,6 +101,29 @@ def test_no_collect_in_engine_code():
     assert not offenders, f"driver-side materialization in: {offenders}"
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """join_bucketed_colocated: once both tables are bucketed on the join
+    key, the join itself must read co-located buckets — zero exchanges
+    feeding the SortMergeJoin; the only shuffle in the full query is the
+    final per-status aggregate."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    # running the operator (re)creates the bucketed tables and returns the
+    # aggregated result: exactly one exchange total (the group-by)
+    full = SCQ["join_bucketed_colocated"](spark, sf_dir)
+    assert count_exchanges(full) == 1
+    # the bare join over the bucketed tables plans with NO exchange at all;
+    # hint("merge") pins SortMergeJoin (at fixture scale Spark would
+    # otherwise broadcast the small side, which hides the bucket story)
+    o = spark.table("sg_bucket_orders").hint("merge")
+    li = spark.table("sg_bucket_lineitem")
+    j = o.join(li, o.o_orderkey == li.l_orderkey).select("o_orderstatus")
+    assert count_exchanges(j) == 0
+    assert "SortMergeJoin" in formatted_plan(j)
+
+
 def test_knn_join_broadcasts_queries_not_corpus(spark, sf_dir):
     """sim_knn_join: the query set is the broadcast side; the corpus scan
     must not shuffle for the scoring join (only the top-k ranking window
