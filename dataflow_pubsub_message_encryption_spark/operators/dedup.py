@@ -470,13 +470,24 @@ def dedup_embedding_cosine(spark, sf_dir):
     label acts as the blocking key — the same group-bounded shape as X4;
     at scale the blocking key would be an ANN bucket (see similarity.py),
     not a trusted label."""
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot, norm
 
+    # norms precomputed per vector, one dot fold per pair (see
+    # dedup_embedding_lsh's cost note — higher-order funcs are interpreted)
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("emb")
+        "vec_id",
+        "label",
+        as_double("embedding").alias("emb"),
+        norm(as_double("embedding")).alias("nrm"),
     )
     a, b = e.alias("a"), e.alias("b")
-    cs = F.round(sim(cosine(F.col("a.emb"), F.col("b.emb"))), 6)
+    cs = F.round(
+        sim(
+            dot(F.col("a.emb"), F.col("b.emb"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ),
+        6,
+    )
     return (
         a.join(
             b,

@@ -616,15 +616,28 @@ def dedup_embedding_lsh(spark, sf_dir):
     dedup_minhash_lsh_pairs recovers it). The equi-self-join shuffles
     ids+vectors once on the bucket key; at 100 TB the verify stage
     re-joins vectors by id instead of carrying them (as the minhash op
-    does), a constant-factor swap the fixture scale doesn't need."""
+    does), a constant-factor swap the fixture scale doesn't need.
+
+    Per-pair cost note: higher-order array functions (zip_with/aggregate)
+    evaluate interpreted, not codegen'd, so the pair stage pays per
+    element touched. Norms are therefore precomputed per VECTOR before
+    the join (2 folds x n rows) and the pair stage does one dot fold
+    (identical arithmetic: dot/(norm_a*norm_b), same value both ways) —
+    3 folds/pair -> 1."""
+    from ..functions.vectors import dot, norm
+
     e = load(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
         as_double("embedding").alias("emb"),
+        norm(as_double("embedding")).alias("nrm"),
         _bucket_bits(as_double("embedding"), _BLOCK_BITS).alias("bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
-    cs = F.round(cosine(F.col("x.emb"), F.col("y.emb")), 6)
+    cs = F.round(
+        dot(F.col("x.emb"), F.col("y.emb")) / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
     return (
         x.join(
             y,
