@@ -472,3 +472,47 @@ def join_bucketed_colocated(spark, sf_dir):
             money(F.sum(dec4("l_extendedprice"))).alias("revenue"),
         )
     )
+
+
+_IVM_SPLIT = "2024-01-20"  # base/delta boundary for the incremental merge
+
+
+@query(
+    "agg_incremental_merge",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental view maintenance — the aggregate-state merge law made
+    checkable: a 'materialized' aggregate over the base period (ts <
+    {split}) is combined with the delta period's aggregate by merging
+    PARTIAL STATES (counts add, decimal sums add) — the base raw data is
+    never rescanned at refresh time. This is how a 100 TB rollup table
+    stays current: refresh cost ∝ delta, not history; it works exactly
+    for any commutative-monoid aggregate (count/sum/min/max, and the
+    sketch family — see agg_hll_partitioned_union / agg_quantile_
+    sketch_union for the approximate analogs). The oracle computes the
+    full-scan aggregate, so the gate asserts merge(base, delta) ==
+    recompute(all) value-for-value. Non-decomposable aggregates (exact
+    median, count-distinct) are precisely the ones that CAN'T refresh
+    this way — they need the sketch route."""
+    ev = load_events(spark, sf_dir).select("event_type", "ts", dec4("value").alias("v"))
+    split = F.lit(_IVM_SPLIT).cast("timestamp_ntz")
+
+    def part(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+    base = part(ev.filter(F.col("ts") < split))
+    delta = part(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), money(F.sum("s")).alias("total_value"))
+    )
