@@ -107,6 +107,88 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdir):
     }
 
 
+def test_stream_stream_left_outer_join_matches_batch_matches(spark, sf_dir, tmpdir):
+    """LEFT OUTER stream-stream interval join: matched rows emit on match
+    (same as inner); null-padded unmatched clicks emit only once the
+    watermark proves no purchase can still arrive. Multi-file replay
+    advances the watermark between micro-batches, so early unmatched
+    clicks DO flush; the drained output's matched set must equal batch,
+    emitted null rows must be truly unmatched, and no click may appear
+    both matched and null-padded."""
+    import glob
+    import shutil as sh
+
+    import pyarrow.parquet as pq
+
+    # split events into 4 files so the watermark advances across batches
+    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+    n = tbl.num_rows
+    idx = tbl["ts"].to_pandas().sort_values().index
+    for i in range(4):
+        pq.write_table(tbl.take(sorted(idx[i * n // 4 : (i + 1) * n // 4])),
+                       f"{tmpdir}/part{i}.parquet")
+
+    stream = st.events_file_stream(spark, tmpdir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND click_ts <= purchase_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id")
+    got = _run_stream_to_memory(spark, joined, "stream_ssjoin_outer").collect()
+
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_matched = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            F.expr(
+                "c_user = p_user AND click_ts <= purchase_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
+            ),
+        ).collect()
+    }
+    got_matched = {(r.click_id, r.purchase_id) for r in got if r.purchase_id is not None}
+    got_null = {r.click_id for r in got if r.purchase_id is None}
+    assert got_matched == batch_matched
+    matched_clicks = {cid for cid, _ in batch_matched}
+    assert not (got_null & matched_clicks), "null-padded click also matched"
+    # most clicks are unmatched on this fixture; the watermark must have
+    # flushed the bulk of them (only the trailing horizon may be held)
+    n_clicks = c.count()
+    assert len(got_null) >= (n_clicks - len(matched_clicks)) * 0.8
+
+
 def test_stream_static_enrichment_join(spark, sf_dir, tmpdir):
     """Stream-static join: the unbounded event stream enriched against a
     static (batch) dimension — no watermark needed on the static side;
