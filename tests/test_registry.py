@@ -67,12 +67,19 @@ def test_window_holds_only_exact_oracle_queries():
 
 
 def test_window_prioritizes_ungraded_queries():
-    """Every EXACT query that has never been graded green by the driver
-    must sit inside the graded 50-prefix (that is the point of the
-    rotation); newly added operators land there via _WINDOW."""
+    """No graded slot may be wasted: while any EXACT query has never been
+    graded green by the driver, every one of the 50 prefix slots must
+    hold such a query. (When more than 50 are waiting — as after a round
+    that adds many operators — the overflow queries queue for the next
+    rotation; when fewer, all of them must be inside.)"""
     green = _graded_green()
-    for k in ORACLES:
-        if k in QUERIES and k not in green:
+    ungraded = [k for k in QUERIES if k in ORACLES and k not in green]
+    prefix = KEYS[:50]
+    if len(ungraded) >= 50:
+        wasted = [k for k in prefix if k in green]
+        assert not wasted, f"graded-green queries occupy slots: {wasted}"
+    else:
+        for k in ungraded:
             assert KEYS.index(k) < 50, f"never-graded {k} outside graded window"
 
 
