@@ -516,3 +516,48 @@ def agg_incremental_merge(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.sum("n").alias("n_events"), money(F.sum("s")).alias("total_value"))
     )
+
+
+@query(
+    "topk_per_group_twolevel",
+    f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY sha256(text), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def topk_per_group_twolevel(spark, sf_dir):
+    """Two-level per-group top-K — the scale path ``sample_stratified``'s
+    docstring promises, made executable and proven result-identical (the
+    oracle runs the single-window form). A mega-stratum serializes a
+    single ranking window through one task; instead, level 1 ranks within
+    (lang, salt) — ``_N_SALT``x the parallelism, state bounded by K per
+    salted partition — and keeps only each sub-partition's top K; level 2
+    re-ranks the surviving ``K x _N_SALT`` rows per stratum. Identical
+    output because min-K of a union is the min-K of the per-part min-Ks
+    (any row outside its sub-partition's top K is beaten by K rows in its
+    OWN sub-partition, so it can never enter the global top K). Ordering
+    key (content hash, doc_id tie-break) is total, so ranks are stable in
+    both engines."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    lvl1 = Window.partitionBy(
+        "lang", F.pmod("doc_id", F.lit(_N_SALT))
+    ).orderBy("h", "doc_id")
+    survivors = (
+        docs.withColumn("rk1", F.row_number().over(lvl1))
+        .filter(F.col("rk1") <= 5)
+        .drop("rk1")
+    )
+    lvl2 = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(lvl2))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang", "rk")
+    )
