@@ -22,8 +22,10 @@ roots are the component minima (the canonical representative —
 deterministic, no tie-breaking needed). Convergence needs O(log n) rounds
 on adversarial graphs (e.g. long paths) where plain min-label propagation
 needs O(diameter) — the upgrade SCALING.md §5 calls for; a 512-node path
-converges in 10 rounds here (tests/test_graph.py pins a ceil(log2 n)+3
-bound; the fixed-point signature check costs one extra confirming round).
+converges within the ceil(log2 n)+3 bound tests/test_graph.py pins. The
+star-forest membership test (no edge target is still another edge's
+source) detects the fixed point the round it happens — no confirming
+round, unlike a changed-signature compare.
 
 Scale notes (100 TB):
 - Each round is two shuffle join+groupBy-min pairs — partial-aggregating,
@@ -32,9 +34,9 @@ Scale notes (100 TB):
 - Lineage is truncated with an eager ``localCheckpoint`` per round —
   without it the plan doubles every iteration and Catalyst re-optimizes
   the whole history. On a cluster use ``checkpoint`` to HDFS instead.
-- The ONLY driver-side data transfer is the 3-scalar edge-set signature
-  (count, sum of endpoints) compared per round for the fixed-point check.
-  The edge table itself never leaves the executors.
+- The ONLY driver-side data transfer is the 1-scalar chained-edge count
+  (the star-forest membership test) per round. The edge table itself
+  never leaves the executors.
 """
 
 from __future__ import annotations
@@ -73,7 +75,6 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_sig = None
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -111,10 +112,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
             .distinct()
             .localCheckpoint(eager=True)
         )
-        sig = tuple(edges.agg(F.count("*"), F.sum("u"), F.sum("v")).collect()[0])  # driver-scalar
-        if sig == prev_sig:
+        # Fixed-point test WITHOUT a confirming round: both steps preserve
+        # connectivity and orient edges big→small, so the iterate is a star
+        # forest (every component one star, rooted at its minimum) exactly
+        # when no edge target is still some other edge's source. One
+        # semi-join count replaces the old signature-compare, which needed
+        # a whole extra contraction round to observe "nothing changed".
+        chained = edges.join(  # driver-scalar
+            edges.select(F.col("u").alias("v")), "v", "left_semi"
+        ).agg(F.count("*")).collect()[0][0]  # driver-scalar
+        if chained == 0:
             break
-        prev_sig = sig
     # fixed point = star forest rooted at component minima
     labels = nodes.join(
         edges.groupBy("u").agg(F.min("v").alias("lbl")),
