@@ -359,3 +359,75 @@ def text_bigram_colloc(spark, sf_dir):
         .filter(F.col("rk") <= 30)
         .select("bigram", "cnt", "rk")
     )
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY doc_id, term
+    ),
+    vocab AS (
+      SELECT term, count(*) AS vc FROM
+        (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    tot AS (SELECT count(*) AS n FROM
+            (SELECT unnest(string_split(text, ' ')) FROM documents)),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(tf.c) AS n_tokens,
+             SUM(tf.c * CAST(round(ln(CAST(vocab.vc AS DOUBLE) / tot.n)
+                                   * 1000000000) AS BIGINT)) AS s
+      FROM tf JOIN vocab USING (term), tot
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(-(CAST(s AS DOUBLE) / 1000000000) / n_tokens, 6)
+             AS avg_neg_logprob
+    FROM scored
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Unigram log-probability quality score — the perplexity-proxy filter
+    corpus pipelines run when a real LM is unavailable or too expensive:
+    score(doc) = -(1/n) Σ_tokens ln p(token), with p from the corpus's own
+    unigram distribution. Gibberish and boilerplate-stuffed docs sit in
+    the tails; the score feeds a cut like ``corpus_clean_pipeline``'s
+    quality floor.
+
+    Determinism pattern: per-token ln p values are irrational doubles and
+    a groupBy SUM of doubles is accumulation-order-dependent — so each
+    ln p is quantized to an int64 at 1e9 scale FIRST and the per-doc sum
+    runs in integers (commutes; same trick as graph_pagerank_int and the
+    fixed-point centroids). One double division + 6dp round at the end.
+    Shape: two token aggregations (tf per doc-term, corpus vocab) + a
+    broadcast-sized vocab join — df table is |vocab| rows, the natural
+    broadcast side at any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    vocab = terms.groupBy("term").agg(F.count("*").alias("vc"))
+    tot = terms.agg(F.count("*").cast("double").alias("n"))
+    lp_int = F.round(
+        F.log(F.col("vc") / F.col("n")) * 1_000_000_000
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(vocab), "term")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * lp_int).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_tokens"), 6
+        ).alias("avg_neg_logprob"),
+    )
