@@ -687,7 +687,14 @@ def dedup_containment(spark, sf_dir):
     contained set's signal. Token sets travel as int64 ``fp64``
     fingerprints; the oracle intersects the literal strings, so the
     EXACT gate doubles as a collision check."""
-    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+    return containment_pairs(_parallel(spark, load(spark, sf_dir, "documents")))
+
+
+def containment_pairs(docs):
+    """DataFrame-in form of ``dedup_containment`` (any frame with
+    doc_id/source/text) — also property-tested against the blocked form
+    over generated corpora in tests/test_properties.py."""
+    d = docs.select(
         "doc_id",
         "source",
         fp64(distinct_tokens("text")).alias("toks"),
@@ -736,7 +743,16 @@ def dedup_containment_blocked(spark, sf_dir):
     along only to mirror the naive predicate. At 100 TB the index side
     would add the standard df-ordered token ranking + length bucketing;
     the join/verify shape is unchanged."""
-    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+    return containment_pairs_blocked(
+        _parallel(spark, load(spark, sf_dir, "documents"))
+    )
+
+
+def containment_pairs_blocked(docs):
+    """DataFrame-in form of ``dedup_containment_blocked``; must equal
+    ``containment_pairs`` on ANY input (prefix-filter losslessness —
+    property-tested in tests/test_properties.py)."""
+    d = docs.select(
         "doc_id",
         "source",
         F.array_sort(fp64(distinct_tokens("text"))).alias("toks"),

@@ -111,3 +111,38 @@ def test_split_is_content_deterministic(spark, token_counts, dup_idx):
     b = {r.doc_id: r.split for r in both.collect()}
     assert a == b
     assert set(a.values()) <= {"train", "val", "test"}
+
+
+# containment corpora: small shared vocab so overlapping/contained docs
+# actually occur; doc = sorted token-id set, source from a 2-value split
+_contain_corpus = st.lists(
+    st.sets(st.integers(min_value=0, max_value=11), min_size=1, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(tok_sets=_contain_corpus)
+@settings(**_SETTINGS)
+def test_prefix_filter_blocked_containment_is_lossless(spark, tok_sets):
+    """The SSJoin prefix filter is a pure candidate prune: on ANY corpus
+    the blocked containment join must return exactly the rows of the
+    naive quadratic — including subset pairs (cont = 1.0), equal-size
+    pairs (the tie orientation), and 1-token docs (prefix = whole set)."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_blocked,
+    )
+
+    rows = [
+        (i, f"s{i % 2}", " ".join(f"w{t}" for t in sorted(s)))
+        for i, s in enumerate(tok_sets)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    naive = {key(r): (r.inter, r.cont) for r in containment_pairs(docs).collect()}
+    blocked = {
+        key(r): (r.inter, r.cont)
+        for r in containment_pairs_blocked(docs).collect()
+    }
+    assert blocked == naive
