@@ -849,7 +849,9 @@ def agg_percentile(spark, sf_dir):
     """Exact interpolated percentiles (median / p90) per group. Both
     engines interpolate linearly over identical doubles -> identical
     results; 6dp rounding is identity for the <=3dp interpolated values.
-    (The sketch-based scale path is percentile_approx, ROWS-class.)"""
+    (The sketch-based scale paths are ``agg_approx_percentile`` and the
+    mergeable ``agg_quantile_sketch_union`` — both EXACT via the
+    error-bound oracle pattern.)"""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")

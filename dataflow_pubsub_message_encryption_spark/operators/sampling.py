@@ -111,11 +111,10 @@ def sample_stratified(spark, sf_dir):
     choice (the hash order is uniform over content, stable across runs
     and partitionings; doc_id breaks exact-duplicate ties). One shuffle
     on the stratum key. At scale, row_number over a mega-stratum
-    serializes that stratum through one task — the scale path is a
-    per-partition top-K (sort-limit inside mapPartitions or a
-    first-level groupBy on (lang, salt)) merged by a second tiny top-K,
-    which computes the identical result because min-K of a union is
-    min-K of per-part min-Ks."""
+    serializes that stratum through one task — the scale path is the
+    two-level (lang, salt) pre-top-K + merge, executable and
+    oracle-proven result-identical as ``topk_per_group_twolevel``
+    (operators/scale.py)."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.sha2("text", 256), "doc_id")
     return (
