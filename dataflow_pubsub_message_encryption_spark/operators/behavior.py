@@ -579,3 +579,68 @@ def events_transition_matrix(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wnorm), 6).alias("p"),
     )
+
+
+@query(
+    "events_pattern_match",
+    """
+    SELECT user_id,
+           CAST(length(seq) AS INTEGER) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS INTEGER)
+             AS n_click_funnels,
+           regexp_matches(seq, 'p.*e') AS error_after_purchase
+    FROM (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """Sequence-pattern matching over per-user event strings — the batch
+    answer to MATCH_RECOGNIZE / CEP engines: each user's history becomes
+    an ordered character string (event types have distinct initials:
+    c/e/p/s/v) and patterns are plain regexes — here the view→clicks→
+    purchase funnel count ('vc+p', non-overlapping) and an
+    error-after-purchase flag ('p.*e'). Encoding sequences as strings
+    turns arbitrary order-sensitive pattern queries into one groupBy +
+    codegen'd regex — no iterative joins, no UDF.
+
+    Determinism: the sequence is built by sorting (ts, event_id, char)
+    structs — a total order both engines replicate exactly (ORDER BY ts,
+    event_id) — and the regexes use only portable constructs (literal
+    chars, +, .*) that Java and RE2 match identically, left-to-right
+    non-overlapping. Scale: one shuffle on user_id; per-user state is the
+    event-type string (1 byte/event) — a 10k-event user is 10 KB, and a
+    pathological bot user is the documented mega-group hazard handled by
+    length-capping the aggregation (slice before join), not by a
+    different algorithm."""
+    ev = load_events(spark, sf_dir)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("ch"),
+                    )
+                )
+            ),
+            lambda s: s.getField("ch"),
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.size(F.regexp_extract_all("seq", F.lit("vc+p"), 0)).alias(
+                "n_click_funnels"
+            ),
+            F.col("seq").rlike("p.*e").alias("error_after_purchase"),
+        )
+    )
