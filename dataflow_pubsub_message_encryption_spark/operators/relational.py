@@ -1533,3 +1533,47 @@ def rfm_segmentation(spark, sf_dir):
         "m_score",
         seg.alias("segment"),
     )
+
+
+@query(
+    "win_time_range_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(round(SUM(CAST(value AS DECIMAL(18,4))) OVER w, 2) AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_time_range_sum(spark, sf_dir):
+    """Time-interval RANGE frame — the window feature ROWS frames can't
+    express: each event's trailing-1-hour per-user activity (count +
+    decimal sum), frame membership decided by event-TIME distance, not
+    row position. The canonical rolling-rate / velocity-check shape
+    (fraud scoring, rate limiting). Spark's rangeBetween needs a numeric
+    order key, so ts becomes epoch microseconds via timestampdiff over an
+    NTZ epoch base (NOT a cast to instant + unix_micros — under a non-UTC
+    session timezone the NTZ->instant offset varies across DST and could
+    flip frame membership) and the frame is [-3.6e9 µs, 0]; DuckDB's
+    native RANGE INTERVAL mirror decides the identical membership (both
+    bounds inclusive, ts is µs-precision NTZ in both engines — peers with
+    equal ts share a frame under RANGE semantics in both). Decimal sums
+    keep frame totals bit-stable. One shuffle on user_id; frame state is
+    bounded by events-per-hour, independent of history length."""
+    ev = load_events(spark, sf_dir)
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        money(F.sum(dec4("value")).over(w)).alias("sum_last_hour"),
+    )
