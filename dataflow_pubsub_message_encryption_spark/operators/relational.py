@@ -1577,3 +1577,39 @@ def win_time_range_sum(spark, sf_dir):
         F.count("*").over(w).alias("n_last_hour"),
         money(F.sum(dec4("value")).over(w)).alias("sum_last_hour"),
     )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS cnt,
+           CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """C16b — CUBE: all 2^k grouping-key subsets in one pass (ROLLUP's
+    hierarchical cousin; completes the grouping-operator family beside
+    ``agg_rollup`` and ``agg_grouping_sets``). Catalyst plans one Expand
+    (4 rows per input row here) + one partial/final HashAggregate — the
+    multiplier is 2^k, which is why k stays small in practice and why a
+    wide-k cube decomposes into grouping sets instead. NULL markers
+    normalized to 'ALL' (fixture columns never NULL)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            money(F.sum(dec4("l_quantity"))).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "cnt",
+            "qty",
+        )
+    )
