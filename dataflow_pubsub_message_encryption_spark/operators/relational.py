@@ -1613,3 +1613,65 @@ def agg_cube(spark, sf_dir):
             "qty",
         )
     )
+
+
+@query(
+    "profile_table_stats",
+    """
+    SELECT col, n, n_null, n_distinct, min_s, max_s FROM (
+      SELECT 'o_orderkey' AS col, count(*) AS n,
+             count(*) - count(o_orderkey) AS n_null,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+             CAST(count(DISTINCT o_custkey) AS BIGINT),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      FROM orders
+    )
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """Table profiling — the data-QA census every ingest pipeline runs
+    before training on a new source: per-column row count, null count,
+    exact distinct count, and min/max (stringified so one long-format
+    schema carries any column type). Computed in ONE pass over the table:
+    a single wide aggregate produces all per-column stats, then a
+    4-way stack pivots to long format — versus the naive
+    one-scan-per-column loop, the scan and shuffle happen once. At
+    100 TB swap count_distinct for the HLL sketch
+    (``agg_hll_partitioned_union``) per column; shape is unchanged."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            # min/max in the column's NATIVE order, stringified after —
+            # casting first would rank numerics lexicographically
+            F.min(c).cast("string").alias(f"{c}__mn"),
+            F.max(c).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col, n, n_null, n_distinct, min_s, max_s)"
+        )
+    )
