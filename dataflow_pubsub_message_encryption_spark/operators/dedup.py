@@ -196,7 +196,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _N_DIGESTS = _N_PERMS // 4  # 4 sha256 calls per token; 4 lanes per digest
 
 
-def _minhash_sig():
+def _minhash_sig(toks=None):
     """Portable MinHash, 4 lanes per digest: permutation k = 4i+j keys on
     the j-th 16-hex-char substring of sha256('p{i}|' || token). Disjoint
     substrings of a cryptographic hash are independent uniform keys, so
@@ -213,8 +213,12 @@ def _minhash_sig():
     array + flatten (each sha256 evaluated once per token), and zip_with/
     least merges. The single-pass shape also avoids Catalyst duplicating
     16 per-permutation transforms. Sentinel 'g' > any lowercase-hex char,
-    so it is +inf for the min and can never survive a non-empty fold."""
-    toks = distinct_tokens("text")
+    so it is +inf for the min and can never survive a non-empty fold.
+
+    ``toks`` defaults to the distinct word set; pass any element array
+    (e.g. 3-word shingles) for other set families."""
+    if toks is None:
+        toks = distinct_tokens("text")
 
     def lanes(t):
         digs = F.array(
@@ -245,12 +249,14 @@ def _minhash_cols():
     return [F.element_at("sig", k + 1).alias(f"mh{k}") for k in range(_N_PERMS)]
 
 
-def _minhash_sql_cols() -> list[str]:
+def _minhash_sql_cols(
+    tok_sql: str = "list_distinct(string_split(text, ' '))",
+) -> list[str]:
     cols = []
     for k in range(_N_PERMS):
         i, j = divmod(k, 4)
         cols.append(
-            "list_aggregate(list_transform(list_distinct(string_split(text, ' ')), "
+            f"list_aggregate(list_transform({tok_sql}, "
             f"t -> substr(sha256(concat('p{i}|', t)), {16 * j + 1}, 16)), 'min')"
             f" AS mh{k}"
         )
@@ -385,6 +391,103 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
         inter.cast("double")
         / (F.size("toks_a") + F.size("toks_b") - inter),
         6,
+    )
+    return cand.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= _LSH_TAU
+    )
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
+    "i -> concat(string_split(text,' ')[i], '_', string_split(text,' ')[i+1], "
+    "'_', string_split(text,' ')[i+2])))"
+)
+
+
+def _shingles3():
+    """Distinct 3-word shingles (w_i '_' w_{i+1} '_' w_{i+2}); callers
+    must filter to docs with >= 3 tokens so every index is in range."""
+    toks = F.split(F.col("text"), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i),
+                F.lit("_"),
+                F.element_at(toks, i + 1),
+                F.lit("_"),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_shingle_minhash_lsh",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS toks,
+             {', '.join(_minhash_sql_cols(_SHINGLE_SQL))}
+      FROM base
+    ),
+    banded AS (
+      SELECT doc_id, toks,
+             {_lsh_bands_sql()[0]} AS band1,
+             {_lsh_bands_sql()[1]} AS band2
+      FROM sig
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.toks AS toks_a, b.toks AS toks_b
+      FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.toks, b.toks
+      FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                   / (len(toks_a) + len(toks_b)
+                      - len(list_intersect(toks_a, toks_b))), 6) AS jac
+      FROM cand
+    ) WHERE jac >= {_LSH_TAU}
+    """,
+)
+def dedup_shingle_minhash_lsh(spark, sf_dir):
+    """SHINGLE MinHash+LSH — the literal shingle→minhash→band→bucket-join
+    cascade: 3-word shingles (order-sensitive, unlike the unigram-set
+    ``dedup_minhash_lsh_pairs``) feed the same one-pass 16-permutation
+    signature fold, 2 band hashes, the emit-once (band_idx, hash)
+    equi-self-join, and an exact shingle-Jaccard verify. Shingling
+    tightens the similarity notion: documents sharing vocabulary but not
+    phrasing stop colliding, which is why production near-dup systems
+    shingle first. Same scale shape as the unigram pipeline (ids-only
+    candidate shuffle, group-free, cost ∝ band collisions); the shingle
+    array is ~n_tokens long so signature cost is unchanged."""
+    docs = _parallel(
+        spark,
+        load(spark, sf_dir, "documents").filter(
+            F.size(F.split(F.col("text"), " ")) >= 3
+        ),
+    )
+    banded = docs.select(
+        "doc_id", _minhash_sig(_shingles3()).alias("sig")
+    ).select("doc_id", *_minhash_cols()).select(
+        "doc_id",
+        F.sha2(F.concat(*_BAND1), 256).alias("band1"),
+        F.sha2(F.concat(*_BAND2), 256).alias("band2"),
+    )
+    cand = _lsh_candidates(banded)
+    toks = docs.select("doc_id", fp64(_shingles3()).alias("toks"))
+    cand = cand.join(
+        toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a"
+    ).join(toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter), 6
     )
     return cand.select("doc_a", "doc_b", jac.alias("jac")).filter(
         F.col("jac") >= _LSH_TAU
