@@ -23,9 +23,9 @@ deterministic, no tie-breaking needed). Convergence needs O(log n) rounds
 on adversarial graphs (e.g. long paths) where plain min-label propagation
 needs O(diameter) — the upgrade SCALING.md §5 calls for; a 512-node path
 converges within the ceil(log2 n)+3 bound tests/test_graph.py pins. The
-star-forest membership test (no edge target is still another edge's
-source) detects the fixed point the round it happens — no confirming
-round, unlike a changed-signature compare.
+star-forest membership test (no edge target is another edge's source AND
+every source has fan-out 1) detects the fixed point the round it happens —
+no confirming round, unlike a changed-signature compare.
 
 Scale notes (100 TB):
 - Each round is two shuffle join+groupBy-min pairs — partial-aggregating,
@@ -115,13 +115,24 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
         # Fixed-point test WITHOUT a confirming round: both steps preserve
         # connectivity and orient edges big→small, so the iterate is a star
         # forest (every component one star, rooted at its minimum) exactly
-        # when no edge target is still some other edge's source. One
-        # semi-join count replaces the old signature-compare, which needed
-        # a whole extra contraction round to observe "nothing changed".
-        chained = edges.join(  # driver-scalar
-            edges.select(F.col("u").alias("v")), "v", "left_semi"
-        ).agg(F.count("*")).collect()[0][0]  # driver-scalar
-        if chained == 0:
+        # when (a) no edge target is still some other edge's source AND
+        # (b) every source points at exactly one root. Checking only (a) is
+        # unsound: a node can point at two DISTINCT roots while neither
+        # root is a source — e.g. edges {(7,3),(8,3),(0,5),(0,8),(2,4),
+        # (2,6),(4,7)} leave 3 pointing at both 0 and 2 after round 1 —
+        # and stopping there splits one component in two
+        # (tests/test_graph.py pins this counter-example). Both violation
+        # kinds are unioned into ONE count, still a single driver scalar
+        # per round. ``edges`` is distinct, so count(*) per source equals
+        # its distinct-target fan-out.
+        fan = edges.groupBy("u").agg(F.count("*").alias("c"))
+        violations = (
+            edges.join(fan.select(F.col("u").alias("v")), "v", "left_semi")
+            .select(F.lit(1).alias("one"))
+            .unionByName(fan.filter(F.col("c") > 1).select(F.lit(1).alias("one")))
+            .agg(F.count("*")).collect()[0][0]  # driver-scalar
+        )
+        if violations == 0:
             break
     # fixed point = star forest rooted at component minima
     labels = nodes.join(

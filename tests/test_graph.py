@@ -104,6 +104,52 @@ def test_star_contraction_multiple_components(spark):
     }
 
 
+def test_star_contraction_two_root_counterexample(spark):
+    """Regression: the chained==0 stop alone is unsound — after one round
+    of this graph, node 3 points at BOTH roots 0 and 2 while neither root
+    is a source, so a target-is-source test sees a "star forest" and
+    stops with the single component split into {0,3,5,8} and {2,4,6,7}.
+    The stop must also require fan-out 1 per source."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(7, 3), (8, 3), (0, 5), (0, 8), (2, 4), (2, 6), (4, 7)]
+    pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+    labels, _ = connected_components(pairs)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {n: 0 for n in (0, 2, 3, 4, 5, 6, 7, 8)}
+
+
+def test_star_contraction_random_graphs_match_union_find(spark):
+    """Property sweep: 20 seeded random graphs (the advisor's simulation
+    found ~1.2% wrong labelings under the unsound stop) must all agree
+    exactly with a union-find referee."""
+    import random
+
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(20):
+        n = rng.randint(6, 40)
+        m = rng.randint(n // 2, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        referee = _union_find(edges)
+        comp_min: dict[int, int] = {}
+        for node, root in referee.items():
+            comp_min[root] = min(comp_min.get(root, node), node)
+        expect = {node: comp_min[root] for node, root in referee.items()}
+        pairs = spark.createDataFrame(edges, "a BIGINT, b BIGINT")
+        labels, _ = connected_components(pairs)
+        got = {r.node: r.lbl for r in labels.collect()}
+        assert got == expect, f"mismatch on edges={edges}"
+
+
 def test_pagerank_int_laws(spark, sf_dir):
     from dataflow_pubsub_message_encryption_spark.operators.graph import (
         QUERIES as GQ,
