@@ -554,8 +554,14 @@ def dedup_simhash(spark, sf_dir):
     ±1 matrix is 400 MB and memory-bound (0.9x), axis-0 ``reduceat`` on
     uint8 strides badly (1.5x)."""
     import hashlib
+    import sys
 
     import numpy as np
+
+    # the SWAR lane mapping below reinterprets raw bytes as uint64 words
+    # and back; every view uses explicit '<u8', which only matches the
+    # in-memory lane layout on a little-endian host.
+    assert sys.byteorder == "little", "simhash SWAR path assumes little-endian"
 
     @F.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
@@ -573,7 +579,7 @@ def dedup_simhash(spark, sf_dir):
         # (bitorder='little') puts bit (h >> j) & 1 in column j — the
         # scalar reference's bit order exactly.
         bits = np.unpackbits(hb[:, ::-1], axis=1, bitorder="little")
-        w = bits.view(np.uint64)  # (tokens, 8): 8 one-bit-per-byte lanes
+        w = bits.view(np.dtype("<u8"))  # (tokens, 8): 8 one-bit-per-byte lanes
         starts = np.cumsum(counts) - counts
         # chunk each document's rows at 255 so uint64 byte-lane sums can't
         # carry into the next lane
@@ -585,7 +591,7 @@ def dedup_simhash(spark, sf_dir):
         )
         seg_of_sub = np.repeat(np.arange(len(counts)), (counts + 254) // 255)
         sub = np.add.reduceat(w, sub_starts, axis=0)
-        sub8 = sub.view(np.uint8).reshape(len(sub), 64).astype(np.int32)
+        sub8 = sub.astype("<u8").view(np.uint8).reshape(len(sub), 64).astype(np.int32)
         cnt = np.zeros((len(counts), 64), dtype=np.int32)
         np.add.at(cnt, seg_of_sub, sub8)
         maj = (2 * cnt > counts[:, None]).astype(np.uint8)

@@ -35,6 +35,41 @@ EVENTS_SCHEMA = (
 )
 
 
+def _ts_divisor_from_footer(sf_dir: str) -> int:
+    """Driver-side, one-footer peek: decide how the streaming scan's BIGINT
+    ``ts`` column maps to micros-since-epoch by reading the parquet LOGICAL
+    TYPE — never by value magnitude (a magnitude heuristic silently
+    misreads nanosecond stamps between 1970 and ~1973-03, and any
+    small-magnitude pre-epoch nanos, as micros).
+
+    Probed on Spark 4.1.2: a parquet TIMESTAMP(NANOS/MICROS) column read
+    through an explicit BIGINT schema is coerced to MICROS-since-epoch
+    (divisor 1); a plain INT64 physical column passes through raw, and the
+    fixture convention for raw INT64 event stamps is NANOS (divisor 1000).
+    TIMESTAMP(MILLIS) is unprobed and refused rather than guessed."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{sf_dir}/*.parquet")) or sorted(
+        glob.glob(f"{sf_dir}/**/*.parquet", recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {sf_dir}")
+    t = pq.read_schema(files[0]).field("ts").type
+    if pa.types.is_timestamp(t):
+        if t.unit in ("ns", "us"):
+            return 1
+        raise ValueError(
+            f"unsupported parquet timestamp unit {t.unit!r} for ts; "
+            "probed coercion rules cover only ns/us"
+        )
+    if pa.types.is_integer(t):
+        return 1000
+    raise ValueError(f"unsupported parquet type {t!r} for ts")
+
+
 def events_file_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -52,21 +87,11 @@ def events_file_stream(
     )
     # watermarks require TIMESTAMP (with local tz), not NTZ — the batch side
     # uses NTZ for oracle portability, streaming uses the instant type.
-    #
-    # Unit normalization (probed on 4.1.2): the batch reader (schema
-    # inference + nanosAsLong) surfaces the parquet TIMESTAMP(NANOS) column
-    # as raw NANOS, but a streaming scan with this explicit BIGINT schema
-    # coerces that same column to MICROS-since-epoch; fixture files written
-    # with a plain INT64 physical column come through as raw nanos in both
-    # modes. Disambiguate by magnitude: >= 1e17 is nanos for any date past
-    # 1973, while micros stay below 1e17 until year ~5138.
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000 "
-            "THEN ts div 1000 ELSE ts END)"
-        ),
-    )
+    # The micros divisor comes from the parquet footer's logical type (see
+    # _ts_divisor_from_footer), fixed at stream-definition time — every file
+    # of one topic replay shares one writer schema.
+    div = _ts_divisor_from_footer(sf_dir)
+    return raw.withColumn("ts", F.expr(f"timestamp_micros(ts div {div})"))
 
 
 def decrypted_stream(events: DataFrame, tamper: bool = False) -> DataFrame:
