@@ -581,9 +581,51 @@ def events_transition_matrix(spark, sf_dir):
     )
 
 
+# per-user sequence cap: rows beyond the first _SEQ_CAP events (in (ts,
+# event_id) order) never enter the aggregation, so a pathological bot user
+# bounds at _SEQ_CAP bytes of state instead of an unbounded collect_list.
+_SEQ_CAP = 10_000
+
+
+def _pattern_match(ev, cap: int = _SEQ_CAP):
+    wcap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= cap)
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("ch"),
+                    )
+                )
+            ),
+            lambda s: s.getField("ch"),
+        ),
+        "",
+    )
+    return (
+        capped.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("n_events"),
+            F.size(F.regexp_extract_all("seq", F.lit("vc+p"), 0)).alias(
+                "n_click_funnels"
+            ),
+            F.col("seq").rlike("p.*e").alias("error_after_purchase"),
+        )
+    )
+
+
 @query(
     "events_pattern_match",
-    """
+    f"""
     SELECT user_id,
            CAST(length(seq) AS INTEGER) AS n_events,
            CAST(len(regexp_extract_all(seq, 'vc+p')) AS INTEGER)
@@ -593,7 +635,13 @@ def events_transition_matrix(spark, sf_dir):
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                AS seq
-      FROM events GROUP BY user_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn <= {_SEQ_CAP}
+      GROUP BY user_id
     )
     """,
 )
@@ -613,34 +661,11 @@ def events_pattern_match(spark, sf_dir):
     chars, +, .*) that Java and RE2 match identically, left-to-right
     non-overlapping. Scale: one shuffle on user_id; per-user state is the
     event-type string (1 byte/event) — a 10k-event user is 10 KB, and a
-    pathological bot user is the documented mega-group hazard handled by
-    length-capping the aggregation (slice before join), not by a
-    different algorithm."""
-    ev = load_events(spark, sf_dir)
-    seq = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "ts",
-                        "event_id",
-                        F.substring("event_type", 1, 1).alias("ch"),
-                    )
-                )
-            ),
-            lambda s: s.getField("ch"),
-        ),
-        "",
-    )
-    return (
-        ev.groupBy("user_id")
-        .agg(seq.alias("seq"))
-        .select(
-            "user_id",
-            F.length("seq").alias("n_events"),
-            F.size(F.regexp_extract_all("seq", F.lit("vc+p"), 0)).alias(
-                "n_click_funnels"
-            ),
-            F.col("seq").rlike("p.*e").alias("error_after_purchase"),
-        )
-    )
+    pathological bot user is the documented mega-group hazard, capped by a
+    row_number() <= _SEQ_CAP filter BEFORE the aggregation (the window
+    sort shares the groupBy's user_id shuffle, and its sort spills; the
+    collect_list then never sees more than _SEQ_CAP rows per user). The
+    oracle applies the identical cap, so the query stays EXACT at any
+    scale; tests/test_behavior.py pins the truncation on a synthetic
+    mega-user and output-identity with the uncapped form on fixtures."""
+    return _pattern_match(load_events(spark, sf_dir))

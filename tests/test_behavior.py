@@ -93,3 +93,44 @@ def test_transition_matrix_rows_normalize(spark, sf_dir):
     for prev, total in by_prev.items():
         # each p rounded to 6dp -> row sums to 1 within #cells * 5e-7
         assert abs(total - 1.0) <= cnt[prev] * 5e-7
+
+
+def test_pattern_match_mega_user_cap(spark, sf_dir):
+    """The per-user sequence cap truncates a synthetic bot user to the
+    first ``cap`` events in (ts, event_id) order, and on the fixture
+    corpus (every user far below _SEQ_CAP) the capped operator is
+    output-identical to the registered uncapped-on-fixtures result."""
+    from pyspark.sql import functions as F
+
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        _SEQ_CAP,
+        _pattern_match,
+        QUERIES as BQ,
+    )
+
+    # synthetic: user 1 emits view, 8 clicks, purchase (10 events); user 2
+    # a 3-event funnel. cap=5 keeps only user 1's first 5 events.
+    rows = [(1, 1000 + i, 100 + i, t, 0.0, "{}")
+            for i, t in enumerate(["view"] + ["click"] * 8 + ["purchase"])]
+    rows += [(2, 2000 + i, 900 + i, t, 0.0, "{}")
+             for i, t in enumerate(["view", "click", "purchase"])]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id BIGINT, ts BIGINT, event_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {r.user_id: r for r in _pattern_match(ev, cap=5).collect()}
+    assert got[1].n_events == 5          # truncated from 10
+    assert got[1].n_click_funnels == 0   # 'vcccc' has no terminal p
+    assert not got[1].error_after_purchase
+    assert got[2].n_events == 3
+    assert got[2].n_click_funnels == 1   # 'vcp'
+
+    # fixture corpus: cap active vs effectively-uncapped must agree
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    fix = load_events(spark, sf_dir)
+    capped = {tuple(r) for r in _pattern_match(fix, cap=_SEQ_CAP).collect()}
+    uncapped = {tuple(r) for r in _pattern_match(fix, cap=1 << 40).collect()}
+    assert capped == uncapped
+    assert capped == {tuple(r) for r in BQ["events_pattern_match"](spark, sf_dir).collect()}
