@@ -85,12 +85,13 @@ _WINDOW = [
     "market_basket_pairs",
     "window_rollup_multires",
     "events_transition_matrix",
+    # round-5 additions
+    "sim_ann_kmeans_ivf_topk",
     # round-4 additions
     "dedup_containment_blocked",
     "sim_ann_multiprobe_topk",
     "agg_quantile_sketch_union",
     "sample_weighted_k",
-    "dedup_simhash",
 ]
 
 

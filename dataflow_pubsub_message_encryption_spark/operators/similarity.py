@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
@@ -406,6 +407,196 @@ def sim_ann_ivf_topk(spark, sf_dir):
             F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias(
                 "cos_sim"
             ),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(_TOPK)
+    )
+
+
+# ---- learned IVF: Lloyd's k-means with fixed-point integer centroids ----
+#
+# Cross-engine exact iterative clustering needs every round's state to be
+# bit-identical in Spark and DuckDB. Three disciplines make it so:
+#   1. centroid components are INT64 (scale 1e6) — integer sums commute;
+#   2. the update step is floor(SUM(q)::DOUBLE / COUNT(*)) — the same two
+#      double ops in both engines (sums stay < 2^53, so the cast is exact);
+#   3. assignment orders by 6dp-rounded cosine with a cell tie-break.
+# The oracle unrolls all iterations as chained CTEs (the
+# graph_pagerank_int pattern), so the full iterative computation is
+# value-checked, not just the final shape.
+_KM_ITERS = 2
+_KM_NPROBE = 3
+
+
+def _km_iter_sql(prev_c: str, a: str, cur_c: str) -> str:
+    """One Lloyd round as two CTEs: assignment under ``prev_c`` and the
+    fixed-point centroid update producing ``cur_c``."""
+    return f"""{a} AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, {prev_c} c
+      ) WHERE rn = 1
+    ),
+    {cur_c} AS (
+      SELECT cell, list(cq1 ORDER BY pos) AS cq FROM (
+        SELECT a.cell, i AS pos,
+               CAST(floor(CAST(SUM(qv.qe[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cq1
+        FROM {a} a JOIN qv USING (vec_id),
+             (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY a.cell, i
+      ) GROUP BY cell
+    )"""
+
+
+def _km_assign(e_q, cents):
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    score every vector against every cell, keep the per-vector argmax
+    (6dp-rounded cosine, cell tie-break)."""
+    cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cell")
+    return (
+        e_q.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cell", F.round(cosine(F.col("de"), cd), 6).alias("cs")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def _km_update(assign, e_q):
+    """Fixed-point centroid update: per-(cell, pos) integer sums, one
+    floored double division, re-assembled as position-sorted arrays."""
+    return (
+        assign.alias("a")
+        .join(e_q.alias("v"), F.col("a.vec_id") == F.col("v.vec_id"))
+        .select("a.cell", F.posexplode("v.qe").alias("pos", "q"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq1")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq1"))).alias("p"))
+        .select("cell", F.transform("p", lambda s: s.getField("cq1")).alias("cq"))
+    )
+
+
+@query(
+    "sim_ann_kmeans_ivf_topk",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    seeds AS (SELECT label AS cell, min(vec_id) AS sid
+              FROM embeddings GROUP BY label),
+    c0 AS (SELECT s.cell, qv.qe AS cq
+           FROM seeds s JOIN qv ON qv.vec_id = s.sid),
+    {_km_iter_sql("c0", "a1", "c1")},
+    {_km_iter_sql("c1", "a2", "c2")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    probe AS (SELECT de AS pe FROM qv WHERE vec_id = {_PROBE_ID}),
+    best_cell AS (
+      SELECT cell FROM c{_KM_ITERS}, probe
+      ORDER BY round(list_cosine_similarity(
+                 list_transform(cq, q -> CAST(q AS DOUBLE) / {_CENT_SCALE}),
+                 pe), 6) DESC, cell
+      LIMIT {_KM_NPROBE}
+    )
+    SELECT vec_id, cell, cos_sim FROM (
+      SELECT qv.vec_id, a.cell,
+             round(list_cosine_similarity(qv.de, probe.pe), 6) AS cos_sim
+      FROM afin a JOIN qv USING (vec_id)
+      JOIN best_cell USING (cell), probe
+      WHERE qv.vec_id != {_PROBE_ID}
+    ) ORDER BY cos_sim DESC, vec_id LIMIT {_TOPK}
+    """,
+)
+def sim_ann_kmeans_ivf_topk(spark, sf_dir):
+    """Learned IVF: coarse cells trained by {_KM_ITERS} Lloyd's k-means
+    iterations (seeded with each label's min-vec_id vector), then the
+    standard IVF search — probe assigned to its nprobe nearest LEARNED
+    cells, exhaustive cosine inside those cells only. Completes the ANN
+    story past ``sim_ann_ivf_topk``'s label-defined cells: the cells here
+    come from the data, not the metadata.
+
+    Every Lloyd round is assignment (broadcast K centroids, argmax of
+    6dp-rounded cosine, cell tie-break) + update (integer component sums,
+    one floored double division — see the fixed-point block comment). The
+    oracle unrolls all rounds as chained CTEs, so the entire training
+    trajectory is value-checked cross-engine. At 100 TB: K centroids are a
+    broadcast dimension (KB-scale); each round is one narrow map + one
+    partial-aggregating shuffle keyed by (cell, pos); assignment state
+    never leaves the executors; the trained cell id becomes the partition
+    key so a probe reads nprobe/K of the data."""
+    e = load(spark, sf_dir, "embeddings")
+    e_q = e.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    seeds = e.groupBy("label").agg(F.min("vec_id").alias("sid"))
+    cents = (
+        seeds.alias("s")
+        .join(e_q.alias("v"), F.col("s.sid") == F.col("v.vec_id"))
+        .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
+    )
+    for _ in range(_KM_ITERS):
+        # eager checkpoint per round: K rows, keeps the plan shallow and
+        # lets the trained table's three consumers (final assignment,
+        # probe cell ranking, search join) reuse it instead of re-running
+        # the whole training lineage.
+        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
+            eager=True
+        )
+    final_assign = _km_assign(e_q, cents)
+    probe = e_q.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("de").alias("pe")
+    )
+    cd = F.transform("cq", lambda x: x.cast("double") / _CENT_SCALE)
+    best_cell = (
+        cents.join(F.broadcast(probe))
+        .select("cell", F.round(cosine(cd, F.col("pe")), 6).alias("cs"))
+        .orderBy(F.desc("cs"), "cell")
+        .limit(_KM_NPROBE)
+        .select("cell")
+    )
+    return (
+        final_assign.join(F.broadcast(best_cell), "cell")
+        .alias("a")
+        .join(e_q.alias("v"), F.col("a.vec_id") == F.col("v.vec_id"))
+        .filter(F.col("a.vec_id") != _PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cell").alias("cell"),
+            F.round(cosine(F.col("v.de"), F.col("pe")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(_TOPK)

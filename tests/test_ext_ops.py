@@ -274,3 +274,26 @@ def test_containment_blocked_identical_to_naive(spark, sf_dir):
         for r in DQ["dedup_containment_blocked"](spark, sf_dir).collect()
     }
     assert naive and blocked == naive
+
+
+def test_kmeans_ivf_recall_and_laws(spark, sf_dir):
+    """Learned-IVF search quality: recall vs brute force at least as good
+    as a random 3-of-10 cell draw would suggest, plus structural laws —
+    results sorted by (cos_sim desc, vec_id), probe excluded, and every
+    result's cell is one of the nprobe chosen cells (<= _KM_NPROBE
+    distinct cells in the output)."""
+    brute = [r.vec_id for r in SIMQ["sim_cosine_topk"](spark, sf_dir).collect()]
+    rows = SIMQ["sim_ann_kmeans_ivf_topk"](spark, sf_dir).collect()
+    assert rows
+    got = [r.vec_id for r in rows]
+    recall = len(set(brute) & set(got)) / len(brute)
+    assert recall >= 0.3, f"k-means IVF recall too low: {recall}"
+    assert 0 not in got  # probe excluded
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import _KM_NPROBE
+
+    assert len({r.cell for r in rows}) <= _KM_NPROBE
+    # determinism: second run bit-identical (fixed-point training)
+    again = [(r.vec_id, r.cos_sim) for r in SIMQ["sim_ann_kmeans_ivf_topk"](spark, sf_dir).collect()]
+    assert again == [(r.vec_id, r.cos_sim) for r in rows]
