@@ -87,11 +87,11 @@ _WINDOW = [
     "events_transition_matrix",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
+    "text_bpe_merges",
     # round-4 additions
     "dedup_containment_blocked",
     "sim_ann_multiprobe_topk",
     "agg_quantile_sketch_union",
-    "sample_weighted_k",
 ]
 
 

@@ -431,3 +431,212 @@ def text_unigram_logprob(spark, sf_dir):
             -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_tokens"), 6
         ).alias("avg_neg_logprob"),
     )
+
+
+# ---- iterative BPE merge training ----------------------------------------
+#
+# Byte-pair-encoding training is THE tokenizer-training loop: count every
+# adjacent symbol pair across the word-frequency table, merge the most
+# frequent pair everywhere (left-to-right, non-overlapping), repeat. The
+# whole loop runs on the word-frequency table, never the corpus — after
+# the initial token count, every round's working set is |vocab| rows
+# (the classic Sennrich trick, and exactly the right 100 TB shape: the
+# corpus is touched once; training shuffles are vocabulary-sized).
+#
+# Cross-engine exactness: both engines run the IDENTICAL declarative
+# algorithm per round — pair counts are integer sums (commutative), the
+# best pair breaks ties on (count desc, s1, s2), and the non-overlapping
+# merge is a windows-over-positions computation (candidate runs =
+# gaps-and-islands; realize every other candidate within a run) rather
+# than an engine-specific fold. The oracle unrolls all rounds as chained
+# CTEs, like graph_pagerank_int / sim_ann_kmeans_ivf_topk.
+_BPE_MERGES = 3
+
+
+def _bpe_words0(spark, sf_dir):
+    """Word-frequency table with each word exploded into its character
+    symbols (substring loop — identical semantics to the oracle's
+    ``word[i]`` indexing; empty tokens dropped in both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+
+
+def _bpe_pair_counts(words):
+    """Weighted adjacent-pair counts over the symbol arrays (overlapping
+    occurrences counted, as in reference BPE): shuffle ∝ distinct pairs."""
+    return (
+        words.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS s1, syms[i + 1] AS s2))"
+                )
+            ).alias("p"),
+        )
+        .select("cnt", "p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+def _bpe_apply_merge(words, best):
+    """Merge the broadcast best pair in every word, left-to-right
+    non-overlapping: mark candidate positions, group consecutive
+    candidates into islands (i - running-candidate-count), realize every
+    odd-indexed candidate within its island, drop the consumed follower
+    position, and re-assemble the arrays. All windows partition by word —
+    at scale that is |vocab| tiny partitions, never a corpus shuffle."""
+    w_pos = Window.partitionBy("word").orderBy("i")
+    ex = (
+        words.select("word", "cnt", F.posexplode("syms").alias("i", "s"))
+        .withColumn("nxt", F.lead("s").over(w_pos))
+        .join(F.broadcast(best))
+        .withColumn(
+            "cand",
+            F.coalesce(
+                (F.col("s") == F.col("s1")) & (F.col("nxt") == F.col("s2")),
+                F.lit(False),
+            ),
+        )
+        .withColumn("isl", F.col("i") - F.sum(F.col("cand").cast("int")).over(w_pos))
+    )
+    w_isl = Window.partitionBy("word", "isl", "cand").orderBy("i")
+    ex = ex.withColumn(
+        "realized", F.col("cand") & (F.row_number().over(w_isl) % 2 == 1)
+    ).withColumn(
+        "prev_real", F.coalesce(F.lag("realized").over(w_pos), F.lit(False))
+    )
+    return (
+        ex.filter(~F.col("prev_real"))
+        .select(
+            "word",
+            "cnt",
+            "i",
+            F.when(F.col("realized"), F.concat("s", "nxt")).otherwise(
+                F.col("s")
+            ).alias("sym"),
+        )
+        .groupBy("word", "cnt")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "sym"))).alias("ps"))
+        .select(
+            "word",
+            "cnt",
+            F.transform("ps", lambda p: p.getField("sym")).alias("syms"),
+        )
+    )
+
+
+def _bpe_round_sql(prev: str, r: int) -> str:
+    """One unrolled BPE round: pair counts under w{prev}, the best pair,
+    and the merged word table w{r}."""
+    return f"""pc{r} AS (
+      SELECT p.s1 AS s1, p.s2 AS s2, SUM(cnt) AS pc FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     i -> {{'s1': syms[i], 's2': syms[i + 1]}})) AS p
+        FROM {prev} WHERE len(syms) >= 2
+      ) GROUP BY p.s1, p.s2
+    ),
+    best{r} AS (
+      SELECT s1, s2, pc FROM pc{r} ORDER BY pc DESC, s1, s2 LIMIT 1
+    ),
+    ex{r} AS (
+      SELECT word, cnt, unnest(range(1, len(syms) + 1)) AS i, syms
+      FROM {prev}
+    ),
+    ex2{r} AS (
+      SELECT e.word, e.cnt, e.i, e.syms[e.i] AS s, e.syms[e.i + 1] AS nxt,
+             COALESCE(e.syms[e.i] = b.s1 AND e.syms[e.i + 1] = b.s2, FALSE)
+               AS cand
+      FROM ex{r} e, best{r} b
+    ),
+    ex3{r} AS (
+      SELECT *, i - SUM(CASE WHEN cand THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY word ORDER BY i) AS isl
+      FROM ex2{r}
+    ),
+    ex4{r} AS (
+      SELECT *, cand AND (row_number() OVER (PARTITION BY word, isl, cand
+                                             ORDER BY i) % 2 = 1) AS realized
+      FROM ex3{r}
+    ),
+    ex5{r} AS (
+      SELECT *, COALESCE(lag(realized) OVER (PARTITION BY word ORDER BY i),
+                         FALSE) AS prev_real
+      FROM ex4{r}
+    ),
+    w{r} AS (
+      SELECT word, cnt,
+             list(CASE WHEN realized THEN s || nxt ELSE s END ORDER BY i)
+               AS syms
+      FROM ex5{r} WHERE NOT prev_real GROUP BY word, cnt
+    )"""
+
+
+@query(
+    "text_bpe_merges",
+    f"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY word
+    ),
+    {_bpe_round_sql("w0", 1)},
+    {_bpe_round_sql("w1", 2)},
+    {_bpe_round_sql("w2", 3)}
+    SELECT * FROM (
+      SELECT CAST(1 AS INTEGER) AS merge_rank, s1 AS left_sym,
+             s2 AS right_sym, CAST(pc AS BIGINT) AS pair_cnt FROM best1
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), s1, s2, CAST(pc AS BIGINT) FROM best2
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), s1, s2, CAST(pc AS BIGINT) FROM best3
+    )
+    """,
+)
+def text_bpe_merges(spark, sf_dir):
+    """Iterative BPE merge training (the tokenizer-training capstone on
+    top of text_vocab_build / text_bigram_colloc): {_BPE_MERGES} rounds of
+    count-adjacent-pairs -> merge-the-argmax over the word-frequency
+    table; the output is the learned merge table (rank, pair, count) —
+    the artifact a BPE tokenizer ships. See the module block comment for
+    the scale shape and the cross-engine exactness argument; the oracle
+    unrolls every round as chained CTEs, so the full training loop is
+    value-checked, not just the final counts."""
+    words = _bpe_words0(spark, sf_dir).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pc"), "s1", "s2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                F.col("s1").alias("left_sym"),
+                F.col("s2").alias("right_sym"),
+                F.col("pc").cast("long").alias("pair_cnt"),
+            )
+        )
+        if r < _BPE_MERGES:
+            words = _bpe_apply_merge(words, best.select("s1", "s2")).localCheckpoint(
+                eager=True
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -297,3 +297,63 @@ def test_kmeans_ivf_recall_and_laws(spark, sf_dir):
     # determinism: second run bit-identical (fixed-point training)
     again = [(r.vec_id, r.cos_sim) for r in SIMQ["sim_ann_kmeans_ivf_topk"](spark, sf_dir).collect()]
     assert again == [(r.vec_id, r.cos_sim) for r in rows]
+
+
+def _py_bpe_merges(word_counts, n):
+    """Pure-Python reference BPE: overlapping pair counts, (count desc,
+    pair asc) argmax, left-to-right non-overlapping merge."""
+    words = {w: ([*w], c) for w, c in word_counts.items()}
+    out = []
+    for _ in range(n):
+        pc = {}
+        for syms, c in words.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (s1, s2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((s1, s2, cnt))
+        for w, (syms, c) in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    merged.append(s1 + s2)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = (merged, c)
+    return out
+
+
+def test_bpe_matches_python_reference(spark, tmp_path):
+    """The declarative BPE loop must agree with a scalar reference on a
+    corpus designed to hit the tricky cases: an s1==s2 pair with odd AND
+    even runs ('aaa' merges to [aa, a]), and merged symbols that re-pair
+    in later rounds."""
+    import pandas as pd
+
+    texts = [
+        "aaa aaaa banana banana bandana",
+        "aaa banana low lower lowest",
+        "low low low banana aaa",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pdf.to_parquet(tmp_path / "documents.parquet")
+
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        QUERIES as TQ,
+        _BPE_MERGES,
+    )
+
+    got = [
+        (r.left_sym, r.right_sym, r.pair_cnt)
+        for r in TQ["text_bpe_merges"](spark, str(tmp_path))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    assert got == _py_bpe_merges(counts, _BPE_MERGES)
