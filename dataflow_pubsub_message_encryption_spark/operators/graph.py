@@ -115,21 +115,35 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
         # Fixed-point test WITHOUT a confirming round: both steps preserve
         # connectivity and orient edges big→small, so the iterate is a star
         # forest (every component one star, rooted at its minimum) exactly
-        # when (a) no edge target is still some other edge's source AND
-        # (b) every source points at exactly one root. Checking only (a) is
-        # unsound: a node can point at two DISTINCT roots while neither
-        # root is a source — e.g. edges {(7,3),(8,3),(0,5),(0,8),(2,4),
-        # (2,6),(4,7)} leave 3 pointing at both 0 and 2 after round 1 —
-        # and stopping there splits one component in two
-        # (tests/test_graph.py pins this counter-example). Both violation
-        # kinds are unioned into ONE count, still a single driver scalar
-        # per round. ``edges`` is distinct, so count(*) per source equals
-        # its distinct-target fan-out.
-        fan = edges.groupBy("u").agg(F.count("*").alias("c"))
+        # when (a) no node is both a source and a target AND (b) no source
+        # has fan-out > 1. Checking only (a) is unsound: a node can point
+        # at two DISTINCT roots while neither root is a source — e.g.
+        # edges {(7,3),(8,3),(0,5),(0,8),(2,4),(2,6),(4,7)} leave 3
+        # pointing at both 0 and 2 after round 1 — and stopping there
+        # splits one component in two (tests/test_graph.py pins this
+        # counter-example). Both conditions fall out of ONE node-level
+        # aggregation (source-count, target-count per node; map-side
+        # partial, ids-only payload) — a single shuffle and a single
+        # driver scalar per round. ``edges`` is distinct, so the source
+        # count equals the distinct-target fan-out.
+        stats = (
+            edges.select(
+                F.col("u").alias("n"),
+                F.lit(1).alias("s"),
+                F.lit(0).alias("t"),
+            )
+            .unionByName(
+                edges.select(
+                    F.col("v").alias("n"),
+                    F.lit(0).alias("s"),
+                    F.lit(1).alias("t"),
+                )
+            )
+            .groupBy("n")
+            .agg(F.sum("s").alias("sc"), F.sum("t").alias("tc"))
+        )
         violations = (
-            edges.join(fan.select(F.col("u").alias("v")), "v", "left_semi")
-            .select(F.lit(1).alias("one"))
-            .unionByName(fan.filter(F.col("c") > 1).select(F.lit(1).alias("one")))
+            stats.filter((F.col("sc") > 1) | ((F.col("sc") >= 1) & (F.col("tc") >= 1)))
             .agg(F.count("*")).collect()[0][0]  # driver-scalar
         )
         if violations == 0:
