@@ -8,4 +8,5 @@ from .pipeline import (  # noqa: F401
     write_parquet_sink,
     write_text_sink,
 )
+from .cdc import cdc_current_view, cdc_upsert_sink  # noqa: F401
 from .stateful import running_user_census  # noqa: F401

@@ -683,3 +683,61 @@ def test_wire_schema_matches_kafka_source_contract(spark, sf_dir, tmpdir):
         "headers:array<struct<key:string,value:binary>>>"
     )
     assert got == want
+
+
+def test_cdc_upsert_stream_equals_batch(spark, sf_dir, tmpdir):
+    """foreachBatch MERGE upsert drained over a 4-file replay must equal
+    the batch cdc_upsert_latest result exactly (latest-wins merge is
+    associative, so ANY micro-batch split folds to the same state), and a
+    checkpoint-resumed restart must not double-count versions."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dataflow_pubsub_message_encryption_spark.operators.cdc import QUERIES as CQ
+    from dataflow_pubsub_message_encryption_spark.streaming import (
+        cdc_current_view,
+        cdc_upsert_sink,
+    )
+
+    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+    n = tbl.num_rows
+    idx = tbl["ts"].to_pandas().sort_values().index
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    for i in range(4):
+        pq.write_table(
+            tbl.take(sorted(idx[i * n // 4 : (i + 1) * n // 4])),
+            f"{src}/part{i}.parquet",
+        )
+
+    target, ckpt = f"{tmpdir}/target", f"{tmpdir}/ckpt"
+    stream = st.events_file_stream(spark, src, max_files_per_trigger=1)
+    q = cdc_upsert_sink(stream, target, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.user_id: (
+            r.last_event_type,
+            round(float(r.last_value), 2),
+            r.last_ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            r.n_versions,
+        )
+        for r in cdc_current_view(spark, target).collect()
+    }
+    batch = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_ts, r.n_versions)
+        for r in CQ["cdc_upsert_latest"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+    # restart from the same checkpoint: no new files -> state unchanged
+    q2 = cdc_upsert_sink(
+        st.events_file_stream(spark, src, max_files_per_trigger=1), target, ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    again = {
+        r.user_id: r.n_versions for r in cdc_current_view(spark, target).collect()
+    }
+    assert again == {u: v[3] for u, v in got.items()}
