@@ -88,10 +88,10 @@ _WINDOW = [
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "text_repetition_stats",
     # round-4 additions
     "dedup_containment_blocked",
-    "sim_ann_multiprobe_topk",
-    "agg_quantile_sketch_union",
 ]
 
 

@@ -640,3 +640,123 @@ def text_bpe_merges(spark, sf_dir):
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@query(
+    "text_repetition_stats",
+    """
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_repeat,
+           round(1 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_ratio
+    FROM (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3
+      ) GROUP BY doc_id, g
+    ) GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Intra-document repetition census — the Gopher/C4-style quality
+    signal: per document, total vs distinct sliding 3-gram counts, the
+    hottest trigram's repeat count, and the duplicate-trigram ratio
+    (1 - distinct/total). Heavily templated or looping documents (boiler-
+    plate, crawler traps, degenerate generations) stand out at high
+    dup_ratio and get dropped before training. Shape: one in-partition
+    trigram explode (transform over an index sequence — JVM codegen),
+    then two partial-aggregating groupBys keyed by (doc, gram) then doc —
+    shuffle ∝ distinct per-doc trigrams, never the corpus cross-product.
+    The ratio is one double division + round, identical in both engines;
+    everything else is integer."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_repeat"),
+        F.round(
+            F.lit(1) - F.count("*").cast("double") / F.sum("c"), 6
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "text_bpe_encode",
+    f"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY word
+    ),
+    {_bpe_round_sql("w0", 1)},
+    {_bpe_round_sql("w1", 2)},
+    {_bpe_round_sql("w2", 3)},
+    sizes AS (SELECT word, len(syms) AS ntok FROM w3),
+    doc_words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           round(CAST(SUM(length(word)) AS DOUBLE) / SUM(ntok), 6)
+             AS chars_per_token
+    FROM doc_words JOIN sizes USING (word)
+    WHERE length(word) >= 1
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    """Apply the learned BPE merge table (text_bpe_merges) to encode the
+    corpus: run all {_BPE_MERGES} merges over the word-frequency table
+    (training reuse — encode cost is ∝ |vocab|, not corpus), broadcast
+    the word -> token-count dimension back onto the documents, and report
+    per-document BPE token counts and chars-per-token compression. This
+    is the train->apply round trip a tokenizer pipeline runs; token
+    counts are what batch packing and cost estimates key on. The oracle
+    replays the identical unrolled training CTEs and joins the same
+    dimension — integer counts plus one double division."""
+    words = _bpe_words0(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(_BPE_MERGES):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pc"), "s1", "s2")
+            .limit(1)
+            .select("s1", "s2")
+            .localCheckpoint(eager=True)
+        )
+        words = _bpe_apply_merge(words, best).localCheckpoint(eager=True)
+    sizes = words.select("word", F.size("syms").alias("ntok"))
+    docs = load(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("word")
+    ).filter(F.length("word") >= 1)
+    return (
+        doc_words.join(F.broadcast(sizes), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ntok").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.round(
+                F.sum(F.length("word")).cast("double") / F.sum("ntok"), 6
+            ).alias("chars_per_token"),
+        )
+    )
