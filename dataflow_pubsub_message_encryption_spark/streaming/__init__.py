@@ -2,6 +2,7 @@ from .pipeline import (  # noqa: F401
     attribution_join_stream,
     decrypted_stream,
     events_file_stream,
+    session_counts_stream,
     sliding_counts_stream,
     stateful_dedup_stream,
     windowed_counts_stream,

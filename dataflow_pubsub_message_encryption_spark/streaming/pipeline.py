@@ -136,6 +136,29 @@ def sliding_counts_stream(
     )
 
 
+def session_counts_stream(
+    events: DataFrame, watermark: str = "10 minutes", gap: str = "30 minutes"
+) -> DataFrame:
+    """Session-window sessionization on the unbounded stream — the
+    streaming twin of the batch ``sessionize_gap_sql`` lag-then-cumsum
+    (same 30-minute inactivity gap). ``session_window`` keeps per-key
+    open-session state that the watermark closes and evicts; the drained
+    replay must produce the batch session set exactly
+    (tests/test_streaming.py asserts it). State ∝ open sessions per user,
+    bounded by the watermark — the mergeable-session shape Beam expresses
+    with Sessions windows [U/M]."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def stateful_dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """R11 streaming — at-least-once -> effectively-once by consumer-side
     dedup on the message id, with state bounded by the watermark (the

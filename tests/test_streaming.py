@@ -741,3 +741,28 @@ def test_cdc_upsert_stream_equals_batch(spark, sf_dir, tmpdir):
         r.user_id: r.n_versions for r in cdc_current_view(spark, target).collect()
     }
     assert again == {u: v[3] for u, v in got.items()}
+
+
+def test_session_window_stream_equals_batch_sessions(spark, sf_dir, tmpdir):
+    """The streaming session_window aggregation, drained in complete mode
+    over the full replay, must produce exactly the batch
+    sessionize_gap_sql session set (same user, start, event count)."""
+    import glob
+    import shutil as sh
+
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    stream = st.session_counts_stream(st.events_file_stream(spark, tmpdir))
+    got = _run_stream_to_memory(spark, stream, "session_stream", mode="complete")
+    g = {
+        (r.user_id, r.session_start.strftime("%Y-%m-%d %H:%M:%S.%f")): r.n_events
+        for r in got.collect()
+    }
+    b = {
+        (r.user_id, r.session_start): r.n_events
+        for r in BQ["sessionize_gap_sql"](spark, sf_dir).collect()
+    }
+    assert g == b
