@@ -83,15 +83,14 @@ _WINDOW = [
     "sessionize_gap_sql",
     "agg_value_histogram",
     "market_basket_pairs",
-    "window_rollup_multires",
-    "events_transition_matrix",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
     "text_repetition_stats",
-    # round-4 additions
-    "dedup_containment_blocked",
+    "profile_key_skew",
+    "graph_triangle_count",
+    "window_rolling_zscore",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import date_str, money, ts_str
+from ..functions.normalize import date_str, dec4, money, ts_str
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -669,3 +669,76 @@ def events_pattern_match(spark, sf_dir):
     scale; tests/test_behavior.py pins the truncation on a synthetic
     mega-user and output-identity with the uncapped form on fixtures."""
     return _pattern_match(load_events(spark, sf_dir))
+
+
+@query(
+    "window_rolling_zscore",
+    """
+    SELECT user_id, event_id, CAST(n_frame AS BIGINT) AS n_frame, z
+    FROM (
+      SELECT user_id, event_id, n_frame, mean, var,
+             CASE WHEN var > 0
+                  THEN round((x - mean) / sqrt(var), 6) END AS z
+      FROM (
+        SELECT user_id, event_id, n_frame, x,
+               CAST(s AS DOUBLE) / n_frame AS mean,
+               (CAST(s2 AS DOUBLE) - n_frame *
+                  (CAST(s AS DOUBLE) / n_frame) * (CAST(s AS DOUBLE) / n_frame))
+                 / n_frame AS var
+        FROM (
+          SELECT user_id, event_id,
+                 CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS x,
+                 count(*) OVER w AS n_frame,
+                 SUM(CAST(value AS DECIMAL(18,4))) OVER w AS s,
+                 SUM(CAST(value AS DECIMAL(18,4)) *
+                     CAST(value AS DECIMAL(18,4))) OVER w AS s2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        )
+      )
+    )
+    """,
+)
+def window_rolling_zscore(spark, sf_dir):
+    """Rolling normalization — each event's value z-scored against the
+    user's trailing 6-event frame (5 preceding + current): the standard
+    online feature-engineering / anomaly primitive (a purchase 3 sigma
+    above the user's own recent baseline flags, regardless of global
+    scale). One window pass per user, ROWS frame.
+
+    Exactness discipline: frame sums use DECIMAL(18,4) (exact, order-
+    independent); mean and variance then run the IDENTICAL double-op
+    sequence in both engines (cast, divide, multiply, subtract), and the
+    final z is 6dp-rounded with var>0 guarding degenerate frames. A
+    naive double SUM() OVER would diverge — window sums accumulate in
+    engine-specific order. At 100 TB: one shuffle on user_id shared with
+    everything else keyed by user; the ROWS frame is O(1) running state
+    per partition row."""
+    ev = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 0)
+    )
+    xdec = dec4("value")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        xdec.cast("double").alias("x"),
+        F.count("*").over(w).alias("n_frame"),
+        F.sum(xdec).over(w).alias("s"),
+        F.sum(xdec * xdec).over(w).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_frame")
+    var = (
+        F.col("s2").cast("double") - F.col("n_frame") * mean * mean
+    ) / F.col("n_frame")
+    return base.select(
+        "user_id",
+        "event_id",
+        "n_frame",
+        F.when(var > 0, F.round((F.col("x") - mean) / F.sqrt(var), 6)).alias(
+            "z"
+        ),
+    )

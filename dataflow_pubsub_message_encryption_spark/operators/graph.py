@@ -304,3 +304,91 @@ def graph_pagerank_int(spark, sf_dir):
         F.col("deg").cast("long").alias("degree"),
         F.col("rank").alias("pr_scaled"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]})
+    ),
+    e AS (
+      SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the duplicate-pair graph — the cohesion
+    statistic that separates genuine near-dup clusters (triangle-dense:
+    copies of one document all pair with each other) from chained false
+    positives (triangle-free paths from borderline LSH collisions).
+
+    The Spark plan is the DEGREE-ORDERED orientation (the MapReduce
+    triangle-counting construction, Suri & Vassilvitskii WWW 2011):
+    orient every edge from its lower-(degree, id) endpoint, build wedges
+    at each source, and close them against the oriented edge set. Every
+    wedge source is a LOW-degree endpoint, so per-node wedge fan-out is
+    bounded by the h-index of the degree sequence rather than max degree
+    — the difference between O(d_max²) and feasible at 100 TB on a
+    power-law graph. The oracle counts the same triangles with the naive
+    ordered triple join (id order), which is result-identical because
+    each triangle has exactly one representation under either
+    orientation."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ranked = (
+        und.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("rs"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("rd"),
+    ).localCheckpoint(eager=True)
+    # wedges at each (low-rank) source: unordered dst pair, canonically
+    # oriented by (deg, id) so the closing edge lookup is a single probe
+    e1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("rd").alias("rv")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("rd").alias("rw")
+    )
+    wedges = e1.join(e2, "u").filter(
+        (F.col("rv") < F.col("rw"))
+        | ((F.col("rv") == F.col("rw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    return F.broadcast(n_edges).crossJoin(n_tri).select(  # 1 row x 1 row
+        "n_edges", "n_triangles"
+    )

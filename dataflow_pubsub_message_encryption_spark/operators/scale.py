@@ -39,6 +39,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import dec4, money, sim, ts_str
@@ -560,4 +561,62 @@ def topk_per_group_twolevel(spark, sf_dir):
         survivors.withColumn("rk", F.row_number().over(lvl2))
         .filter(F.col("rk") <= 5)
         .select("doc_id", "lang", "rk")
+    )
+
+
+@query(
+    "profile_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    )
+    SELECT user_id AS key, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rk AS INTEGER) AS rk,
+           round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+           round(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew_vs_avg
+    FROM (
+      SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+      FROM c
+    ), tot
+    WHERE rk <= 10
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join/agg-key skew diagnostic — the census a planner (or engineer)
+    runs BEFORE choosing salting / AQE-skew-join / broadcast for a key:
+    the 10 hottest keys with absolute count, corpus share, and
+    skew-vs-average factor (cnt x n_keys / n_rows; 1.0 = perfectly
+    uniform). Shape: one partial-aggregating groupBy on the key (shuffle
+    ∝ distinct keys), a 1-row totals aggregate joined back by broadcast
+    cross join, and a top-10 over the key-count table. At 100 TB this is
+    the cheap pre-pass that tells you whether dedup_minhash's band join
+    or a fact-dim join needs the join_skew_salted treatment."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    w = Window.orderBy(F.desc("cnt"), "user_id")
+    return (
+        c.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(tot))  # 10 rows x 1 row
+        .select(
+            F.col("user_id").alias("key"),
+            "cnt",
+            "rk",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows"),
+                6,
+            ).alias("skew_vs_avg"),
+        )
     )
