@@ -81,8 +81,6 @@ _WINDOW = [
     "window_gapfill_interp",
     "anomaly_mad_outliers",
     "sessionize_gap_sql",
-    "agg_value_histogram",
-    "market_basket_pairs",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
@@ -91,6 +89,8 @@ _WINDOW = [
     "profile_key_skew",
     "graph_triangle_count",
     "window_rolling_zscore",
+    "corpus_temperature_resample",
+    "agg_exact_median_twopass",
 ]
 
 

@@ -77,18 +77,49 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
     )
     rounds = 0
     for _ in range(max_rounds):
-        rounds += 1
-        # large-star: symmetric neighborhoods; re-point every bigger
-        # neighbor v > u at m(u) = min(N(u) ∪ {u}). Each undirected edge is
-        # processed from its smaller endpoint, so the edge count is
-        # preserved and every output edge already satisfies u > v.
-        sym = edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # Per-node census over the symmetric neighborhoods, computed ONCE
+        # per round and used twice: (1) the star-forest fixed-point test,
+        # (2) the large-star minima. The iterate is a star forest (every
+        # component one star, rooted at its minimum) exactly when (a) no
+        # node is both a source and a target AND (b) no source has
+        # fan-out > 1. Checking only (a) is unsound: a node can point at
+        # two DISTINCT roots while neither root is a source — e.g. edges
+        # {(7,3),(8,3),(0,5),(0,8),(2,4),(2,6),(4,7)} leave 3 pointing at
+        # both 0 and 2 after round 1 — and stopping there splits one
+        # component in two (tests/test_graph.py pins the counter-example
+        # and a random-graph union-find sweep). Fusing the test into the
+        # census the large-star step needs anyway makes it one broadcast-
+        # size filter + one driver scalar — no extra shuffle. ``edges``
+        # is distinct, so the source count equals distinct-target fan-out.
+        sym = edges.select(
+            "u", "v", F.lit(1).alias("s"), F.lit(0).alias("t")
+        ).unionByName(
+            edges.select(
+                F.col("v").alias("u"),
+                F.col("u").alias("v"),
+                F.lit(0).alias("s"),
+                F.lit(1).alias("t"),
+            )
         )
-        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        mins = mins.select("u", F.least("u", "mn").alias("m"))
+        stats = sym.groupBy("u").agg(
+            F.min("v").alias("mn"),
+            F.sum("s").alias("sc"),
+            F.sum("t").alias("tc"),
+        ).localCheckpoint(eager=True)
+        violations = stats.filter(
+            (F.col("sc") > 1) | ((F.col("sc") >= 1) & (F.col("tc") >= 1))
+        ).agg(F.count("*")).collect()[0][0]  # driver-scalar
+        if violations == 0:
+            break
+        rounds += 1
+        # large-star: re-point every bigger neighbor v > u at
+        # m(u) = min(N(u) ∪ {u}). Each undirected edge is processed from
+        # its smaller endpoint, so the edge count is preserved and every
+        # output edge already satisfies u > v.
+        mins = stats.select("u", F.least("u", "mn").alias("m"))
         large = (
-            sym.join(mins, "u")
+            sym.select("u", "v")
+            .join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -112,42 +143,6 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # Fixed-point test WITHOUT a confirming round: both steps preserve
-        # connectivity and orient edges big→small, so the iterate is a star
-        # forest (every component one star, rooted at its minimum) exactly
-        # when (a) no node is both a source and a target AND (b) no source
-        # has fan-out > 1. Checking only (a) is unsound: a node can point
-        # at two DISTINCT roots while neither root is a source — e.g.
-        # edges {(7,3),(8,3),(0,5),(0,8),(2,4),(2,6),(4,7)} leave 3
-        # pointing at both 0 and 2 after round 1 — and stopping there
-        # splits one component in two (tests/test_graph.py pins this
-        # counter-example). Both conditions fall out of ONE node-level
-        # aggregation (source-count, target-count per node; map-side
-        # partial, ids-only payload) — a single shuffle and a single
-        # driver scalar per round. ``edges`` is distinct, so the source
-        # count equals the distinct-target fan-out.
-        stats = (
-            edges.select(
-                F.col("u").alias("n"),
-                F.lit(1).alias("s"),
-                F.lit(0).alias("t"),
-            )
-            .unionByName(
-                edges.select(
-                    F.col("v").alias("n"),
-                    F.lit(0).alias("s"),
-                    F.lit(1).alias("t"),
-                )
-            )
-            .groupBy("n")
-            .agg(F.sum("s").alias("sc"), F.sum("t").alias("tc"))
-        )
-        violations = (
-            stats.filter((F.col("sc") > 1) | ((F.col("sc") >= 1) & (F.col("tc") >= 1)))
-            .agg(F.count("*")).collect()[0][0]  # driver-scalar
-        )
-        if violations == 0:
-            break
     # fixed point = star forest rooted at component minima
     labels = nodes.join(
         edges.groupBy("u").agg(F.min("v").alias("lbl")),

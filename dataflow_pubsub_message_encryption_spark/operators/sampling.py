@@ -263,3 +263,64 @@ def pack_bins(docs):
         F.count("*").alias("n_docs"),
         F.sum("nt").cast("long").alias("tokens_packed"),
     )
+
+
+@query(
+    "corpus_temperature_resample",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+    m AS (SELECT min(n_before) AS cmin FROM c),
+    r AS (
+      SELECT lang, n_before,
+             round(sqrt(CAST(cmin AS DOUBLE) / n_before), 6) AS keep_rate
+      FROM c, m
+    ),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN r USING (lang)
+      WHERE {_hash_unit_sql('sha256(text)')} < keep_rate
+      GROUP BY d.lang
+    )
+    SELECT lang, CAST(n_before AS BIGINT) AS n_before, keep_rate,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+    FROM r LEFT JOIN k USING (lang)
+    """,
+)
+def corpus_temperature_resample(spark, sf_dir):
+    """Temperature (alpha = 0.5) language rebalancing — the multilingual
+    LLM corpus-mixing rule: post-sample shares ∝ count^alpha, flattening
+    the head languages without discarding the tail. Downsampling-only
+    formulation: keep_rate(lang) = sqrt(c_min / c_lang), so the rarest
+    language keeps 100% and resulting sizes ∝ sqrt(c_lang * c_min).
+    Selection is the engine's standard content-hash uniform
+    (``_hash_unit_sql``) against the per-lang rate — deterministic across
+    reruns, engines, and cluster sizes, and byte-identical duplicates
+    resolve identically. Shape: one per-lang count, a broadcast 1-row min,
+    the rate dimension broadcast back onto the scan (narrow filter), and
+    a per-lang kept-count — the corpus is scanned twice and shuffled
+    never (both aggregations partial-combine to |langs| rows). The rate
+    is 6dp-rounded BEFORE the comparison so last-ulp sqrt differences
+    cannot flip a boundary document."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    cmin = counts.agg(F.min("n_before").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(  # |langs| x 1 row
+        "lang",
+        "n_before",
+        F.round(
+            F.sqrt(F.col("cmin").cast("double") / F.col("n_before")), 6
+        ).alias("keep_rate"),
+    )
+    u = F.expr(_hash_unit_sql("sha2(text, 256)"))
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "keep_rate")), "lang")
+        .filter(u < F.col("keep_rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_before",
+        "keep_rate",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

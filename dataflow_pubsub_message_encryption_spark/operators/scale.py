@@ -620,3 +620,65 @@ def profile_key_skew(spark, sf_dir):
             ).alias("skew_vs_avg"),
         )
     )
+
+
+@query(
+    "agg_exact_median_twopass",
+    """
+    WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
+    n AS (SELECT count(*) AS n FROM t),
+    med AS (
+      SELECT x AS median_x FROM (
+        SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t
+      ), n
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_rows,
+           med.median_x AS median_x,
+           CAST((SELECT count(*) FROM t
+                 WHERE floor(x) = floor(med.median_x)) AS BIGINT)
+             AS n_bucket_scanned
+    FROM n, med
+    """,
+)
+def agg_exact_median_twopass(spark, sf_dir):
+    """EXACT global median (lower median, rank ⌈N/2⌉) without a global
+    sort — the two-pass bucket-prune algorithm a 100 TB engine uses when
+    ``percentile_approx`` isn't good enough (billing, SLA thresholds):
+
+    pass 1 histograms the column into integer buckets (partial-
+    aggregating groupBy, |buckets| rows) and walks the cumulative counts
+    to find the bucket containing the target rank; pass 2 re-scans ONLY
+    that bucket (predicate pushed to the parquet scan) and takes the
+    (rank - preceding) smallest inside it via TakeOrdered — never a
+    whole-table sort. Driver transfer is two scalars (total count; the
+    located bucket + its preceding cumulative count), the same bounded
+    pattern as the components fixed-point loop. The oracle computes the
+    same rank with a row_number over the full table — the prune is
+    value-checked, not trusted."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n = li.agg(F.count("*")).collect()[0][0]  # driver-scalar
+    rank = (n + 1) // 2
+    hist = li.groupBy(F.floor("x").alias("b")).agg(F.count("*").alias("c"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wc)).filter(
+        F.col("cum") >= rank
+    ).orderBy("b").limit(1)
+    located = cum.agg(F.min("b").alias("b"), F.min(F.col("cum") - F.col("c")).alias("prev")).collect()[0]  # driver-scalar
+    b_star, prev_cum = located["b"], located["prev"]
+    k = rank - prev_cum
+    in_bucket = li.filter(F.floor("x") == b_star)
+    median = (
+        in_bucket.orderBy("x").limit(int(k)).agg(F.max("x").alias("median_x"))
+    )
+    n_bucket = in_bucket.agg(F.count("*").alias("n_bucket_scanned"))
+    return (
+        median.crossJoin(F.broadcast(n_bucket))  # 1 row x 1 row
+        .select(
+            F.lit(n).cast("long").alias("n_rows"),
+            "median_x",
+            "n_bucket_scanned",
+        )
+    )
