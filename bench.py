@@ -73,15 +73,20 @@ def warm(queries, spark, sf_dir: str, passes: int = 2) -> None:
                 pass
 
 
-def timed_mix(queries, spark, sf_dir: str) -> dict[str, float]:
-    """Median of _N_TIMED timed passes per query."""
+def timed_mix(queries, spark, sf_dir: str) -> tuple[dict, dict]:
+    """(median, min) of _N_TIMED timed passes per query. Median is the
+    headline (deopt-spike-resistant without min's optimism); min is kept
+    for like-for-like comparison with rounds 1-4, which recorded
+    min-of-2."""
     samples: dict[str, list[float]] = {label: [] for label, _ in HEADLINE}
     for _ in range(_N_TIMED):
         for label, key in HEADLINE:
             t0 = time.time()
             run_query(queries, spark, key, sf_dir)
             samples[label].append(time.time() - t0)
-    return {label: round(statistics.median(s), 3) for label, s in samples.items()}
+    med = {label: round(statistics.median(s), 3) for label, s in samples.items()}
+    mn = {label: round(min(s), 3) for label, s in samples.items()}
+    return med, mn
 
 
 def ensure_multifile_twin(spark, sf_dir: str, out_dir: str) -> None:
@@ -110,13 +115,15 @@ def main() -> None:
     spark = get_session("bench")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     warm(queries, spark, sf_dir)
-    times = timed_mix(queries, spark, sf_dir)
+    times, times_min = timed_mix(queries, spark, sf_dir)
 
     result = {
         "metric": "headline query wall time, sum over mix",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "value_min": round(sum(times_min.values()), 3),
+        "queries_min": times_min,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "methodology": (
             f"median of {_N_TIMED} timed passes after 2 untimed warm-up "
@@ -133,10 +140,11 @@ def main() -> None:
         try:
             ensure_multifile_twin(spark, sf_dir, twin)
             warm(queries, spark, twin, passes=1)  # scan-path warm only
-            mtimes = timed_mix(queries, spark, twin)
+            mtimes, mtimes_min = timed_mix(queries, spark, twin)
             result["multifile"] = {
                 "value": round(sum(mtimes.values()), 3),
                 "queries": mtimes,
+                "value_min": round(sum(mtimes_min.values()), 3),
                 "n_files_per_table": _N_MULTIFILE,
             }
         except Exception as e:  # noqa: BLE001 — twin must never fail the bench
