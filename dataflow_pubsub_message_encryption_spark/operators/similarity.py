@@ -843,3 +843,58 @@ def dedup_embedding_lsh(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= _DEDUP_TAU)
     )
+
+
+_N_PROBES = 10
+_BATCH_K = 5
+
+
+@query(
+    "sim_search_batch_topk",
+    f"""
+    SELECT probe_id, vec_id, CAST(rk AS INTEGER) AS rk, cos_sim FROM (
+      SELECT p.vec_id AS probe_id, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(p.embedding AS DOUBLE[])), 6)
+               AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(p.embedding AS DOUBLE[])), 6) DESC,
+                        e.vec_id) AS rk
+      FROM embeddings e, embeddings p
+      WHERE p.vec_id < {_N_PROBES} AND e.vec_id != p.vec_id
+    ) WHERE rk <= {_BATCH_K}
+    """,
+)
+def sim_search_batch_topk(spark, sf_dir):
+    """Batch similarity serving: top-{_BATCH_K} neighbors for a BATCH of
+    {_N_PROBES} probe vectors in one pass — the offline-retrieval /
+    hard-negative-mining shape (one probe per training example, not one
+    query at a time). The probe set broadcasts (KB-scale), the corpus
+    scan stays embarrassingly parallel, and ranking partitions by
+    probe_id. Scale note: with FEW probes the ranking window would skew
+    (10 partitions); the fix is the same two-level top-K as
+    ``topk_per_group_twolevel`` — per-(probe, salt) pre-top-K then merge
+    — proven result-identical there; with realistic probe batches
+    (millions) the window partitioning is already uniform."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        as_double("embedding").alias("pe"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _BATCH_K)
+        .select("probe_id", "vec_id", "rk", "cos_sim")
+    )
