@@ -318,7 +318,7 @@ def corpus_temperature_resample(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
-    return rates.join(kept, "lang", "left").select(
+    return rates.join(F.broadcast(kept), "lang", "left").select(
         "lang",
         "n_before",
         "keep_rate",
