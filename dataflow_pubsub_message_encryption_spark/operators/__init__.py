@@ -79,7 +79,6 @@ _WINDOW = [
     # graph / behavioral analytics
     "graph_pagerank_int",
     "window_gapfill_interp",
-    "anomaly_mad_outliers",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
@@ -91,6 +90,7 @@ _WINDOW = [
     "corpus_temperature_resample",
     "agg_exact_median_twopass",
     "sim_search_batch_topk",
+    "emb_pca_power_iteration",
 ]
 
 

@@ -898,3 +898,98 @@ def sim_search_batch_topk(spark, sf_dir):
         .filter(F.col("rk") <= _BATCH_K)
         .select("probe_id", "vec_id", "rk", "cos_sim")
     )
+
+
+# ---- PCA power iteration (fixed-point linear algebra) --------------------
+_PI_SCALE = 1000  # embedding quantization AND iterate magnitude scale
+_PI_ITERS = 3
+
+
+def _pi_iter_sql(prev: str, r: int) -> str:
+    return f"""w{r} AS (
+      SELECT M.i AS pos, SUM(M.m * v.v) AS w
+      FROM M JOIN {prev} v ON v.pos = M.j GROUP BY M.i
+    ),
+    mx{r} AS (SELECT max(abs(w)) AS mx FROM w{r}),
+    v{r} AS (
+      SELECT pos,
+             CAST(floor(CAST(w * {_PI_SCALE} AS DOUBLE) / mx) AS BIGINT) AS v
+      FROM w{r}, mx{r}
+    )"""
+
+
+@query(
+    "emb_pca_power_iteration",
+    f"""
+    WITH q AS (
+      SELECT vec_id, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PI_SCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    M AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.qv * b.qv) AS m
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+    ),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS pos,
+                  CAST({_PI_SCALE} AS BIGINT) AS v),
+    {_pi_iter_sql("v0", 1)},
+    {_pi_iter_sql("v1", 2)},
+    {_pi_iter_sql("v2", 3)}
+    SELECT CAST(pos AS INTEGER) AS pos, v AS v_scaled FROM v{_PI_ITERS}
+    """,
+)
+def emb_pca_power_iteration(spark, sf_dir):
+    """The {_PI_ITERS}-step power iterate of the embedding second-moment
+    matrix — declarative distributed linear algebra, the PCA/whitening
+    preconditioner an ANN index or an embedding-drift monitor computes.
+    (It converges to the dominant eigenvector exactly when the spectrum
+    has a gap; tests pin bit-exactness against a scalar reference on the
+    near-isotropic fixture AND >=0.99 eigenvector alignment on a gapped
+    synthetic corpus.) Everything is fixed-point INT64:
+    embeddings quantize with the explicit floor(x*S + 0.5) formula (the
+    builtin round() half-mode differs between engines), the Gram matrix
+    is exact integer outer-product sums (commutative — the groupBy(i,j)
+    partial-aggregates map-side, so the corpus-sized stage shuffles 64x64
+    cells per partition, not rows), and each iterate renormalizes to
+    max-abs = S with a floored double division (identical op sequence in
+    both engines; magnitudes stay < 2^63 by construction: |M| <= n*S^2,
+    |w| <= 64*|M|*S). The oracle unrolls all iterations as chained CTEs —
+    the same trajectory-checking pattern as pagerank/k-means/BPE. At
+    100 TB the Gram stage is the only corpus pass; iterations run on a
+    4096-row matrix and a 64-row vector (broadcast-sized)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(as_double("embedding")).alias("p0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.floor(F.col("x") * _PI_SCALE + 0.5).cast("long").alias("qv"),
+    )
+    m = (
+        q.alias("a")
+        .join(q.alias("b"), F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.pos").alias("i"), F.col("b.pos").alias("j")
+        )
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv")).alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("pos"), F.lit(_PI_SCALE).cast("long").alias("v")
+    )
+    for _ in range(_PI_ITERS):
+        w = (
+            m.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy(F.col("i").alias("pos"))
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = w.crossJoin(F.broadcast(mx)).select(  # 64 rows x 1 row
+            "pos",
+            F.floor(
+                (F.col("w") * _PI_SCALE).cast("double") / F.col("mx")
+            ).cast("long").alias("v"),
+        ).localCheckpoint(eager=True)
+    return v.select(F.col("pos").cast("int").alias("pos"), F.col("v").alias("v_scaled"))

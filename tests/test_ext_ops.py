@@ -357,3 +357,70 @@ def test_bpe_matches_python_reference(spark, tmp_path):
         for w in t.split(" "):
             counts[w] = counts.get(w, 0) + 1
     assert got == _py_bpe_merges(counts, _BPE_MERGES)
+
+
+def _py_power_iteration(emb, iters=3, scale=1000):
+    """Scalar reference of the exact fixed-point algorithm."""
+    import numpy as np
+
+    q = np.floor(emb * scale + 0.5).astype(np.int64)
+    gram = q.T @ q
+    v = np.full(emb.shape[1], scale, dtype=np.int64)
+    for _ in range(iters):
+        w = gram @ v
+        v = np.floor((w * scale).astype(float) / np.abs(w).max()).astype(
+            np.int64
+        )
+    return v
+
+
+def test_pca_power_iteration_bitexact_vs_reference(spark, sf_dir):
+    """The distributed iterate must be BIT-IDENTICAL to a numpy run of the
+    same fixed-point algorithm. (The fixture embeddings are nearly
+    isotropic — lambda2/lambda1 ≈ 0.93, so 3 iterations cannot and need
+    not align with the eigenvector here; convergence is asserted on a
+    gapped corpus in the companion test.)"""
+    import numpy as np
+
+    rows = SIMQ["emb_pca_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    v = np.array([r.v_scaled for r in sorted(rows, key=lambda r: r.pos)])
+
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    emb = np.array(
+        [r.embedding for r in load(spark, sf_dir, "embeddings")
+         .orderBy("vec_id").collect()],
+        float,
+    )
+    assert v.tolist() == _py_power_iteration(emb).tolist()
+
+
+def test_pca_power_iteration_converges_on_gapped_corpus(spark, tmp_path):
+    """On embeddings with a dominant direction (big spectral gap), 3
+    iterations must align with numpy's top eigenvector (|cos| >= 0.99)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=64)
+    direction /= np.linalg.norm(direction)
+    coef = rng.normal(size=(200, 1)) * 0.9
+    emb = coef * direction + rng.normal(size=(200, 64)) * 0.05
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [row.astype(np.float32) for row in emb],
+            "label": [int(i % 10) for i in range(200)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    rows = SIMQ["emb_pca_power_iteration"](spark, str(tmp_path)).collect()
+    v = np.array(
+        [r.v_scaled for r in sorted(rows, key=lambda r: r.pos)], float
+    )
+    q = np.floor(emb * 1000 + 0.5)
+    top = np.linalg.eigh(q.T @ q)[1][:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.99, f"power iterate misaligned on gapped corpus: cos={cos}"
