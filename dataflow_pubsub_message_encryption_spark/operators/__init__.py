@@ -78,7 +78,6 @@ _WINDOW = [
     "dedup_embedding_lsh",
     # graph / behavioral analytics
     "graph_pagerank_int",
-    "window_gapfill_interp",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
@@ -91,6 +90,7 @@ _WINDOW = [
     "agg_exact_median_twopass",
     "sim_search_batch_topk",
     "emb_pca_power_iteration",
+    "join_asof_nearest",
 ]
 
 

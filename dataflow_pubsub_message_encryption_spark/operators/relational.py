@@ -1675,3 +1675,51 @@ def profile_table_stats(spark, sf_dir):
             f"stack({len(cols)}, {stack}) AS (col, n, n_null, n_distinct, min_s, max_s)"
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    SELECT event_id, signup_event_id, delta_us FROM (
+      SELECT e.event_id, s.event_id AS signup_event_id,
+             abs(date_diff('microseconds', s.ts, e.ts)) AS delta_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(date_diff('microseconds', s.ts, e.ts)),
+                        s.ts, s.event_id) AS rn
+      FROM events e JOIN events s ON s.user_id = e.user_id
+      WHERE e.event_type = 'error' AND s.event_type = 'signup'
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join (both directions): each error event
+    matched to the same user's temporally CLOSEST signup, before or
+    after — the sensor-alignment / feature-attach variant the plain
+    backward ASOF (C11) can't express. Ties break on (earlier signup,
+    smaller id), a total order both engines share; distance is an
+    INTEGER microsecond diff, so the argmin is exact. Same scale shape
+    as C11: equi-join on the entity key, per-event ranking window —
+    candidate fan-out bounded per user, skewed users are the documented
+    salting case."""
+    ev = load_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    joined = err.join(sig, err.user_id == sig.s_user_id).withColumn(
+        "delta_us",
+        F.abs(F.expr("timestampdiff(MICROSECOND, s_ts, ts)")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        "delta_us", "s_ts", "signup_event_id"
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "signup_event_id", "delta_us")
+    )
