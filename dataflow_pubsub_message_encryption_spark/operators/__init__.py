@@ -76,8 +76,6 @@ _WINDOW = [
     "sim_knn_join",
     "emb_dim_census",
     "dedup_embedding_lsh",
-    # graph / behavioral analytics
-    "graph_pagerank_int",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
@@ -91,6 +89,7 @@ _WINDOW = [
     "sim_search_batch_topk",
     "emb_pca_power_iteration",
     "join_asof_nearest",
+    "corpus_training_manifest",
 ]
 
 

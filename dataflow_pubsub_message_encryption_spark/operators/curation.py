@@ -311,3 +311,112 @@ def win_distribution(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+from .sampling import _hash_unit_sql as _hu  # content-hash uniform, shared
+
+_HASH_UNIT_DOC_SQL = _hu("sha256(d.text)")
+_HASH_UNIT_DOC_SPARK = _hu("sha2(text, 256)")
+
+
+@query(
+    "corpus_training_manifest",
+    f"""
+    WITH quality AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS nt
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT doc_id, lang, text, nt FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    counts AS (SELECT lang, count(*) AS n_lang FROM deduped GROUP BY lang),
+    m AS (SELECT min(n_lang) AS cmin FROM counts),
+    rates AS (
+      SELECT lang, round(sqrt(CAST(cmin AS DOUBLE) / n_lang), 6) AS keep_rate
+      FROM counts, m
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.lang, d.nt
+      FROM deduped d JOIN rates USING (lang)
+      WHERE {{HASH_UNIT}} < keep_rate
+    ),
+    chunks AS (
+      SELECT lang, doc_id,
+             least({_CHUNK_W}, nt - s) AS chunk_tokens
+      FROM (
+        SELECT lang, doc_id, nt,
+               unnest(range(0, nt, {_CHUNK_STRIDE})) AS s
+        FROM sampled
+      )
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS n_chunk_tokens
+    FROM chunks GROUP BY lang
+    """.replace("{HASH_UNIT}", _HASH_UNIT_DOC_SQL),
+)
+def corpus_training_manifest(spark, sf_dir):
+    """The composed end-to-end training-data manifest — the single call a
+    corpus team runs before a training job: quality floor (>= 20 tokens)
+    -> exact-hash dedup (keep lowest doc_id) -> temperature (alpha = 0.5)
+    language rebalancing (content-hash selection against
+    sqrt(cmin/c_lang) rates computed over the SURVIVORS, not the raw
+    corpus) -> overlapping 32/24 context-window chunking -> per-language
+    manifest (docs, chunks, chunk-token budget). Every stage is one of
+    this engine's proven operators composed declaratively; Catalyst
+    pipelines the narrow stages, and the shuffles are the dedup hash
+    partition, the per-lang counts, and the final census — the chunk
+    explosion never shuffles. The whole five-stage DAG is EXACT-checked
+    against one chained-CTE oracle, the strongest integration statement
+    the gate can make."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    quality = docs.select(
+        "doc_id", "lang", "text", F.size(toks).alias("nt")
+    ).filter(F.col("nt") >= 20)
+    wded = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(wded))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    counts = deduped.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    cmin = counts.agg(F.min("n_lang").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(  # |langs| x 1 row
+        "lang",
+        F.round(
+            F.sqrt(F.col("cmin").cast("double") / F.col("n_lang")), 6
+        ).alias("keep_rate"),
+    )
+    u = F.expr(_HASH_UNIT_DOC_SPARK)
+    sampled = (
+        deduped.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("keep_rate"))
+        .select("lang", "doc_id", "nt")
+    )
+    chunks = sampled.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("nt") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+        "nt",
+    ).select(
+        "lang",
+        "doc_id",
+        F.least(F.lit(_CHUNK_W), F.col("nt") - F.col("s")).alias(
+            "chunk_tokens"
+        ),
+    )
+    return chunks.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("n_chunk_tokens"),
+    )
