@@ -44,6 +44,8 @@ HEADLINE = [
     ("q10_tokenize_topterms", "text_tokenize_topterms"),
     ("q11_embedding_lsh_dedup", "dedup_embedding_lsh"),
     ("q12_connected_components", "dedup_cluster_components"),
+    ("q13_bpe_train", "text_bpe_merges"),
+    ("q14_training_manifest", "corpus_training_manifest"),
 ]
 
 _N_TIMED = 3
