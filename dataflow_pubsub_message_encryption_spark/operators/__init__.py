@@ -59,7 +59,6 @@ _WINDOW = [
     "set_intersect_all",
     "set_except_all",
     "agg_mode_per_user",
-    "rfm_segmentation",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "emb_pca_power_iteration",
     "join_asof_nearest",
     "corpus_training_manifest",
+    "sql_recursive_date_spine",
 ]
 
 

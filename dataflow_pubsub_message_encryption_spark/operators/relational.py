@@ -1723,3 +1723,52 @@ def join_asof_nearest(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("event_id", "signup_event_id", "delta_us")
     )
+
+
+@query(
+    "sql_recursive_date_spine",
+    """
+    WITH RECURSIVE spine(d) AS (
+      SELECT CAST(min(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT d + 1 FROM spine
+      WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+    )
+    SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine LEFT JOIN (
+      SELECT CAST(ts AS DATE) AS dd, count(*) AS n FROM events GROUP BY 1
+    ) c ON c.dd = spine.d
+    """,
+)
+def sql_recursive_date_spine(spark, sf_dir):
+    """Recursive CTE surface (Spark 4 ``WITH RECURSIVE``, UNION ALL
+    form): a daily date spine generated by the recursion from the
+    stream's first to last day, left-joined with per-day counts — the
+    calendar-dimension builder every warehouse ships, written in the
+    SAME declarative SQL DuckDB runs (the oracle is the identical
+    recursion modulo date arithmetic spelling). Each recursion step is
+    one tiny row; Spark executes the loop as iterative union steps on
+    the driver plan, and the only real work is the per-day aggregate
+    (partial-combining, keyspace = days). UNION-distinct recursion
+    (cyclic reachability) is not yet supported by Spark 4.1 — the
+    general-graph path stays the star-contraction operator
+    (dedup_cluster_components), which is the right 100 TB algorithm
+    anyway."""
+    load_events(spark, sf_dir).createOrReplaceTempView("sg_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT CAST(min(ts) AS DATE) FROM sg_events
+          UNION ALL
+          SELECT date_add(d, 1) FROM spine
+          WHERE d < (SELECT CAST(max(ts) AS DATE) FROM sg_events)
+        )
+        SELECT date_format(spine.d, 'yyyy-MM-dd') AS day,
+               COALESCE(c.n, CAST(0 AS BIGINT)) AS n_events
+        FROM spine LEFT JOIN (
+          SELECT CAST(ts AS DATE) AS dd, count(*) AS n
+          FROM sg_events GROUP BY 1
+        ) c ON c.dd = spine.d
+        """
+    )
