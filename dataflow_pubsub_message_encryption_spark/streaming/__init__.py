@@ -11,3 +11,4 @@ from .pipeline import (  # noqa: F401
 )
 from .cdc import cdc_current_view, cdc_upsert_sink  # noqa: F401
 from .stateful import running_user_census  # noqa: F401
+from .stateful_v2 import running_top_purchases  # noqa: F401

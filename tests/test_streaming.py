@@ -766,3 +766,88 @@ def test_session_window_stream_equals_batch_sessions(spark, sf_dir, tmpdir):
         for r in BQ["sessionize_gap_sql"](spark, sf_dir).collect()
     }
     assert g == b
+
+
+def test_transform_with_state_processor_logic():
+    """TopPurchasesProcessor per-key logic against a fake ValueState:
+    leaderboard merges across batches, n_seen accumulates, slots pad
+    with None. (The Spark-side execution of transformWithStateInPandas
+    needs protobuf, absent in this container — see stateful_v2.py; the
+    end-to-end twin below auto-skips without it.)"""
+    import pandas as pd
+
+    from dataflow_pubsub_message_encryption_spark.streaming.stateful_v2 import (
+        TopPurchasesProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    p = TopPurchasesProcessor()
+    p._state = FakeState()
+    out1 = list(p.handleInputRows((7,), [pd.DataFrame({"value": [5.0, 2.0]})], None))
+    r1 = out1[0].iloc[0]
+    assert (r1.n_seen, r1.top1, r1.top2) == (2, 5.0, 2.0) and r1.top3 is None
+    out2 = list(p.handleInputRows((7,), [pd.DataFrame({"value": [9.0, 1.0]})], None))
+    r2 = out2[0].iloc[0]
+    assert (r2.n_seen, r2.top1, r2.top2, r2.top3) == (4, 9.0, 5.0, 2.0)
+
+
+def test_transform_with_state_top_purchases_equals_batch(spark, sf_dir, tmpdir):
+    """transformWithStateInPandas leaderboard: drained over a 2-file
+    replay, each user's FINAL update (max n_seen) must equal the batch
+    top-3 purchase values and purchase count. Skips when protobuf (the
+    API's worker protocol dependency) is absent."""
+    pytest.importorskip("google.protobuf")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+    n = tbl.num_rows
+    idx = tbl["ts"].to_pandas().sort_values().index
+    import os as _os
+
+    src = f"{tmpdir}/src"
+    _os.makedirs(src)
+    for i in range(2):
+        pq.write_table(
+            tbl.take(sorted(idx[i * n // 2 : (i + 1) * n // 2])),
+            f"{src}/part{i}.parquet",
+        )
+
+    stream = st.running_top_purchases(
+        st.events_file_stream(spark, src, max_files_per_trigger=1)
+    )
+    got_rows = _run_stream_to_memory(spark, stream, "twstate_top")
+    final = {}
+    for r in got_rows.collect():
+        if r.user_id not in final or r.n_seen > final[r.user_id].n_seen:
+            final[r.user_id] = r
+
+    ev = load_events(spark, sf_dir)
+    from collections import defaultdict
+
+    purchases = defaultdict(list)
+    for r in ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    ).collect():
+        purchases[r.user_id].append(r.value)
+    assert purchases, "fixture must contain purchases"
+    assert set(final) == set(purchases)
+    for uid, vals in purchases.items():
+        top = sorted(vals, reverse=True)[:3]
+        got = [v for v in (final[uid].top1, final[uid].top2, final[uid].top3)
+               if v is not None]
+        assert final[uid].n_seen == len(vals)
+        assert got == top, f"user {uid}: {got} != {top}"
