@@ -136,3 +136,42 @@ def test_knn_join_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Broadcast" in plan  # non-equi join -> BroadcastNestedLoopJoin
     assert "BroadcastExchange" in plan
+
+
+def test_manifest_quality_filter_pushes_to_scan(spark, sf_dir):
+    """corpus_training_manifest's quality floor predicate depends on a
+    computed token count (can't push), but the scan must still prune to
+    exactly the three referenced document columns — at 100 TB the
+    difference between reading text+lang+id and the whole table."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CQ,
+    )
+
+    df = CQ["corpus_training_manifest"](spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "lang", "text"}, cols
+    assert has_broadcast_join(df), "rate dimension must broadcast"
+
+
+def test_batch_topk_probes_broadcast(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SIMQ,
+    )
+
+    df = SIMQ["sim_search_batch_topk"](spark, sf_dir)
+    assert has_broadcast_join(df), "probe batch must broadcast"
+
+
+def test_bpe_training_never_sorts_the_corpus(spark, sf_dir):
+    """BPE training may window-sort WITHIN words (tiny partitions) and
+    rank the pair table, but must never contain a corpus-wide global
+    Sort: no Exchange rangepartitioning over the word table beyond the
+    single-partition 1-row argmax."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        QUERIES as TQ,
+    )
+
+    plan = formatted_plan(TQ["text_bpe_merges"](spark, sf_dir))
+    # TakeOrdered handles every argmax; a rangepartitioning exchange
+    # would mean a global sort slipped in
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
