@@ -420,3 +420,47 @@ def corpus_training_manifest(spark, sf_dir):
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tokens").cast("long").alias("n_chunk_tokens"),
     )
+
+
+@query(
+    "corpus_source_mix",
+    """
+    WITH s AS (
+      SELECT source, lang, count(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS all_tokens FROM s)
+    SELECT source, lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / all_tokens, 6) AS token_share,
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_doc_tokens
+    FROM s, tot
+    """,
+)
+def corpus_source_mix(spark, sf_dir):
+    """Source-mixture census — the per-(source, lang) token budget and
+    corpus share a data-mixing recipe (Pile/Dolma-style source weights)
+    starts from: what fraction of training tokens each source currently
+    contributes and how long its documents run. One partial-aggregating
+    groupBy (shuffle ∝ source x lang cells) plus a broadcast 1-row
+    total; the two ratios are single double divisions, 6dp-rounded."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("all_tokens"))
+    return s.crossJoin(F.broadcast(tot)).select(  # cells x 1 row
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("all_tokens"), 6).alias(
+            "token_share"
+        ),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_doc_tokens"
+        ),
+    )
