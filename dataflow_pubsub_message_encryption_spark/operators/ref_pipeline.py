@@ -351,3 +351,59 @@ def envelope_map_attrs(spark, sf_dir):
         F.element_at("attrs", "mac").alias("mac"),
     )
     return crypto.decrypt_verify(unpacked).select("event_id", "props_decrypted")
+
+
+@query(
+    "envelope_key_rotation",
+    f"""
+    SELECT event_id,
+           CAST(user_id % {_N_KEYS} AS INTEGER) AS old_key_id,
+           CAST(user_id % {_N_KEYS} + 100 AS INTEGER) AS new_key_id,
+           sha256(props) AS payload_sha
+    FROM events
+    """,
+)
+def envelope_key_rotation(spark, sf_dir):
+    """Key rotation — the operational task envelope encryption exists to
+    make cheap [U/M: rotating the DEK re-encrypts payloads; rotating the
+    KEK only re-wraps keys]: decrypt under the OLD DEKs (broadcast unwrap
+    — the per-key, not per-row, KMS path), re-encrypt every payload under
+    the rotated DEK (old id + 100) with JVM ``aes_encrypt``, and PROVE
+    the rotation by decrypting the new ciphertext in-plan with the new
+    key and emitting the payload digest. GCM ciphertext is random-IV
+    (nondeterministic), so bytes are never compared; the oracle checks
+    the end-to-end invariant
+    decrypt_new(encrypt_new(decrypt_old(wire))) = plaintext via the
+    digest, plus both key-id ledgers. The whole per-row path —
+    decrypt, re-encrypt, verify-decrypt, hash — is native Spark codegen;
+    Python appears only in the one-batch-per-distinct-key unwrap."""
+    env = with_envelope(load_events(spark, sf_dir), n_keys=_N_KEYS)
+    plain = crypto.decrypt_verify(env, strategy="broadcast").withColumn(
+        "key_id", (F.col("user_id") % _N_KEYS).cast("int")
+    )
+    new_dek_map = F.create_map(
+        *[
+            x
+            for i in range(_N_KEYS)
+            for x in (F.lit(i), F.lit(crypto.dek(100 + i)))
+        ]
+    )
+    rotated = plain.withColumn(
+        "new_ciphertext",
+        F.aes_encrypt(
+            F.col("props_decrypted").cast("binary"),
+            new_dek_map[F.col("key_id")],
+        ),
+    )
+    verified = rotated.withColumn(
+        "rt",
+        F.aes_decrypt(
+            F.col("new_ciphertext"), new_dek_map[F.col("key_id")]
+        ).cast("string"),
+    )
+    return verified.select(
+        "event_id",
+        F.col("key_id").cast("int").alias("old_key_id"),
+        (F.col("key_id") + 100).cast("int").alias("new_key_id"),
+        F.sha2("rt", 256).alias("payload_sha"),
+    )
