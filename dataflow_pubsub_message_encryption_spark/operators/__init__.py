@@ -56,7 +56,6 @@ _WINDOW = [
     "agg_approx_percentile",
     "join_full_outer",
     "unpivot_melt",
-    "set_intersect_all",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "sql_recursive_date_spine",
     "corpus_source_mix",
     "envelope_key_rotation",
+    "multimodal_audio_energy",
 ]
 
 

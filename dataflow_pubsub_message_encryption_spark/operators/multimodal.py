@@ -188,3 +188,77 @@ def multimodal_frame_sample(spark, sf_dir):
             F.sha2(F.lower(F.hex("frame_bytes")), 256).alias("frame_hash"),
         )
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST((s.i - 1) // 64 AS INTEGER) AS window_no,
+             substr(hx, s.i, 64) AS chunk
+      FROM h, UNNEST(generate_series(1, 2 * h.n, 64)) AS s(i)
+    ),
+    b AS (
+      SELECT doc_id, window_no,
+             (instr('0123456789abcdef', substr(chunk, 2*t.j - 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(chunk, 2*t.j, 1)) - 1) AS byte
+      FROM w, UNNEST(generate_series(1, len(chunk) // 2)) AS t(j)
+    )
+    SELECT doc_id, window_no,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(SUM(byte) AS BIGINT) AS energy_sum,
+           CAST(SUM(byte * byte) AS BIGINT) AS energy_sq,
+           CAST(MAX(byte) AS INTEGER) AS peak
+    FROM b GROUP BY doc_id, window_no
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio-energy extraction over binary media: the payload
+    read as 8-bit samples, 32-sample windows, per-window integer energy
+    (sum, sum-of-squares, peak) — the silence-trim / VAD-precursor
+    statistic an audio curation pipeline computes per clip. The sample
+    decode is the documented deterministic byte interpretation (a real
+    deployment swaps in the codec; the windowing, explode placement, and
+    aggregation shapes are what carry to 100 TB: the window explode is a
+    JVM-side transform AFTER doc-level pruning, the per-window stats are
+    integer sums that partial-aggregate map-side). EXACT via the
+    hex-nibble arithmetic both engines compute identically
+    (multimodal_decode_features' pattern)."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    win_hex = 64  # 32 bytes
+    hx = F.lower(F.hex("payload"))
+    chunks = m.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(hx), F.lit(win_hex)),
+                lambda s: F.substring(hx, s, win_hex),
+            )
+        ).alias("window_no", "chunk"),
+    )
+    bytes_arr = F.transform(
+        F.sequence(F.lit(1), (F.length("chunk") / 2).cast("int")),
+        lambda j: F.conv(F.substring("chunk", (j * 2 - 1).cast("int"), 2), 16, 10).cast(
+            "long"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("window_no").cast("int").alias("window_no"),
+        bytes_arr.alias("bs"),
+    ).select(
+        "doc_id",
+        "window_no",
+        F.size("bs").alias("n_samples"),
+        F.aggregate("bs", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "energy_sum"
+        ),
+        F.aggregate("bs", F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "energy_sq"
+        ),
+        F.array_max("bs").cast("int").alias("peak"),
+    )
