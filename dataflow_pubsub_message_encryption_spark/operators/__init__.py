@@ -54,8 +54,6 @@ _WINDOW = [
     "scalar_null_conditional",
     "win_first_last",
     "agg_approx_percentile",
-    "join_full_outer",
-    "unpivot_melt",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +88,8 @@ _WINDOW = [
     "corpus_source_mix",
     "envelope_key_rotation",
     "multimodal_audio_energy",
+    "text_feature_hash",
+    "agg_exact_percentiles_twopass",
 ]
 
 

@@ -682,3 +682,57 @@ def agg_exact_median_twopass(spark, sf_dir):
             "n_bucket_scanned",
         )
     )
+
+
+_PCTS = (25, 50, 90)
+
+
+@query(
+    "agg_exact_percentiles_twopass",
+    f"""
+    WITH t AS (SELECT l_extendedprice AS x FROM lineitem),
+    n AS (SELECT count(*) AS n FROM t),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t)
+    SELECT (SELECT CAST(n.n AS BIGINT) FROM n) AS n_rows,
+           (SELECT x FROM r, n WHERE rn = (n.n * 25 + 99) // 100) AS p25,
+           (SELECT x FROM r, n WHERE rn = (n.n * 50 + 99) // 100) AS p50,
+           (SELECT x FROM r, n WHERE rn = (n.n * 90 + 99) // 100) AS p90
+    """,
+)
+def agg_exact_percentiles_twopass(spark, sf_dir):
+    """EXACT p25/p50/p90 with ONE histogram pass + ONE pruned second
+    pass — the multi-rank generalization of ``agg_exact_median_twopass``
+    (rank_p = ceil(n*p/100), the lower-value convention, all-integer):
+    the shared integer-bucket histogram locates every target rank's
+    bucket in a single cumulative walk; the second scan filters to the
+    union of located buckets (predicate pushed to parquet) and takes
+    each in-bucket order statistic via TakeOrdered. Driver transfer is
+    the count plus one located-bucket row per percentile — bounded, like
+    the components loop. At 100 TB this is how exact SLA/billing
+    percentiles are actually computed: two corpus passes, no global
+    sort, no sketch error bar."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x")
+    )
+    n = li.agg(F.count("*")).collect()[0][0]  # driver-scalar
+    ranks = {p: (n * p + 99) // 100 for p in _PCTS}
+    hist = li.groupBy(F.floor("x").alias("b")).agg(F.count("*").alias("c"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    out = None
+    for p in _PCTS:
+        rank = ranks[p]
+        loc = cum.filter(F.col("cum") >= rank).orderBy("b").limit(1)
+        row = loc.agg(F.min("b").alias("b"), F.min(F.col("cum") - F.col("c")).alias("prev")).collect()[0]  # driver-scalar
+        k = int(rank - row["prev"])
+        val = (
+            li.filter(F.floor("x") == row["b"])
+            .orderBy("x")
+            .limit(k)
+            .agg(F.max("x").alias(f"p{p}"))
+        )
+        out = val if out is None else out.crossJoin(F.broadcast(val))  # 1x1
+    return out.select(
+        F.lit(n).cast("long").alias("n_rows"),
+        *[F.col(f"p{p}") for p in _PCTS],
+    )

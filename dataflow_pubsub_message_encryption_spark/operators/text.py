@@ -760,3 +760,46 @@ def text_bpe_encode(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+_FH_BUCKETS = 32
+
+
+@query(
+    "text_feature_hash",
+    f"""
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(sha256(tok), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(sha256(tok), 2, 1)) - 1))
+             % {_FH_BUCKETS} AS bucket
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    )
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hash(spark, sf_dir):
+    """Feature hashing (the HashingTF trick): each token mapped to one of
+    {_FH_BUCKETS} buckets by content hash, per-document bucket counts —
+    the fixed-width bag-of-words featurization that needs NO vocabulary
+    pass, no broadcast dictionary, and no re-fit when new tokens appear;
+    collisions are the accepted trade. The bucket function is the
+    engine's portable hash idiom (first sha256 byte via hex-nibble
+    arithmetic, mod buckets) so both engines bucket identically. Shape:
+    narrow explode + one partial-aggregating groupBy keyed (doc, bucket)
+    — shuffle ∝ nonzero feature cells, never corpus text."""
+    docs = load(spark, sf_dir, "documents")
+    tok = F.explode(tokens("text")).alias("tok")
+    base = docs.select("doc_id", tok).filter(F.col("tok") != "")
+    h = F.sha2("tok", 256)
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = ((nib(1) * 16 + nib(2)) % _FH_BUCKETS).cast("int")
+    return (
+        base.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
