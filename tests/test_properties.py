@@ -146,3 +146,50 @@ def test_prefix_filter_blocked_containment_is_lossless(spark, tok_sets):
         for r in containment_pairs_blocked(docs).collect()
     }
     assert blocked == naive
+
+
+# -- BPE merge-loop law: declarative == scalar reference on random corpora --
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=8
+)
+_bpe_corpus = st.lists(_bpe_words, min_size=1, max_size=4)
+
+
+@given(corpus=_bpe_corpus)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merges_match_scalar_reference(spark, corpus):
+    """The windows-based non-overlapping merge must agree with the
+    scalar left-to-right reference on adversarial corpora — a 2-letter
+    alphabet maximizes same-symbol runs ('aaaa' + pair (a,a)) and
+    merged-symbol re-pairing, the two places a declarative rewrite can
+    silently diverge from real BPE."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        QUERIES as TQ,
+        _BPE_MERGES,
+    )
+    from tests.test_ext_ops import _py_bpe_merges
+
+    texts = [" ".join(words) for words in corpus]
+    d = tempfile.mkdtemp(prefix="bpe-prop-")
+    try:
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}).to_parquet(
+            f"{d}/documents.parquet"
+        )
+        got = [
+            (r.left_sym, r.right_sym, r.pair_cnt)
+            for r in TQ["text_bpe_merges"](spark, d).orderBy("merge_rank").collect()
+        ]
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w in t.split(" "):
+                counts[w] = counts.get(w, 0) + 1
+        assert got == _py_bpe_merges(counts, _BPE_MERGES), f"corpus={texts}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
