@@ -851,3 +851,89 @@ def test_transform_with_state_top_purchases_equals_batch(spark, sf_dir, tmpdir):
                if v is not None]
         assert final[uid].n_seen == len(vals)
         assert got == top, f"user {uid}: {got} != {top}"
+
+
+def test_watermark_progress_metrics_reported(spark, tmpdir):
+    """Operational observability: StreamingQueryProgress must expose the
+    signals an SRE alerts on — the event-time watermark advancing
+    monotonically past the stream's frontier, and state eviction
+    (numRowsRemoved) once windows close. (Probed 4.1.2:
+    numRowsDroppedByWatermark stays 0 for this aggregation shape — the
+    late row is filtered plan-side before the state operator; the DROP
+    itself is asserted by row content in test_watermark_drops_late_rows,
+    this test pins the metrics surface.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(batch_id, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(['{"k": 1}'] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, f"{tmpdir}/b{batch_id}.parquet")
+
+    H = 3_600_000_000_000
+    base = 1_700_000_000_000_000_000
+    write(0, [(0, base), (1, base + 4 * H)])
+    write(1, [(2, base + 1), (3, base + 5 * H)])  # event 2 is hours late
+
+    stream = st.windowed_counts_stream(
+        st.events_file_stream(spark, tmpdir, max_files_per_trigger=1),
+        watermark="10 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    marks = [
+        p["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if p.get("eventTime", {}).get("watermark")
+    ]
+    assert marks == sorted(marks), "watermark must be monotone"
+    assert marks and marks[-1] >= "2023-11-14T14", (
+        f"watermark must pass the 4h frontier minus delay: {marks}"
+    )
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert removed >= 1, "closed windows must be evicted from state"
+
+
+def test_observe_metrics_on_decrypt_pipeline(spark, sf_dir, tmpdir):
+    """Dataset.observe: in-flight accumulator metrics (rows seen, MAC
+    failures surface as seen-minus-emitted) collected DURING the pass —
+    no second scan. The observability primitive a production pipeline
+    attaches to the decrypt stage."""
+    import glob
+    import shutil as sh
+
+    from pyspark.sql import Observation
+
+    sh.copy(glob.glob(f"{sf_dir}/events.parquet")[0], f"{tmpdir}/events.parquet")
+    ev = load_events(spark, tmpdir)
+    from dataflow_pubsub_message_encryption_spark.sources import with_envelope
+    from dataflow_pubsub_message_encryption_spark.functions import crypto
+
+    env = with_envelope(ev, tamper=True)
+    obs = Observation("wire")
+    observed = env.observe(obs, F.count(F.lit(1)).alias("n_wire"))
+    out = crypto.decrypt_verify(observed)
+    n_out = out.count()
+    n_wire = obs.get["n_wire"]
+    n_total = ev.count()
+    assert n_wire == n_total, "observe must count every wire row in-flight"
+    # tamper=True corrupts odd event_ids: survivors are exactly the evens
+    assert n_out == n_total - ev.filter(F.col("event_id") % 2 == 1).count()
