@@ -53,7 +53,6 @@ _WINDOW = [
     "scalar_edit_distance",
     "scalar_null_conditional",
     "win_first_last",
-    "agg_approx_percentile",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,8 @@ _WINDOW = [
     "multimodal_audio_energy",
     "text_feature_hash",
     "agg_exact_percentiles_twopass",
+    "text_langid_confusion",
+    "dedup_exact_hierarchical",
 ]
 
 

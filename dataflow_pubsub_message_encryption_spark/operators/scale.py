@@ -736,3 +736,35 @@ def agg_exact_percentiles_twopass(spark, sf_dir):
         F.lit(n).cast("long").alias("n_rows"),
         *[F.col(f"p{p}") for p in _PCTS],
     )
+
+
+@query(
+    "dedup_exact_hierarchical",
+    """
+    SELECT sha256(text) AS sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_hierarchical(spark, sf_dir):
+    """Hierarchical exact dedup — the two-level shard-then-global shape a
+    multi-datacenter / multi-snapshot 100 TB dedup actually runs: level 1
+    resolves each (content-hash, shard) locally (keep the min doc_id,
+    count copies) at full shard parallelism; level 2 merges one row per
+    (hash, shard) — min-of-mins and sum-of-counts, both associative, so
+    the result is PROVABLY the single-level global dedup, which is
+    exactly what the oracle computes (the same law family as
+    topk_per_group_twolevel and agg_incremental_merge). The level-2
+    shuffle carries hashes, never text."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.sha2("text", 256).alias("sha"),
+        "doc_id",
+        F.pmod("doc_id", F.lit(8)).alias("shard"),
+    )
+    l1 = docs.groupBy("sha", "shard").agg(
+        F.min("doc_id").alias("pm"), F.count("*").alias("pc")
+    )
+    return l1.groupBy("sha").agg(
+        F.min("pm").alias("keep_doc"), F.sum("pc").alias("n_copies")
+    )

@@ -803,3 +803,33 @@ def text_feature_hash(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / SUM(count(*)) OVER (PARTITION BY lang), 6) AS frac
+    FROM ({_langid_oracle()})
+    GROUP BY lang, lang_pred
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: labeled lang x predicted lang with
+    per-label fractions — the evaluation census any classifier-in-the-
+    pipeline needs (and the monitoring table a drifting corpus moves
+    first). Built directly on text_langid's prediction column; one
+    partial-aggregating groupBy over |langs|^2 cells plus a per-label
+    normalizing window on the tiny matrix."""
+    pred = QUERIES["text_langid"](spark, sf_dir)
+    c = pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return c.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "frac"
+        ),
+    )
