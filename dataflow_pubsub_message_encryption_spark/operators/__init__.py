@@ -52,7 +52,6 @@ _WINDOW = [
     "agg_collect_sorted",
     "scalar_edit_distance",
     "scalar_null_conditional",
-    "win_first_last",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
