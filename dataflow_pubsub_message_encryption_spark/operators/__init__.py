@@ -51,7 +51,6 @@ _WINDOW = [
     "agg_stats_moments",
     "agg_collect_sorted",
     "scalar_edit_distance",
-    "scalar_null_conditional",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "agg_exact_percentiles_twopass",
     "text_langid_confusion",
     "dedup_exact_hierarchical",
+    "dedup_lsh_recall_eval",
 ]
 
 
