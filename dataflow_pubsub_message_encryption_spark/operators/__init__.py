@@ -50,7 +50,6 @@ _WINDOW = [
     "udaf_surface",
     "agg_stats_moments",
     "agg_collect_sorted",
-    "scalar_edit_distance",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "text_langid_confusion",
     "dedup_exact_hierarchical",
     "dedup_lsh_recall_eval",
+    "funnel_time_to_convert",
 ]
 
 

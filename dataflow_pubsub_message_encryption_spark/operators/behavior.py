@@ -742,3 +742,59 @@ def window_rolling_zscore(spark, sf_dir):
             "z"
         ),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(date_diff('microseconds', s.s_ts, e.ts)) AS delta_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(delta_us) AS BIGINT) AS min_us,
+           CAST(max(delta_us) AS BIGINT) AS max_us,
+           CAST(SUM(delta_us) // count(*) AS BIGINT) AS mean_us_floor
+    FROM p
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution for the signup -> first-purchase
+    funnel: per converting user the integer-microsecond delay from first
+    signup to the first LATER purchase, summarized as count/min/max/
+    floored mean — the latency census growth analytics reads next to the
+    conversion rate (funnel_conversion). All-integer arithmetic
+    (timestampdiff ↔ date_diff microseconds; floored integer mean), so
+    the summary is exact cross-engine. Shape: two conditional
+    aggregations chained by a broadcast of the (tiny) signup survivor
+    set — one row per converting user reaches the final 1-row fold."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("timestampdiff(MICROSECOND, s_ts, ts)")
+            ).alias("delta_us")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        F.min("delta_us").alias("min_us"),
+        F.max("delta_us").alias("max_us"),
+        F.expr("sum(delta_us) div count(*)").alias("mean_us_floor"),
+    )
