@@ -49,7 +49,6 @@ _WINDOW = [
     "mac_hmac_verify_filter",
     "udaf_surface",
     "agg_stats_moments",
-    "agg_collect_sorted",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "dedup_exact_hierarchical",
     "dedup_lsh_recall_eval",
     "funnel_time_to_convert",
+    "dedup_lsh_band_tuning",
 ]
 
 

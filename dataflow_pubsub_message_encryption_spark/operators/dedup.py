@@ -1012,3 +1012,125 @@ def dedup_lsh_recall_eval(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+_TUNE_CONFIGS = [(1, 16), (2, 8), (4, 4)]  # (bands, rows-per-band) over 16 slots
+
+
+def _tune_band_sql(nb: int, r: int) -> str:
+    """Per-config candidate CTE: union of per-band equi-joins, distinct
+    pairs (mirrors the production cascade's emit-once shape)."""
+    joins = []
+    for b in range(nb):
+        key = " || '|' || ".join(f"mh{b * r + k}" for k in range(r))
+        joins.append(
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            f"a.toks AS ta, b.toks AS tb "
+            f"FROM sig a JOIN sig b ON ({key.replace('mh', 'a.mh')}) = "
+            f"({key.replace('mh', 'b.mh')}) AND a.doc_id < b.doc_id"
+        )
+    return " UNION ".join(joins)
+
+
+def _tune_config_sql(nb: int, r: int) -> str:
+    return f"""
+      SELECT CAST({nb} AS INTEGER) AS n_bands,
+             CAST({r} AS INTEGER) AS rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN jac >= {_LSH_TAU} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_verified,
+             round(CAST(SUM(CASE WHEN jac >= {_LSH_TAU} THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS precision
+      FROM (
+        SELECT round(CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+                     / (len(ta) + len(tb) - len(list_intersect(ta, tb))), 6)
+                 AS jac
+        FROM ({_tune_band_sql(nb, r)})
+      )"""
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             {', '.join(_minhash_sql_cols())}
+      FROM documents
+    )
+    {' UNION ALL '.join(_tune_config_sql(nb, r) for nb, r in _TUNE_CONFIGS)}
+    """,
+)
+def dedup_lsh_band_tuning(spark, sf_dir):
+    """Banding-parameter sweep — the tuning table behind the production
+    cascade's 2x8 choice: for each (bands, rows) split of the 16-slot
+    signature, the candidate-pair count and how many verify at
+    tau={_LSH_TAU} (precision). More bands / shorter rows = higher recall
+    and more candidates (collision prob 1-(1-s^r)^b); this table is the
+    empirical side of that curve, computed from ONE signature pass. With
+    dedup_lsh_recall_eval (the recall side) the engine measures both
+    halves of its own LSH quality. Shape per config: exploded band-key
+    equi-join (ids + hash only), emit-once distinct, fingerprint verify —
+    the production shapes, swept."""
+    docs = _parallel(spark, load(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        _minhash_sig().alias("sig"),
+        fp64(distinct_tokens("text")).alias("toks"),
+    ).localCheckpoint(eager=True)
+    out = None
+    for nb, r in _TUNE_CONFIGS:
+        bands = base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[F.element_at("sig", b * r + k + 1) for k in range(r)],
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        t = base.select("doc_id", "toks")
+        pairs = (
+            cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "ta"), "doc_a")
+            .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "tb"), "doc_b")
+        )
+        inter = F.size(F.array_intersect("ta", "tb"))
+        jac = F.round(
+            inter.cast("double")
+            / (F.size("ta") + F.size("tb") - inter),
+            6,
+        )
+        row = pairs.select(jac.alias("jac")).agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.when(F.col("jac") >= _LSH_TAU, 1).otherwise(0)).alias(
+                "n_verified"
+            ),
+        ).select(
+            F.lit(nb).cast("int").alias("n_bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified").cast("double") / F.col("n_candidates"), 6
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
