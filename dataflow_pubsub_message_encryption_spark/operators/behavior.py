@@ -798,3 +798,61 @@ def funnel_time_to_convert(spark, sf_dir):
         F.max("delta_us").alias("max_us"),
         F.expr("sum(delta_us) div count(*)").alias("mean_us_floor"),
     )
+
+
+@query(
+    "orders_backlog_daily",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY 1
+    ),
+    iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS start_d, s.last_ship
+      FROM orders o JOIN ship s ON s.l_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT start_d AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT last_ship + 1, -1 FROM iv
+    ),
+    daily AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(delta AS BIGINT) AS net_delta,
+           CAST(SUM(delta) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def orders_backlog_daily(spark, sf_dir):
+    """Open-order backlog over time — the concurrent-intervals analytic
+    (how many orders are placed but not yet fully shipped on each day),
+    computed the scalable way: each order contributes a +1 delta at its
+    order date and a -1 the day after its LAST line ships; per-day
+    deltas aggregate with map-side combine, and the running sum runs
+    over the DAY-level table (thousands of rows), not the fact table —
+    the single-partition window is merge-stage-only, the same documented
+    shape as agg_quantile_sketch_union. Interval counting via deltas is
+    O(n) against the naive per-day interval join's O(n x days). All
+    integers, exact cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("start_d")
+    )
+    iv = orders.join(ship, orders.o_orderkey == ship.l_orderkey)
+    deltas = iv.select(
+        F.col("start_d").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(F.date_add("last_ship", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        date_str("d").alias("day"),
+        F.col("delta").cast("long").alias("net_delta"),
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )
