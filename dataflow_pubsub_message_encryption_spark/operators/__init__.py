@@ -47,7 +47,6 @@ _WINDOW = [
     "topk_per_group_twolevel",
     # reference-pipeline + relational stragglers
     "mac_hmac_verify_filter",
-    "udaf_surface",
     # TPC-H completion (round-2 additions, never driver-graded)
     "tpch_q2_min_cost_supplier",
     "tpch_q6_forecast_revenue",
@@ -90,6 +89,7 @@ _WINDOW = [
     "funnel_time_to_convert",
     "dedup_lsh_band_tuning",
     "orders_backlog_daily",
+    "audience_overlap_matrix",
 ]
 
 

@@ -856,3 +856,64 @@ def orders_backlog_daily(spark, sf_dir):
         F.col("delta").cast("long").alias("net_delta"),
         F.sum("delta").over(w).cast("long").alias("backlog"),
     )
+
+
+@query(
+    "audience_overlap_matrix",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both,
+           round(CAST(count(*) AS DOUBLE)
+                 / ((SELECT n FROM sizes WHERE event_type = a.event_type)
+                    + (SELECT n FROM sizes WHERE event_type = b.event_type)
+                    - count(*)), 6) AS jaccard
+    FROM ut a JOIN ut b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def audience_overlap_matrix(spark, sf_dir):
+    """Audience overlap — for every pair of event types, how many users
+    did BOTH, plus the audience Jaccard: the segment-overlap matrix ad /
+    growth analytics reads before building composite audiences. Shape:
+    distinct (user, type) pairs (one partial-aggregating shuffle on
+    user), a user-keyed self-join whose per-user fan-out is bounded by
+    |types|² (5 types → ≤10 pairs/user), then a |types|²-cell aggregate
+    with the tiny per-type sizes broadcast back. At 100 TB the heavy
+    stage is the distinct — everything after runs on cells. The Jaccard
+    denominator is |A|+|B|−|A∩B|, all integers; one rounded double
+    division."""
+    ev = load_events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    both = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        both.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
