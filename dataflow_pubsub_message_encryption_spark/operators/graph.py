@@ -34,9 +34,10 @@ Scale notes (100 TB):
 - Lineage is truncated with an eager ``localCheckpoint`` per round —
   without it the plan doubles every iteration and Catalyst re-optimizes
   the whole history. On a cluster use ``checkpoint`` to HDFS instead.
-- The ONLY driver-side data transfer is the 1-scalar chained-edge count
-  (the star-forest membership test) per round. The edge table itself
-  never leaves the executors.
+- The ONLY driver-side data transfer is the 1-scalar star-forest
+  violation count per round (from the per-node census the large-star
+  step computes anyway). The edge table itself never leaves the
+  executors.
 """
 
 from __future__ import annotations
