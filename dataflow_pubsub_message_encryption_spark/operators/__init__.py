@@ -45,11 +45,7 @@ _WINDOW = [
     "join_bucketed_colocated",
     "agg_incremental_merge",
     "topk_per_group_twolevel",
-    # reference-pipeline + relational stragglers
-    "mac_hmac_verify_filter",
-    # TPC-H completion (round-2 additions, never driver-graded)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
+    # TPC-H (round-2 additions, graded green in round 4 — filler slots)
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
@@ -90,6 +86,9 @@ _WINDOW = [
     "dedup_lsh_band_tuning",
     "orders_backlog_daily",
     "audience_overlap_matrix",
+    "events_iat_stats",
+    "vocab_growth_curve",
+    "dedup_minhash_estimator_quality",
 ]
 
 

@@ -917,3 +917,44 @@ def audience_overlap_matrix(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_iat_stats",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) // count(*) AS BIGINT) AS mean_gap_us_floor
+    FROM (
+      SELECT user_id,
+             date_diff('microseconds', lag(ts) OVER w, ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_iat_stats(spark, sf_dir):
+    """Inter-arrival-time census per user: gap count, min/max, floored
+    mean (integer microseconds) — the bot-detection / engagement-cadence
+    signal (a scripted client's min gap is machine-small; a human's is
+    not). One lag window on the user-partitioned shuffle every
+    event-sequence operator already pays, then a per-user integer
+    aggregate. All-integer arithmetic — exact cross-engine."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(*)").alias("mean_gap_us_floor"),
+    )

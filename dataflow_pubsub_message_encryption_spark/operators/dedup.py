@@ -1134,3 +1134,72 @@ def dedup_lsh_band_tuning(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_LANES_SQL = " + ".join(
+    f"(CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END)" for k in range(_N_PERMS)
+)
+
+
+@query(
+    "dedup_minhash_estimator_quality",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_cols())}
+      FROM documents
+    ),
+    pairs AS (SELECT doc_a, doc_b, jac FROM ({{LSH}}))
+    SELECT p.doc_a, p.doc_b,
+           CAST(({_LANES_SQL}) AS INTEGER) AS n_lanes_match,
+           round(CAST(({_LANES_SQL}) AS DOUBLE) / {_N_PERMS}, 6) AS est_jac,
+           p.jac AS true_jac
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """.replace("{LSH}", "__LSH__"),
+)
+def dedup_minhash_estimator_quality(spark, sf_dir):
+    """MinHash estimator quality per verified pair: matching signature
+    lanes (the unbiased Jaccard estimator — E[lanes/k] = J) next to the
+    true Jaccard — the per-pair calibration table that, with
+    dedup_lsh_band_tuning (collision curve) and dedup_lsh_recall_eval
+    (miss rate), completes the engine's self-measurement of its own LSH:
+    estimator, banding, and recall, all EXACT-checked. Shape: the
+    verified-pair set (ids + jac) joins the signature table twice —
+    ids-and-signature payloads, corpus text untouched."""
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    sig = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _minhash_sig().alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    lanes = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            lanes.cast("int").alias("n_lanes_match"),
+            F.round(lanes.cast("double") / _N_PERMS, 6).alias("est_jac"),
+            F.col("jac").alias("true_jac"),
+        )
+    )
+
+
+# splice the lsh-pairs oracle into the estimator oracle (registered above
+# with a placeholder, since ORACLES['dedup_minhash_lsh_pairs'] is only
+# addressable after module assembly)
+ORACLES["dedup_minhash_estimator_quality"] = ORACLES[
+    "dedup_minhash_estimator_quality"
+].replace("__LSH__", ORACLES["dedup_minhash_lsh_pairs"])

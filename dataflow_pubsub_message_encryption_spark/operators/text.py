@@ -833,3 +833,47 @@ def text_langid_confusion(spark, sf_dir):
             "frac"
         ),
     )
+
+
+_VG_STEPS = (50, 100, 200, 500)
+
+
+@query(
+    "vocab_growth_curve",
+    f"""
+    WITH first_seen AS (
+      SELECT tok, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY tok
+    )
+    SELECT n_docs, CAST(count(*) AS BIGINT) AS vocab_size
+    FROM first_seen,
+         (SELECT unnest([{', '.join(str(n) for n in _VG_STEPS)}]) AS n_docs)
+    WHERE first_doc < n_docs
+    GROUP BY n_docs
+    """,
+)
+def vocab_growth_curve(spark, sf_dir):
+    """Vocabulary growth curve (Heaps'-law census): distinct tokens seen
+    within the first N documents, for several N — the statistic that
+    sizes tokenizer vocabularies and predicts OOV rates as a corpus
+    grows. Computed WITHOUT any ordered accumulation: one aggregation
+    finds each token's first-appearance doc, then a broadcast threshold
+    list counts tokens with first_doc < N — shuffle ∝ vocabulary, never
+    a scan per threshold. All integers."""
+    docs = load(spark, sf_dir, "documents")
+    first = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    steps = docs.sparkSession.createDataFrame(
+        [(n,) for n in _VG_STEPS], "n_docs INT"
+    )
+    return (
+        first.crossJoin(F.broadcast(steps))  # vocab x 4 thresholds
+        .filter(F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count("*").alias("vocab_size"))
+    )
