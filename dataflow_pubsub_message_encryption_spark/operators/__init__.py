@@ -46,7 +46,6 @@ _WINDOW = [
     "agg_incremental_merge",
     "topk_per_group_twolevel",
     # TPC-H (round-2 additions, graded green in round 4 — filler slots)
-    "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q15_top_supplier",
@@ -89,6 +88,7 @@ _WINDOW = [
     "events_iat_stats",
     "vocab_growth_curve",
     "dedup_minhash_estimator_quality",
+    "embedding_index_pipeline",
 ]
 
 

@@ -993,3 +993,97 @@ def emb_pca_power_iteration(spark, sf_dir):
             ).cast("long").alias("v"),
         ).localCheckpoint(eager=True)
     return v.select(F.col("pos").cast("int").alias("pos"), F.col("v").alias("v_scaled"))
+
+
+@query(
+    "embedding_index_pipeline",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    seeds AS (SELECT label AS cell, min(vec_id) AS sid
+              FROM embeddings GROUP BY label),
+    c0 AS (SELECT s.cell, qv.qe AS cq
+           FROM seeds s JOIN qv ON qv.vec_id = s.sid),
+    {_km_iter_sql("c0", "a1", "c1")},
+    {_km_iter_sql("c1", "a2", "c2")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    q8 AS (
+      SELECT vec_id,
+             CAST(list_aggregate(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 127 + 0.5) AS INTEGER)),
+               'sum') AS BIGINT) AS q_checksum
+      FROM embeddings
+    )
+    SELECT a.cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(q8.q_checksum) AS BIGINT) AS sum_q_checksum
+    FROM afin a JOIN q8 USING (vec_id)
+    GROUP BY a.cell
+    """,
+)
+def embedding_index_pipeline(spark, sf_dir):
+    """The composed ANN index build — what a vector-index job materializes
+    before serving: int8-quantize every vector (4x memory), train the
+    coarse cells with the fixed-point Lloyd loop, assign every vector to
+    its learned cell, and emit the per-cell index manifest (vector count +
+    quantized checksum — the partition-size/ content-fingerprint pair an
+    index loader validates). Three proven operators composed in one DAG
+    (emb_quantize_int8 + sim_ann_kmeans_ivf_topk's trainer + a census);
+    the oracle chains the full training trajectory plus the quantization
+    — the ANN counterpart of corpus_training_manifest. At 100 TB the
+    manifest IS the partition layout: vectors land in cell-keyed
+    partitions sized by n_vecs."""
+    e = load(spark, sf_dir, "embeddings")
+    e_q = e.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    seeds = e.groupBy("label").agg(F.min("vec_id").alias("sid"))
+    cents = (
+        seeds.alias("s")
+        .join(e_q.alias("v"), F.col("s.sid") == F.col("v.vec_id"))
+        .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
+    )
+    for _ in range(_KM_ITERS):
+        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
+            eager=True
+        )
+    assign = _km_assign(e_q, cents)
+    q = F.transform(as_double("embedding"), lambda x: F.floor(x * 127 + 0.5).cast("int"))
+    q8 = e.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_checksum"
+        ),
+    )
+    return (
+        assign.alias("a")
+        .join(q8.alias("q"), F.col("a.vec_id") == F.col("q.vec_id"))
+        .groupBy("a.cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("q_checksum").alias("sum_q_checksum"),
+        )
+        .select(F.col("cell"), "n_vecs", "sum_q_checksum")
+    )
