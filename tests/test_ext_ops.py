@@ -424,3 +424,63 @@ def test_pca_power_iteration_converges_on_gapped_corpus(spark, tmp_path):
     top = np.linalg.eigh(q.T @ q)[1][:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos >= 0.99, f"power iterate misaligned on gapped corpus: cos={cos}"
+
+
+def test_rolling_zscore_matches_pandas_reference(spark, sf_dir):
+    """window_rolling_zscore against a pandas rolling computation on the
+    same events: n_frame and z (where defined) must agree to the 6dp
+    rounding for every row."""
+    import math
+
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    got = {
+        (r.user_id, r.event_id): (r.n_frame, r.z)
+        for r in BQ["window_rolling_zscore"](spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        vals = [round(r.value, 4) for r in rows]  # dec4 discipline
+        for i, r in enumerate(rows):
+            frame = vals[max(0, i - 5) : i + 1]
+            n = len(frame)
+            mean = sum(frame) / n
+            var = (sum(v * v for v in frame) - n * mean * mean) / n
+            zn, zz = got[(uid, r.event_id)]
+            assert zn == n
+            if var > 0:
+                assert abs(zz - round((vals[i] - mean) / math.sqrt(var), 6)) <= 1e-6
+            checked += 1
+    assert checked == len(ev)
+
+
+def test_temperature_resample_rate_laws(spark, sf_dir):
+    """Rate laws: the rarest language keeps rate 1.0; rates are
+    anti-monotone in language size; kept counts never exceed originals;
+    and post-sample shares flatten (max/min share ratio shrinks)."""
+    from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+        QUERIES as SQ,
+    )
+
+    rows = SQ["corpus_temperature_resample"](spark, sf_dir).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: r.n_before)
+    assert smallest.keep_rate == 1.0
+    by_size = sorted(rows, key=lambda r: r.n_before)
+    rates = [r.keep_rate for r in by_size]
+    assert rates == sorted(rates, reverse=True), "rates must be anti-monotone"
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_before
+    before = [r.n_before for r in rows]
+    after = [max(r.n_kept, 1) for r in rows]
+    assert max(after) / min(after) <= max(before) / min(before)
