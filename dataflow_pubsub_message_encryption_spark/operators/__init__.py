@@ -46,9 +46,7 @@ _WINDOW = [
     "agg_incremental_merge",
     "topk_per_group_twolevel",
     # TPC-H (round-2 additions, graded green in round 4 — filler slots)
-    "tpch_q9_product_profit",
     "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
     "tpch_q20_dominant_supplier",
     "tpch_q21_waiting_orders",
     # text / dedup / similarity / embeddings
@@ -89,6 +87,8 @@ _WINDOW = [
     "vocab_growth_curve",
     "dedup_minhash_estimator_quality",
     "embedding_index_pipeline",
+    "dedup_cluster_summary",
+    "supplier_lead_time",
 ]
 
 

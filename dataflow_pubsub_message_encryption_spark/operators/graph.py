@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..sources import load
 from .base import make_registry
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import QUERIES as _DEDUP_QUERIES
@@ -387,4 +388,48 @@ def graph_triangle_count(spark, sf_dir):
     n_edges = und.agg(F.count("*").alias("n_edges"))
     return F.broadcast(n_edges).crossJoin(n_tri).select(  # 1 row x 1 row
         "n_edges", "n_triangles"
+    )
+
+
+@query(
+    "dedup_cluster_summary",
+    f"""
+    WITH cc AS ({ORACLES["dedup_cluster_components"]})
+    SELECT cc.cluster_id,
+           CAST(max(cc.cluster_size) AS BIGINT) AS cluster_size,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(SUM(d.n_chars) - max(CASE WHEN cc.is_canonical
+                                          THEN d.n_chars END) AS BIGINT)
+             AS chars_removed
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    GROUP BY cc.cluster_id
+    """,
+)
+def dedup_cluster_summary(spark, sf_dir):
+    """The human-readable dedup report — per duplicate cluster: size,
+    total bytes, how many sources the copies span (cross-source
+    duplication is the interesting kind), and the bytes a keep-one
+    policy actually removes (total minus the canonical's). This is the
+    artifact a corpus team reviews before committing a dedup pass:
+    components (the iterative operator) joined back to document
+    metadata, one |clusters|-sized aggregate. The oracle recomputes the
+    full recursive-CTE components and the same join — the entire
+    pairs → components → report chain is value-checked."""
+    cc = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return (
+        cc.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("source").alias("n_sources"),
+            (
+                F.sum("n_chars")
+                - F.max(F.when(F.col("is_canonical"), F.col("n_chars")))
+            ).alias("chars_removed"),
+        )
     )

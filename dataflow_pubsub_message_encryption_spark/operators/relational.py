@@ -1772,3 +1772,45 @@ def sql_recursive_date_spine(spark, sf_dir):
         ) c ON c.dd = spine.d
         """
     )
+
+
+@query(
+    "supplier_lead_time",
+    """
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_shipments,
+           CAST(min(lead_days) AS BIGINT) AS min_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days,
+           CAST(SUM(lead_days) // count(*) AS BIGINT) AS mean_days_floor
+    FROM (
+      SELECT l.l_suppkey,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY l_suppkey
+    """,
+)
+def supplier_lead_time(spark, sf_dir):
+    """Supplier lead-time census — order date to ship date in whole days
+    per supplier (count/min/max/floored mean): the supply-chain SLA
+    table next to TPC-H's revenue views. Fact-fact join on the order key
+    (sort-merge at scale; both tables arrive partitionable on it — the
+    bucketed variant is ``join_bucketed_colocated``), then one
+    partial-aggregating groupBy per supplier. Day difference and the
+    summary are all integers — exact cross-engine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", F.datediff("sd", "od").alias("lead_days")
+    )
+    return j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_shipments"),
+        F.min("lead_days").cast("long").alias("min_days"),
+        F.max("lead_days").cast("long").alias("max_days"),
+        F.expr("sum(lead_days) div count(*)").alias("mean_days_floor"),
+    )
