@@ -46,9 +46,6 @@ _WINDOW = [
     "agg_incremental_merge",
     "topk_per_group_twolevel",
     # TPC-H (round-2 additions, graded green in round 4 — filler slots)
-    "tpch_q11_important_stock",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_orders",
     # text / dedup / similarity / embeddings
     "text_vocab_build",
     "text_bigram_colloc",
@@ -89,6 +86,9 @@ _WINDOW = [
     "embedding_index_pipeline",
     "dedup_cluster_summary",
     "supplier_lead_time",
+    "customer_value_quartiles",
+    "events_hourly_seasonality",
+    "orders_priority_mix_shift",
 ]
 
 

@@ -1814,3 +1814,108 @@ def supplier_lead_time(spark, sf_dir):
         F.max("lead_days").cast("long").alias("max_days"),
         F.expr("sum(lead_days) div count(*)").alias("mean_days_floor"),
     )
+
+
+@query(
+    "customer_value_quartiles",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (SELECT o_custkey, r, ntile(4) OVER (ORDER BY r, o_custkey) AS quartile
+          FROM rev)
+    SELECT CAST(quartile AS INTEGER) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(r), 2) AS DOUBLE) AS total_revenue,
+           CAST(round(min(r), 2) AS DOUBLE) AS min_revenue,
+           CAST(round(max(r), 2) AS DOUBLE) AS max_revenue
+    FROM q GROUP BY quartile
+    """,
+)
+def customer_value_quartiles(spark, sf_dir):
+    """Customer lifetime-value quartiles: per-customer revenue (decimal
+    sums), ntile(4) with a customer tie-break for determinism, then the
+    per-quartile census — the segmentation table CRM/BI reads first
+    ("the top quartile is X% of revenue"). The ranking window runs over
+    the CUSTOMER-level aggregate (|customers| rows, not orders); decimal
+    revenue keeps the partial-aggregated sums bit-equal to the oracle's
+    single pass, rounded to money only on output."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec4("o_totalprice")).alias("r"))
+    )
+    w = Window.orderBy("r", "o_custkey")
+    q = rev.withColumn("quartile", F.ntile(4).over(w).cast("int"))
+    return q.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        money(F.sum("r")).alias("total_revenue"),
+        money(F.min("r")).alias("min_revenue"),
+        money(F.max("r")).alias("max_revenue"),
+    )
+
+
+@query(
+    "events_hourly_seasonality",
+    """
+    SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Activity seasonality matrix: (day-of-week × hour-of-day) event and
+    distinct-user counts — the capacity-planning / anomaly-baseline grid
+    (compare a live hour against its seasonal cell). One partial-
+    aggregating groupBy into at most 168 cells; the distinct count is
+    the only real shuffle. NB the engines DISAGREE on dayofweek
+    numbering (Spark Sunday=1..7, DuckDB Sunday=0..6 — probed); the
+    oracle adds 1 to align on Spark's convention."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "orders_priority_mix_shift",
+    """
+    SELECT strftime(m, '%Y-%m-%d') AS month, o_orderpriority,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(CAST(n_orders AS DOUBLE)
+                 / SUM(n_orders) OVER (PARTITION BY m), 6) AS share
+    FROM (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             o_orderpriority, count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    """,
+)
+def orders_priority_mix_shift(spark, sf_dir):
+    """Order-priority composition by month — the mix-shift view that
+    separates "volume grew" from "the KIND of demand changed". Month ×
+    priority counts (partial-aggregating) plus a per-month normalizing
+    window over the tiny matrix; the share is one rounded double
+    division. Month is truncated-date-as-string so both engines format
+    identically."""
+    o = load(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date"))
+    c = o.groupBy(month.alias("m"), "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.partitionBy("m")
+    return c.select(
+        date_str(F.col("m").cast("date")).alias("month"),
+        "o_orderpriority",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 6
+        ).alias("share"),
+    )
