@@ -47,7 +47,6 @@ _WINDOW = [
     "topk_per_group_twolevel",
     # TPC-H (round-2 additions, graded green in round 4 — filler slots)
     # text / dedup / similarity / embeddings
-    "text_vocab_build",
     "text_bigram_colloc",
     "dedup_containment",
     "sim_knn_join",
@@ -89,6 +88,8 @@ _WINDOW = [
     "customer_value_quartiles",
     "events_hourly_seasonality",
     "orders_priority_mix_shift",
+    "multimodal_payload_entropy",
+    "events_longest_streaks",
 ]
 
 

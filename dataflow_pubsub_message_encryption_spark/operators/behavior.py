@@ -958,3 +958,51 @@ def events_iat_stats(spark, sf_dir):
         F.max("gap_us").alias("max_gap_us"),
         F.expr("sum(gap_us) div count(*)").alias("mean_gap_us_floor"),
     )
+
+
+@query(
+    "events_longest_streaks",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS isl
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, count(*) AS run_len
+      FROM s GROUP BY user_id, event_type, isl
+    )
+    SELECT user_id, event_type,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id, event_type
+    """,
+)
+def events_longest_streaks(spark, sf_dir):
+    """Longest consecutive same-type runs per (user, type) — streak
+    analytics (engagement streaks, repeated-error runs, bot loops) via
+    the classic two-row_number gaps-and-islands difference: consecutive
+    same-type events share (global_rn - per-type_rn), so runs fall out
+    of one groupBy. Both windows ride the SAME user_id shuffle; the run
+    and streak aggregations partial-combine. All integers, total order
+    tie-broken by event_id — exact cross-engine."""
+    ev = load_events(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    s = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("isl"),
+    )
+    runs = s.groupBy("user_id", "event_type", "isl").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy("user_id", "event_type").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+    )

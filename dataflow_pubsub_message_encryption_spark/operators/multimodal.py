@@ -262,3 +262,69 @@ def multimodal_audio_energy(spark, sf_dir):
         ),
         F.array_max("bs").cast("int").alias("peak"),
     )
+
+
+@query(
+    "multimodal_payload_entropy",
+    """
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n,
+             (instr('0123456789abcdef', substr(hx, 2*s.i - 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(hx, 2*s.i, 1)) - 1) AS byte
+      FROM h, UNNEST(generate_series(1, h.n)) AS s(i)
+    ),
+    c AS (SELECT doc_id, n, byte, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+    s AS (
+      SELECT doc_id, n,
+             SUM(cnt * CAST(floor(ln(cnt) * 1000000000) AS BIGINT)) AS clnc
+      FROM c GROUP BY doc_id, n
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+           round(ln(n) - CAST(clnc AS DOUBLE) / 1000000000 / n, 6)
+             AS entropy_nats
+    FROM s
+    """,
+)
+def multimodal_payload_entropy(spark, sf_dir):
+    """Byte-entropy per payload (nats) — the compressibility signal a
+    media-curation pipeline uses to separate text-like, structured, and
+    already-compressed/encrypted blobs before paying decode costs.
+    Computed as ln(n) - (1/n)·Σ c·ln(c) over the byte histogram; the
+    per-byte-value ln(c) terms are QUANTIZED to int64 (scale 1e9) so the
+    per-doc sum commutes — the same determinism trick as
+    text_unigram_logprob — and only the final ln(n)/division/round run
+    as doubles, an identical op sequence in both engines. Shape:
+    per-(doc, byte) counts partial-aggregate
+    (≤256 cells per doc); everything keyed by doc."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    hx = F.lower(F.hex("payload"))
+    b = m.select(
+        "doc_id",
+        F.octet_length("payload").alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.octet_length("payload")),
+                lambda i: F.conv(
+                    F.substring(hx, (i * 2 - 1).cast("int"), 2), 16, 10
+                ).cast("int"),
+            )
+        ).alias("byte"),
+    )
+    c = b.groupBy("doc_id", "n", "byte").agg(F.count("*").alias("cnt"))
+    lnq = F.floor(F.log(F.col("cnt").cast("double")) * 1_000_000_000).cast(
+        "long"
+    )
+    s = c.groupBy("doc_id", "n").agg(F.sum(F.col("cnt") * lnq).alias("clnc"))
+    return s.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_bytes"),
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("clnc").cast("double") / 1_000_000_000 / F.col("n"),
+            6,
+        ).alias("entropy_nats"),
+    )
