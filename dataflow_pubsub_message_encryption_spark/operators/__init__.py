@@ -47,7 +47,6 @@ _WINDOW = [
     "topk_per_group_twolevel",
     # TPC-H (round-2 additions, graded green in round 4 — filler slots)
     # text / dedup / similarity / embeddings
-    "text_bigram_colloc",
     "dedup_containment",
     "sim_knn_join",
     "emb_dim_census",
