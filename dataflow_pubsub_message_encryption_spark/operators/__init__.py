@@ -45,12 +45,11 @@ _WINDOW = [
     "join_bucketed_colocated",
     "agg_incremental_merge",
     "topk_per_group_twolevel",
-    # TPC-H (round-2 additions, graded green in round 4 — filler slots)
-    # text / dedup / similarity / embeddings
-    "dedup_containment",
-    "sim_knn_join",
-    "emb_dim_census",
-    "dedup_embedding_lsh",
+    # round-5 late additions (displaced the 4 graded-green filler slots)
+    "agg_bitmap_distinct",
+    "agg_heavy_hitters_cms",
+    "join_partition_pruned_dpp",
+    "orders_pareto_abc",
     # round-5 additions
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",

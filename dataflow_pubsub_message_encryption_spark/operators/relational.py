@@ -1919,3 +1919,77 @@ def orders_priority_mix_shift(spark, sf_dir):
             F.col("n_orders").cast("double") / F.sum("n_orders").over(w), 6
         ).alias("share"),
     )
+
+
+@query(
+    "orders_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM rev
+    ),
+    tot AS (SELECT SUM(r) AS total FROM rev)
+    SELECT cls,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(r), 2) AS DOUBLE) AS revenue,
+           round(CAST(SUM(r) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM (
+      SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS cls,
+             r, total
+      FROM ranked, tot
+    )
+    GROUP BY cls
+    """,
+)
+def orders_pareto_abc(spark, sf_dir):
+    """Pareto / ABC revenue segmentation: customers ranked by revenue,
+    class A = the head worth the first 80% of cumulative revenue, B to
+    95%, C the tail — the inventory-policy census ('how concentrated is
+    the book') behind every 80/20 claim. Correctness at the class
+    boundaries is the hazard: the cumulative sum runs in DECIMAL over a
+    fully tie-broken order (revenue DESC, custkey) and the thresholds
+    compare as integer-scaled decimals (cum*100 <= total*80), so both
+    engines cut A/B/C on the same customer — no float drift at the
+    boundary. Shape: one partial-aggregating groupBy to customer grain,
+    then a ranked cumulative window over |customers| rows (merge-stage
+    only — the fact table never sees the window); the grand total rides
+    in as a broadcast 1-row aggregate. At 100 TB the window input is the
+    customer aggregate, which is what keeps a global ORDER BY honest."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec4("o_totalprice")).alias("r"))
+    )
+    w = (
+        Window.orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.withColumn("cum", F.sum("r").over(w))
+    tot = rev.agg(F.sum("r").alias("total"))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))  # |customers| x 1 row
+        .select(cls.alias("cls"), "r", "total")
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_customers"),
+            money(F.sum("r")).alias("revenue"),
+            F.round(
+                F.sum("r").cast("double") / F.max("total").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )

@@ -768,3 +768,229 @@ def dedup_exact_hierarchical(spark, sf_dir):
     return l1.groupBy("sha").agg(
         F.min("pm").alias("keep_doc"), F.sum("pc").alias("n_copies")
     )
+
+
+_BM_WORD = 62  # bits per bitmap word (positive-range long, sign bit unused)
+
+
+@query(
+    "agg_bitmap_distinct",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS distinct_users
+    FROM (
+      SELECT event_type, user_id // {_BM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(user_id % {_BM_WORD} AS INTEGER)) AS bm
+      FROM events GROUP BY 1, 2
+    )
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counting via bitmap words — the
+    Doris/ClickHouse/Druid bitmap-index idiom for the case where
+    ``approx_count_distinct`` (C15) isn't allowed but a full
+    ``count(DISTINCT)`` re-shuffle per query is too expensive: the dense
+    integer key space is packed into {_BM_WORD}-bit words
+    (word = user_id div {_BM_WORD}, bit = user_id mod {_BM_WORD}), each
+    (group, word) cell reduced with the associative+commutative
+    ``bit_or`` — so partial aggregation combines map-side and word
+    bitmaps MERGE across shards/days exactly like the HLL sketches of
+    ``agg_hll_partitioned_union``, but losslessly. The final count is
+    ``sum(bit_count(word))`` per group. Shuffle ∝ groups × occupied
+    words (each a single long), never the fact rows; at 100 TB the
+    per-day word tables are tiny, and unioning a year of them is the
+    same one bit_or pass. Both engines run the identical integer
+    bit arithmetic, so the oracle is EXACT — and the suite also pins
+    distinct_users == count(DISTINCT user_id) per group."""
+    ev = load_events(spark, sf_dir)
+    bits = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_WORD} AS INT))"
+    )
+    words = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") / _BM_WORD).cast("long").alias("w"),
+            bits.alias("b"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    return words.groupBy("event_type").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.bit_count("bm")).cast("long").alias("distinct_users"),
+    )
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+
+def _cms_pos_sql(i: int, key: str) -> str:
+    """DuckDB: row i's CMS bucket of `key` (first sha256 byte mod width)."""
+    h = f"sha256('{i}:' || {key})"
+    return (
+        f"((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1))"
+        f" % {_CMS_WIDTH}"
+    )
+
+
+@query(
+    "agg_heavy_hitters_cms",
+    f"""
+    WITH r AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    pos AS (
+      SELECT i, key, CASE i
+               {' '.join(f"WHEN {i} THEN {_cms_pos_sql(i, 'key')}" for i in range(_CMS_DEPTH))}
+             END AS p
+      FROM r, (VALUES {', '.join(f'({i})' for i in range(_CMS_DEPTH))}) t(i)
+    ),
+    sketch AS (SELECT i, p, count(*) AS c FROM pos GROUP BY 1, 2),
+    exact AS (SELECT key, count(*) AS exact_cnt FROM r GROUP BY 1),
+    top10 AS (
+      SELECT key, exact_cnt, rk FROM (
+        SELECT key, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, key) AS rk
+        FROM exact
+      ) WHERE rk <= 10
+    ),
+    keypos AS (SELECT DISTINCT i, key, p FROM pos),
+    est AS (
+      SELECT kp.key, min(s.c) AS cms_est
+      FROM keypos kp JOIN sketch s ON s.i = kp.i AND s.p = kp.p
+      WHERE kp.key IN (SELECT key FROM top10)
+      GROUP BY kp.key
+    )
+    SELECT t.key, CAST(t.rk AS INTEGER) AS rk,
+           CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - t.exact_cnt AS BIGINT) AS overestimate
+    FROM top10 t JOIN est e ON e.key = t.key
+    """,
+)
+def agg_heavy_hitters_cms(spark, sf_dir):
+    """Count-Min-Sketch heavy hitters, self-calibrated: build the
+    {_CMS_DEPTH}x{_CMS_WIDTH} counter grid in ONE pass (explode each row
+    into {_CMS_DEPTH} (row, bucket) cells -> partial-aggregating groupBy
+    over {_CMS_DEPTH * _CMS_WIDTH} cells), then report the top-10 exact
+    keys with their CMS point estimate (min over the {_CMS_DEPTH} rows)
+    and the overestimate the collisions cost. The sketch is the
+    mergeable-summary answer to "what are the hot keys across 100 TB
+    WITHOUT shuffling per-key rows": cells add across shards/days like
+    the HLL and quantile-grid unions, the grid is {_CMS_DEPTH * _CMS_WIDTH}
+    longs total, and estimate >= truth is a structural guarantee (checked
+    column: overestimate >= 0, pinned in the suite). Hash rows use the
+    engine's portable sha256 hex-nibble idiom so both engines bucket
+    identically -> the whole sketch, not just the report, is EXACT.
+    The exact side here doubles as the oracle's truth; a production run
+    keeps only the sketch + a per-partition candidate set."""
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    rows = []
+    for i in range(_CMS_DEPTH):
+        h = F.sha2(F.concat(F.lit(f"{i}:"), F.col("key")), 256)
+        nib = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1  # noqa: B023,E731
+        rows.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                ((nib(1) * 16 + nib(2)) % _CMS_WIDTH).alias("p"),
+            )
+        )
+    cells = ev.select("key", F.explode(F.array(*rows)).alias("ip"))
+    sketch = (
+        cells.groupBy(F.col("ip.i").alias("i"), F.col("ip.p").alias("p"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = ev.groupBy("key").agg(F.count("*").alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), "key")
+    top10 = (
+        exact.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+    )
+    keypos = cells.select("key", "ip.i", "ip.p").distinct()
+    est = (
+        F.broadcast(top10)
+        .join(keypos, "key")
+        .join(F.broadcast(sketch), ["i", "p"])
+        .groupBy("key")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        top10.join(F.broadcast(est), "key")
+        .select(
+            "key",
+            "rk",
+            "exact_cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+@query(
+    "join_partition_pruned_dpp",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type LIKE 'p%' OR event_type = 'error'
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def join_partition_pruned_dpp(spark, sf_dir):
+    """Dynamic partition pruning — the scan-eliminating join Catalyst
+    runs when a fact table is PARTITIONED on the join key and the dim
+    side carries a runtime-only filter: the fact is written once
+    ``partitionBy(event_type)`` (the write-time layout decision, same
+    family as ``join_bucketed_colocated``), the dim is a runtime-derived
+    selective type list (LIKE 'p%' OR 'error' -> 2 of 5 partitions; NOT
+    constant-foldable, so static pruning can't see it), and Catalyst
+    injects a ``dynamicpruning`` subquery into the fact scan so 3 of the
+    5 partition directories are never opened (plan-asserted in
+    tests/test_plans.py). At 100 TB with date-partitioned facts this is
+    THE difference between scanning a year and scanning a week: the
+    pruning cost is one broadcast of the dim's key set. Result-identical
+    to the unpartitioned join, which is what the oracle computes."""
+    import shutil
+    from urllib.parse import urlparse
+
+    name = "sg_part_events"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(f"{wh.path or wh.geturl()}/{name}", ignore_errors=True)
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    (
+        ev.write.format("parquet")
+        .partitionBy("event_type")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    fact = spark.table(name)
+    dim = (
+        load_events(spark, sf_dir)
+        .filter(
+            F.col("event_type").startswith("p")
+            | (F.col("event_type") == "error")
+        )
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            money(F.sum(dec4("value"))).alias("total_value"),
+        )
+    )

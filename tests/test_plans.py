@@ -175,3 +175,54 @@ def test_bpe_training_never_sorts_the_corpus(spark, sf_dir):
     # TakeOrdered handles every argmax; a rangepartitioning exchange
     # would mean a global sort slipped in
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """join_partition_pruned_dpp: the partitioned fact scan must carry a
+    dynamic-pruning (or at minimum a partition-filter) expression on
+    event_type so the non-selected partition directories are never
+    read."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    df = SCQ["join_partition_pruned_dpp"](spark, sf_dir)
+    plan = formatted_plan(df).lower()
+    assert "dynamicpruning" in plan or "partitionfilters: [" in plan.replace(
+        "partitionfilters: []", ""
+    ), plan
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    """agg_bitmap_distinct: the bitmap popcount total must equal the
+    engine's own count(DISTINCT) per group — lossless by construction."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    got = {
+        r["event_type"]: r["distinct_users"]
+        for r in SCQ["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["d"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """agg_heavy_hitters_cms: the CMS structural guarantee — every point
+    estimate >= the true count (collisions only ADD)."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    rows = SCQ["agg_heavy_hitters_cms"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
