@@ -812,7 +812,10 @@ def agg_bitmap_distinct(spark, sf_dir):
     words = (
         ev.select(
             "event_type",
-            (F.col("user_id") / _BM_WORD).cast("long").alias("w"),
+            # integer DIV, not double-divide-then-cast: exact for the full
+            # 63-bit id range (ids are non-negative, so DIV == floor-div
+            # == DuckDB's //)
+            F.expr(f"user_id DIV {_BM_WORD}").alias("w"),
             bits.alias("b"),
         )
         .groupBy("event_type", "w")

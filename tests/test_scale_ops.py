@@ -343,3 +343,28 @@ def test_hll_union_within_bound_and_merge(spark, sf_dir):
     assert per["ALL"].exact_users >= max(
         r.exact_users for k, r in per.items() if k != "ALL"
     )
+
+
+def test_pareto_abc_partitions_customers_and_shares(spark, sf_dir):
+    """orders_pareto_abc laws: the classes partition the customer base,
+    revenue shares sum to 1, and concentration is monotone (A's average
+    customer value >= B's >= C's by construction of the cumulative cut)."""
+    from dataflow_pubsub_message_encryption_spark.operators.relational import (
+        QUERIES as REL_QUERIES,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    rows = {r.cls: r for r in REL_QUERIES["orders_pareto_abc"](spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows.values()) == n_cust
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-4
+    if "B" in rows and "C" in rows:
+        avg = {k: r.revenue / r.n_customers for k, r in rows.items()}
+        assert avg["A"] >= avg["B"] >= avg["C"]
+        # the A-cut lands at 80% (within one customer's worth of revenue)
+        assert rows["A"].revenue_share <= 0.80 + avg["A"] / sum(
+            r.revenue for r in rows.values()
+        )
