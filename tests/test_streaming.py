@@ -937,3 +937,56 @@ def test_observe_metrics_on_decrypt_pipeline(spark, sf_dir, tmpdir):
     assert n_wire == n_total, "observe must count every wire row in-flight"
     # tamper=True corrupts odd event_ids: survivors are exactly the evens
     assert n_out == n_total - ev.filter(F.col("event_id") % 2 == 1).count()
+
+
+def test_bitmap_distinct_stream_equals_batch(spark, sf_dir, tmpdir):
+    """foreachBatch bitmap merge drained over a 4-file replay must equal
+    the batch agg_bitmap_distinct exactly (bit_or is associative,
+    commutative AND idempotent — any micro-batch split, and any replay,
+    folds to the same word table)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+    n = tbl.num_rows
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            f"{src}/part{i}.parquet",
+        )
+
+    target, ckpt = f"{tmpdir}/target", f"{tmpdir}/ckpt"
+    stream = st.events_file_stream(spark, src, max_files_per_trigger=1)
+    q = st.bitmap_distinct_sink(stream, target, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: (r.n_words, r.distinct_users)
+        for r in st.bitmap_distinct_view(spark, target).collect()
+    }
+    batch = {
+        r.event_type: (r.n_words, r.distinct_users)
+        for r in SCQ["agg_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    assert got == batch
+
+    # replay from the same checkpoint: OR idempotence -> state unchanged
+    q2 = st.bitmap_distinct_sink(
+        st.events_file_stream(spark, src, max_files_per_trigger=1), target, ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    again = {
+        r.event_type: (r.n_words, r.distinct_users)
+        for r in st.bitmap_distinct_view(spark, target).collect()
+    }
+    assert again == batch
