@@ -1993,3 +1993,84 @@ def orders_pareto_abc(spark, sf_dir):
             ).alias("revenue_share"),
         )
     )
+
+
+@query(
+    "orders_cohort_ltv_curve",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS m,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS r
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1),
+    sizes AS (SELECT m0, count(*) AS cohort_customers FROM first GROUP BY 1),
+    cells AS (
+      SELECT f.m0, o.m - f.m0 AS month_offset,
+             count(*) AS n_orders, SUM(o.r) AS rev
+      FROM o JOIN first f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT printf('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort,
+           CAST(month_offset AS INTEGER) AS month_offset,
+           CAST(cohort_customers AS BIGINT) AS cohort_customers,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           (CAST(SUM(rev) OVER (PARTITION BY m0 ORDER BY month_offset
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) * 10000 AS BIGINT)
+            // cohort_customers) / 10000.0 AS cum_revenue_per_customer
+    FROM cells JOIN sizes USING (m0)
+    """,
+)
+def orders_cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue tracked per month offset, cumulative LTV-per-customer
+    per cohort — the curve growth/finance teams read to compare cohort
+    quality over time (the revenue twin of ``retention_cohorts``).
+    Engine-neutral month math: months live as year*12+(month-1) integers,
+    so the offset is a subtraction, never an interval function with
+    per-engine calendar semantics. Decimal revenue end to end; the
+    cumulative window runs over the (cohort × offset) AGGREGATE (≤ a few
+    hundred rows), never the orders table — at 100 TB the only fact-sized
+    shuffles are the per-customer min and the (cohort, offset) partial
+    agg, both map-side-combining; cohort sizes ride back in as a
+    broadcast."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        dec4("o_totalprice").alias("r"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(F.count("*").alias("cohort_customers"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("month_offset"))
+        .agg(F.count("*").alias("n_orders"), F.sum("r").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sizes), "m0")
+        .withColumn("cum", F.sum("rev").over(w))
+        .select(
+            F.format_string(
+                "%04d-%02d", F.expr("m0 DIV 12"), F.pmod("m0", F.lit(12)) + 1
+            ).alias("cohort"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            "cohort_customers",
+            "n_orders",
+            money(F.col("rev")).alias("revenue"),
+            # exact: decimal cum -> integer 1e-4 units -> floor-div by the
+            # cohort size -> ONE shared IEEE division (no round() at a
+            # half-even/half-up boundary — the hazard the double form hit)
+            (
+                F.expr("CAST(cum * 10000 AS BIGINT) DIV cohort_customers")
+                / 10000.0
+            ).alias("cum_revenue_per_customer"),
+        )
+    )

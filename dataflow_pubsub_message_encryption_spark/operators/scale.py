@@ -997,3 +997,222 @@ def join_partition_pruned_dpp(spark, sf_dir):
             money(F.sum(dec4("value"))).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    f"""
+    WITH e AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             user_id
+      FROM events
+    ),
+    wd AS (
+      SELECT day, user_id // {_BM_WORD} AS w,
+             bit_or(CAST(1 AS BIGINT)
+                    << CAST(user_id % {_BM_WORD} AS INTEGER)) AS bm
+      FROM e GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM e),
+                                    (SELECT max(day) FROM e))) AS day
+    ),
+    words AS (SELECT DISTINCT w FROM wd),
+    grid AS (
+      SELECT d.day, words.w, COALESCE(wd.bm, 0) AS bm
+      FROM days d CROSS JOIN words
+      LEFT JOIN wd ON wd.day = d.day AND wd.w = words.w
+    ),
+    r AS (
+      SELECT day, bm,
+             bit_or(bm) OVER (PARTITION BY w ORDER BY day
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS bm7
+      FROM grid
+    )
+    SELECT CAST(day AS INTEGER) AS day,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS distinct_users_1d,
+           CAST(sum(bit_count(bm7)) AS BIGINT) AS distinct_users_7d
+    FROM r GROUP BY day
+    """,
+)
+def events_rolling_distinct_users(spark, sf_dir):
+    """EXACT trailing-7-day rolling distinct users per day — the DAU/WAU
+    dashboard series, and the aggregate ordinary rollups CANNOT give you:
+    distinct doesn't add across days, so a naive exact answer re-scans a
+    week of facts per day. The bitmap words of ``agg_bitmap_distinct``
+    solve it structurally: per-(day, word) bitmaps reduce the facts ONCE,
+    then a windowed ``bit_or`` over a dense day×word grid (OR is
+    idempotent, so overlapping frames cost nothing) yields every day's
+    exact 7-day bitmap, and popcounts finish the series. Shuffle story at
+    100 TB: the fact table is touched once (map-side bit_or partial agg,
+    one long per (day, word) cell); the grid is days × occupied-words
+    (365 × id-space/62 — small relative to facts, and partitioned by word
+    for the window so no global sort); everything downstream is
+    grid-sized. The same words merge into ``agg_bitmap_distinct``'s
+    all-time table and the streaming twin's snapshot — one summary,
+    three consumers."""
+    ev = load_events(spark, sf_dir).select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+        "user_id",
+    )
+    bits = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_WORD} AS INT))"
+    )
+    wd = (
+        ev.select("day", F.expr(f"user_id DIV {_BM_WORD}").alias("w"), bits.alias("b"))
+        .groupBy("day", "w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    span = ev.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    days = span.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    words = wd.select("w").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(words))  # |days| x |words| summary grid
+        .join(wd, ["day", "w"], "left")
+        .select("day", "w", F.coalesce("bm", F.lit(0)).alias("bm"))
+    )
+    w7 = Window.partitionBy("w").orderBy("day").rangeBetween(-6, 0)
+    r = grid.withColumn("bm7", F.bit_or("bm").over(w7))
+    return r.groupBy("day").agg(
+        F.sum(F.bit_count("bm")).cast("long").alias("distinct_users_1d"),
+        F.sum(F.bit_count("bm7")).cast("long").alias("distinct_users_7d"),
+    )
+
+
+_BLOOM_BITS = 992  # 16 x 62-bit words
+_BLOOM_K = 3
+_BLOOM_BAL = 7000.0  # dim selectivity: suppliers with s_acctbal above this
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    """DuckDB: hash row j's bloom bit position for `key` (3 sha256 hex
+    nibbles -> 0..4095, mod the filter width)."""
+    h = f"sha256(CAST({key} AS VARCHAR))"
+    n = lambda i: f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"  # noqa: E731
+    a, b, c = 3 * j + 1, 3 * j + 2, 3 * j + 3
+    return f"(({n(a)} * 256 + {n(b)} * 16 + {n(c)}) % {_BLOOM_BITS})"
+
+
+def _bloom_pos_col(key, j: int):
+    h = F.sha2(F.col(key).cast("string"), 256)
+    n = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: B023,E731
+    a, b, c = 3 * j + 1, 3 * j + 2, 3 * j + 3
+    return (n(a) * 256 + n(b) * 16 + n(c)) % _BLOOM_BITS
+
+
+@query(
+    "join_bloom_prefilter",
+    f"""
+    WITH dim AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal > {_BLOOM_BAL}
+    ),
+    dimpos AS (
+      {' UNION ALL '.join(f"SELECT {_bloom_pos_sql('s_suppkey', j)} AS pos FROM dim" for j in range(_BLOOM_K))}
+    ),
+    words AS (
+      SELECT pos // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bm
+      FROM dimpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT l_suppkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+             {', '.join(f"{_bloom_pos_sql('l_suppkey', j)} AS p{j}" for j in range(_BLOOM_K))}
+      FROM lineitem
+    ),
+    pass AS (
+      SELECT pr.l_suppkey, pr.price
+      FROM probe pr
+      {' '.join(f"JOIN words w{j} ON w{j}.w = pr.p{j} // 62 AND ((w{j}.bm >> CAST(pr.p{j} % 62 AS INTEGER)) & 1) = 1" for j in range(_BLOOM_K))}
+    ),
+    true_m AS (
+      SELECT p.l_suppkey, p.price FROM pass p
+      WHERE EXISTS (SELECT 1 FROM dim d WHERE d.s_suppkey = p.l_suppkey)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_fact_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_bloom_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM true_m) AS n_true_match,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass)
+             - (SELECT CAST(count(*) AS BIGINT) FROM true_m)
+             AS n_false_positives,
+           (SELECT CAST(round(COALESCE(SUM(price), 0), 2) AS DOUBLE)
+            FROM true_m) AS revenue
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter runtime prefilter for a selective fact⋈dim join — the
+    pattern behind Spark's injected bloom runtime filters and every
+    warehouse's join pushdown: reduce the dim's key set to a
+    {_BLOOM_BITS}-bit filter ({_BLOOM_K} sha-derived positions per key,
+    OR-folded into 62-bit words — {_BLOOM_BITS // 62 + 1} longs total),
+    broadcast THAT instead of the keys, and drop fact rows whose bits
+    aren't all set BEFORE the join. False positives survive the bloom and
+    die in the exact verify (here a semi-join against the real dim), so
+    the final result is provably the plain semi-join — which is what the
+    oracle computes, alongside the pass/true/false-positive census that
+    makes the filter's precision visible. At 100 TB the point is scan-side
+    I/O: the bloom is a few hundred bytes broadcast to every task and
+    applied at full codegen speed (3 broadcast word-lookups per row),
+    killing most of the shuffle the join would have paid; the exact
+    verify then touches only survivors. Portable sha-nibble hashing makes
+    the whole filter — not just the end result — cross-engine EXACT."""
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > _BLOOM_BAL)
+        .select("s_suppkey")
+    )
+    dimpos = dim.select(
+        F.explode(
+            F.array(*[_bloom_pos_col("s_suppkey", j) for j in range(_BLOOM_K)])
+        ).alias("pos")
+    )
+    words = (
+        dimpos.select(
+            F.expr("pos DIV 62").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    probe = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        dec4("l_extendedprice").alias("price"),
+        *[_bloom_pos_col("l_suppkey", j).alias(f"p{j}") for j in range(_BLOOM_K)],
+    )
+    passed = probe
+    for j in range(_BLOOM_K):
+        wj = words.select(
+            F.col("w").alias(f"w{j}"), F.col("bm").alias(f"bm{j}")
+        )
+        passed = passed.join(
+            F.broadcast(wj), F.expr(f"p{j} DIV 62") == F.col(f"w{j}")
+        ).filter(
+            F.expr(f"(shiftright(bm{j}, CAST(p{j} % 62 AS INT)) & 1) = 1")
+        )
+    passed = passed.select("l_suppkey", "price")
+    true_m = passed.join(
+        F.broadcast(dim), passed.l_suppkey == dim.s_suppkey, "left_semi"
+    )
+    n_fact = probe.agg(F.count("*").alias("n_fact_rows"))
+    n_pass = passed.agg(F.count("*").alias("n_bloom_pass"))
+    n_true = true_m.agg(
+        F.count("*").alias("n_true_match"),
+        money(F.coalesce(F.sum("price"), F.lit(0))).alias("revenue"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_pass))  # 1 row x 1 row
+        .crossJoin(F.broadcast(n_true))  # 1 row x 1 row
+        .select(
+            "n_fact_rows",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_positives"
+            ),
+            "revenue",
+        )
+    )

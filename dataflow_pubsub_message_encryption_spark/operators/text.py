@@ -877,3 +877,93 @@ def vocab_growth_curve(spark, sf_dir):
         .groupBy("n_docs")
         .agg(F.count("*").alias("vocab_size"))
     )
+
+
+@query(
+    "text_bigram_logprob",
+    """
+    WITH pairs AS (
+      SELECT doc_id, p, q FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {'p': t[i], 'q': t[i + 1]})) AS pq
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+      ), LATERAL (SELECT pq['p'] AS p, pq['q'] AS q)
+    ),
+    tf AS (SELECT doc_id, p, q, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+    bc AS (SELECT p, q, count(*) AS bcnt FROM pairs GROUP BY 1, 2),
+    lm AS (SELECT p, sum(bcnt) AS lcnt FROM bc GROUP BY 1),
+    vv AS (SELECT count(DISTINCT term) AS v FROM
+           (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(tf.c) AS n_bigrams,
+             SUM(tf.c * CAST(round(ln(CAST(bc.bcnt + 1 AS DOUBLE)
+                                      / (lm.lcnt + vv.v))
+                                   * 1000000000) AS BIGINT)) AS s
+      FROM tf JOIN bc USING (p, q) JOIN lm USING (p), vv
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-(CAST(s AS DOUBLE) / 1000000000) / n_bigrams, 6)
+             AS avg_neg_logprob
+    FROM scored
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Bigram LM log-probability quality score — one order up from
+    ``text_unigram_logprob``, the KenLM-shaped filter signal real corpus
+    pipelines use (a doc can have plausible unigrams but gibberish
+    transitions; the bigram score catches it): score(doc) =
+    -(1/n) Σ ln p(w_i | w_{i-1}) with add-1 smoothing,
+    p = (c(prev,cur)+1) / (c(prev,·)+V), all statistics from the corpus
+    itself. Same determinism pattern as the unigram op: each ln p is
+    int64-quantized at 1e9 BEFORE the per-doc sum so accumulation
+    commutes across any partitioning. Shapes for 100 TB: per-doc and
+    corpus bigram tables shuffle on (prev, cur) — both partial-aggregate
+    map-side and carry counts, not text; the conditional's denominator
+    (left-context marginal, |vocab| rows) and the vocabulary size (1 row)
+    ride in as broadcasts; the corpus is tokenized exactly once per
+    statistic, never re-scanned per document."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS p, t[i + 1] AS q))"
+            )
+        ).alias("pq"),
+    ).select("doc_id", "pq.p", "pq.q")
+    tf = pairs.groupBy("doc_id", "p", "q").agg(F.count("*").alias("c"))
+    bc = pairs.groupBy("p", "q").agg(F.count("*").alias("bcnt"))
+    lm = bc.groupBy("p").agg(F.sum("bcnt").alias("lcnt"))
+    vv = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    lp_int = F.round(
+        F.log((F.col("bcnt") + 1).cast("double") / (F.col("lcnt") + F.col("v")))
+        * 1_000_000_000
+    ).cast("long")
+    scored = (
+        tf.join(bc, ["p", "q"])
+        .join(F.broadcast(lm), "p")
+        .join(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * lp_int).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_bigrams"), 6
+        ).alias("avg_neg_logprob"),
+    )
