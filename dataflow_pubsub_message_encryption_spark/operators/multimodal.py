@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources import load
@@ -327,4 +328,96 @@ def multimodal_payload_entropy(spark, sf_dir):
             - F.col("clnc").cast("double") / 1_000_000_000 / F.col("n"),
             6,
         ).alias("entropy_nats"),
+    )
+
+
+_SHOT_FRAME_HEX = 64  # 32-byte frames
+_SHOT_TAU = 400  # frame-to-frame byte-sum jump that opens a new shot
+
+
+@query(
+    "multimodal_shot_boundaries",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST((s.i - 1) // {_SHOT_FRAME_HEX} AS INTEGER)
+               AS frame_no,
+             substr(hx, s.i, {_SHOT_FRAME_HEX}) AS chunk
+      FROM h, UNNEST(generate_series(1, 2 * h.n, {_SHOT_FRAME_HEX})) AS s(i)
+    ),
+    fs AS (
+      SELECT doc_id, frame_no, SUM(
+               (instr('0123456789abcdef', substr(chunk, 2*t.j - 1, 1)) - 1)
+               * 16
+               + (instr('0123456789abcdef', substr(chunk, 2*t.j, 1)) - 1)
+             ) AS fsum
+      FROM w, UNNEST(generate_series(1, len(chunk) // 2)) AS t(j)
+      GROUP BY doc_id, frame_no
+    ),
+    jumps AS (
+      SELECT doc_id, frame_no,
+             abs(fsum - lag(fsum) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_no)) AS jump
+      FROM fs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_frames,
+           CAST(1 + SUM(CASE WHEN jump > {_SHOT_TAU} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_shots,
+           CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+    FROM jumps GROUP BY doc_id
+    """,
+)
+def multimodal_shot_boundaries(spark, sf_dir):
+    """Shot-boundary detection over binary video payloads — the
+    scene-segmentation pre-pass a video curation pipeline runs before
+    sampling frames for captioning: consecutive 32-byte frames are
+    reduced to an integer signature (byte sum — the documented
+    deterministic codec stand-in; a real deployment plugs a perceptual
+    frame feature into the SAME shape), a per-clip ``lag`` window yields
+    frame-to-frame jumps, and jumps above the threshold open new shots.
+    Per clip: frame count, shot count, hottest cut. Scale shapes: the
+    frame explode is a JVM hex transform AFTER doc-level pruning; the
+    window partitions by clip (each clip's frames are one group — at
+    100 TB the clip is the natural parallelism unit and a mega-clip
+    would chunk first, like events_pattern_match's cap); all statistics
+    are integer sums that partial-aggregate."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    hx = F.lower(F.hex("payload"))
+    chunks = m.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(hx), F.lit(_SHOT_FRAME_HEX)),
+                lambda s: F.substring(hx, s, _SHOT_FRAME_HEX),
+            )
+        ).alias("frame_no", "chunk"),
+    )
+    bytes_arr = F.transform(
+        F.sequence(F.lit(1), (F.length("chunk") / 2).cast("int")),
+        lambda j: F.conv(
+            F.substring("chunk", (j * 2 - 1).cast("int"), 2), 16, 10
+        ).cast("long"),
+    )
+    fs = chunks.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.aggregate(bytes_arr, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "fsum"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    jumps = fs.withColumn(
+        "jump", F.abs(F.col("fsum") - F.lag("fsum").over(w))
+    )
+    return jumps.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        (
+            1
+            + F.sum(F.when(F.col("jump") > _SHOT_TAU, 1).otherwise(0))
+        ).cast("int").alias("n_shots"),
+        F.coalesce(F.max("jump"), F.lit(0)).cast("long").alias("max_jump"),
     )

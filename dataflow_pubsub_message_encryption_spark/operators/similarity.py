@@ -1087,3 +1087,102 @@ def embedding_index_pipeline(spark, sf_dir):
         )
         .select(F.col("cell"), "n_vecs", "sum_q_checksum")
     )
+
+
+@query(
+    "sim_ann_recall_eval",
+    f"""
+    WITH truth AS ({ORACLES["sim_search_batch_topk"]}),
+    b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    ),
+    pr AS (
+      SELECT vec_id AS probe_id, bucket, CAST(embedding AS DOUBLE[]) AS pe
+      FROM b WHERE vec_id < {_N_PROBES}
+    ),
+    ann AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT pr.probe_id, b.vec_id,
+               row_number() OVER (
+                 PARTITION BY pr.probe_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(b.embedding AS DOUBLE[]), pr.pe), 6) DESC,
+                          b.vec_id) AS rk
+        FROM b JOIN pr ON b.bucket = pr.bucket AND b.vec_id != pr.probe_id
+      ) WHERE rk <= {_BATCH_K}
+    ),
+    anncnt AS (SELECT probe_id, count(*) AS n_ann FROM ann GROUP BY 1),
+    hits AS (
+      SELECT t.probe_id, count(*) AS n_hit
+      FROM truth t JOIN ann a
+        ON a.probe_id = t.probe_id AND a.vec_id = t.vec_id
+      GROUP BY 1
+    )
+    SELECT p.probe_id,
+           CAST({_BATCH_K} AS BIGINT) AS n_truth,
+           CAST(COALESCE(anncnt.n_ann, 0) AS BIGINT) AS n_ann,
+           CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(hits.n_hit, 0) / {_BATCH_K}.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT probe_id FROM pr) p
+    LEFT JOIN anncnt USING (probe_id) LEFT JOIN hits USING (probe_id)
+    """,
+)
+def sim_ann_recall_eval(spark, sf_dir):
+    """ANN quality measurement for the SEARCH path — the retrieval twin
+    of ``dedup_lsh_recall_eval``: for {_N_PROBES} probes, single-bucket
+    {_N_PLANES}-plane LSH top-{_BATCH_K} is scored against the
+    brute-force top-{_BATCH_K} truth (the ``sim_search_batch_topk``
+    result, whose oracle is inlined as this oracle's truth CTE).
+    Per probe: truth size, candidates found, hits, recall@{_BATCH_K}.
+    1 − recall IS the single-bucket miss rate — the number multi-probe
+    exists to buy back (its test pins the ≥ relation); running the eval
+    as a first-class query makes the recall/cost trade measurable in
+    production, where it's monitored per index build, not assumed.
+    Scale: brute truth runs on a SAMPLE of probes by design (the eval
+    measures a rate, not every query); both sides broadcast the probe
+    set and the candidate join is bucket-pruned."""
+    e = load(spark, sf_dir, "embeddings")
+    truth = QUERIES["sim_search_batch_topk"](spark, sf_dir).select(
+        "probe_id", "vec_id"
+    )
+    emb = as_double("embedding")
+    b = e.select("vec_id", "embedding", _bucket_bits(emb, None).alias("bucket"))
+    pr = b.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("bucket").alias("p_bucket"),
+        as_double("embedding").alias("pe"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    ann = (
+        b.join(F.broadcast(pr), F.col("bucket") == F.col("p_bucket"))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BATCH_K)
+        .select("probe_id", "vec_id")
+    )
+    anncnt = ann.groupBy("probe_id").agg(F.count("*").alias("n_ann"))
+    hits = truth.join(ann, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        pr.select("probe_id")
+        .join(F.broadcast(anncnt), "probe_id", "left")
+        .join(F.broadcast(hits), "probe_id", "left")
+        .select(
+            "probe_id",
+            F.lit(_BATCH_K).cast("long").alias("n_truth"),
+            F.coalesce("n_ann", F.lit(0)).cast("long").alias("n_ann"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / float(_BATCH_K), 6
+            ).alias("recall_at_k"),
+        )
+    )

@@ -967,3 +967,74 @@ def text_bigram_logprob(spark, sf_dir):
             -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_bigrams"), 6
         ).alias("avg_neg_logprob"),
     )
+
+
+_BP_W = 8  # tokens per non-overlapping pseudo-sentence chunk
+
+
+@query(
+    "text_boilerplate_ngrams",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             substr(sha256(array_to_string(t[s.i : s.i + {_BP_W} - 1], ' ')),
+                    1, 16) AS fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           UNNEST(generate_series(1, len(t), {_BP_W})) AS s(i)
+    ),
+    census AS (
+      SELECT fp, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN census.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(CAST(SUM(CASE WHEN census.nd >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS shared_ratio
+    FROM chunks c JOIN census USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def text_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate census at sub-document granularity —
+    the RefinedWeb/C4 line-dedup signal one level below whole-doc dedup:
+    each doc is cut into non-overlapping {_BP_W}-token pseudo-sentences
+    (the fixture prose has no punctuation; a real corpus splits on
+    newlines/sentences), each chunk fingerprinted, and a doc is scored by
+    the fraction of its chunks that ALSO appear in at least one other
+    document. High shared_ratio = templated/boilerplate page even when no
+    whole-doc duplicate exists. Scale shapes: chunks shuffle as 16-char
+    hash prefixes (not text) for the global census (map-side
+    partial-aggregating count_distinct on doc_id is bounded by docs per
+    chunk); the per-doc re-join is on the same fingerprint key, so one
+    partitioning serves both sides. The chunking itself is a JVM array
+    slice — the corpus never round-trips Python."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(_BP_W))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.substring(
+                    F.sha2(F.array_join(F.slice("t", s, _BP_W), " "), 256),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("fp"),
+    )
+    census = chunks.groupBy("fp").agg(F.count_distinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        chunks.join(census, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            shared.cast("long").alias("n_shared_chunks"),
+            F.round(
+                shared.cast("double") / F.count("*"), 6
+            ).alias("shared_ratio"),
+        )
+    )
