@@ -1186,3 +1186,182 @@ def sim_ann_recall_eval(spark, sf_dir):
             ).alias("recall_at_k"),
         )
     )
+
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 8  # codewords per subspace
+
+
+def _pq_il2_sql(a: str, b: str) -> str:
+    """DuckDB: integer squared-L2 between two int64 lists of length
+    {_PQ_SUB}."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {_PQ_SUB}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+@query(
+    "sim_pq_adc_topk",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, mm.m,
+             qe[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+      FROM qv, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+    ),
+    cb0 AS (
+      SELECT m, vec_id AS k, sv AS cw FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    a0 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pq_il2_sql('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb0 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    cb1 AS (
+      SELECT m, k, list(cp ORDER BY pos) AS cw FROM (
+        SELECT a0.m, a0.k, i AS pos,
+               CAST(floor(CAST(SUM(s.sv[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cp
+        FROM a0 JOIN subs s ON s.vec_id = a0.vec_id AND s.m = a0.m,
+             (SELECT unnest(generate_series(1, {_PQ_SUB})) AS i)
+        GROUP BY a0.m, a0.k, i
+      ) GROUP BY m, k
+    ),
+    enc AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pq_il2_sql('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb1 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    probe AS (SELECT m, sv FROM subs WHERE vec_id = {_PROBE_ID}),
+    ptab AS (
+      SELECT c.m, c.k, {_pq_il2_sql('p.sv', 'c.cw')} AS pd
+      FROM cb1 c JOIN probe p ON p.m = c.m
+    ),
+    adc AS (
+      SELECT e.vec_id, SUM(pt.pd) AS approx_dist
+      FROM enc e JOIN ptab pt ON pt.m = e.m AND pt.k = e.k
+      WHERE e.vec_id != {_PROBE_ID}
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(approx_dist AS BIGINT) AS approx_dist,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def sim_pq_adc_topk(spark, sf_dir):
+    """Product quantization + asymmetric distance (the FAISS PQ/ADC
+    family): the 64-dim space splits into {_PQ_M} subspaces of {_PQ_SUB}
+    dims; each subspace trains a {_PQ_K}-codeword codebook (seeded with
+    vec_id 0..{_PQ_K - 1}'s subvectors, one Lloyd round of
+    integer-squared-L2 assignment + floored-mean update); every vector
+    compresses to {_PQ_M} one-byte codes (512x smaller than the raw
+    floats); a probe precomputes its {_PQ_M}x{_PQ_K} distance TABLE once
+    and scores the whole corpus by {_PQ_M} table lookups + an integer
+    add per vector — no per-pair float math at query time. Every
+    distance here is integer squared-L2 over the fixed-point embeddings,
+    so training, encoding, the distance table, and the ADC ranking are
+    ALL cross-engine exact (no cosine rounding anywhere); the oracle
+    unrolls the full train -> encode -> table -> rank chain. At 100 TB:
+    codebooks are a KB-scale broadcast; training/encoding shuffle
+    (cell, pos) integer partials like the IVF trainer; the serving scan
+    reads codes (4 B/vector), not embeddings — that compression IS the
+    point of PQ. Recall-vs-exact is pinned in tests (like the IVF and
+    multiprobe ops); composes with IVF cells for the full IVF-PQ index."""
+    e_q = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            ).alias("qe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    subs = e_q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qe", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "ms.m", "ms.sv")
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(codebook):
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+        return (
+            subs.join(F.broadcast(codebook), "m")
+            .select("vec_id", "m", "k", il2(F.col("sv"), F.col("cw")).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "k")
+        )
+
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    cb1 = (
+        assign(cb0)
+        .join(subs, ["vec_id", "m"])
+        .select("m", "k", F.posexplode("sv").alias("pos", "q"))
+        .groupBy("m", "k", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cp")
+        )
+        .groupBy("m", "k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cp"))).alias("p"))
+        .select("m", "k", F.transform("p", lambda s: s.getField("cp")).alias("cw"))
+        .localCheckpoint(eager=True)  # M x K rows; 3 consumers below
+    )
+    enc = assign(cb1)
+    probe = subs.filter(F.col("vec_id") == _PROBE_ID).select(
+        "m", F.col("sv").alias("pv")
+    )
+    ptab = cb1.join(F.broadcast(probe), "m").select(
+        "m", "k", il2(F.col("pv"), F.col("cw")).alias("pd")
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(ptab), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd").alias("approx_dist"))
+    )
+    w = Window.orderBy("approx_dist", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TOPK)
+        .select("vec_id", F.col("approx_dist").cast("long").alias("approx_dist"), "rk")
+    )

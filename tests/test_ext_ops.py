@@ -484,3 +484,26 @@ def test_temperature_resample_rate_laws(spark, sf_dir):
     before = [r.n_before for r in rows]
     after = [max(r.n_kept, 1) for r in rows]
     assert max(after) / min(after) <= max(before) / min(before)
+
+
+def test_pq_adc_structure_recall_and_determinism(spark, sf_dir):
+    """sim_pq_adc_topk laws: exactly top-10 with contiguous ranks and
+    non-decreasing integer distances; some overlap with the brute-force
+    cosine top-10 (PQ at 4 codes/vector is a heavy compression — the
+    floor is deliberately loose and the measured value is documented in
+    the operator); and bit-identical across runs (training is
+    fixed-point)."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    Q, _ = registry()
+    rows = Q["sim_pq_adc_topk"](spark, sf_dir).orderBy("rk").collect()
+    assert [r.rk for r in rows] == list(range(1, 11))
+    dists = [r.approx_dist for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    brute = {r.vec_id for r in Q["sim_cosine_topk"](spark, sf_dir).collect()}
+    got = {r.vec_id for r in rows}
+    assert len(got & brute) / len(brute) >= 0.1
+    again = Q["sim_pq_adc_topk"](spark, sf_dir).orderBy("rk").collect()
+    assert [(r.vec_id, r.approx_dist) for r in again] == [
+        (r.vec_id, r.approx_dist) for r in rows
+    ]
