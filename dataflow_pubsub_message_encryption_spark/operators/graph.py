@@ -433,3 +433,74 @@ def dedup_cluster_summary(spark, sf_dir):
             ).alias("chars_removed"),
         )
     )
+
+
+@query(
+    "corpus_dedup_priority_keep",
+    f"""
+    WITH cc AS ({ORACLES["dedup_cluster_components"]}),
+    j AS (
+      SELECT cc.cluster_id, cc.cluster_size, cc.doc_id, d.n_chars
+      FROM cc JOIN documents d USING (doc_id)
+    ),
+    k AS (
+      SELECT cluster_id, doc_id AS keep_doc, n_chars AS keep_chars FROM (
+        SELECT cluster_id, doc_id, n_chars,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j
+      ) WHERE rn = 1
+    )
+    SELECT j.cluster_id,
+           CAST(max(j.cluster_size) AS BIGINT) AS cluster_size,
+           CAST(max(k.keep_doc) AS BIGINT) AS keep_doc,
+           CAST(max(k.keep_chars) AS BIGINT) AS keep_chars,
+           CAST(SUM(j.n_chars) - max(k.keep_chars) AS BIGINT)
+             AS chars_removed,
+           max(k.keep_doc) != j.cluster_id AS policy_differs
+    FROM j JOIN k USING (cluster_id)
+    GROUP BY j.cluster_id
+    """,
+)
+def corpus_dedup_priority_keep(spark, sf_dir):
+    """Quality-priority keep policy over the duplicate clusters — the
+    production refinement of ``dedup_cluster_summary``'s keep-one report:
+    instead of the canonical min-id, each cluster keeps its BEST copy
+    (here: longest n_chars, doc_id tie-break — swap in any deterministic
+    quality score), and the report shows which clusters the policy
+    actually changes versus the naive canonical (``policy_differs``).
+    This is the decision table a corpus team ships: per cluster, the
+    survivor, the bytes removed under the better policy, and how often
+    quality-keep disagrees with id-keep. Shape: the components result
+    joined once to metadata, one per-cluster ranking window over cluster
+    members (clusters are small by construction), one |clusters|-sized
+    aggregate — the oracle recomputes the whole pairs → components →
+    policy chain."""
+    cc = QUERIES["dedup_cluster_components"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    from pyspark.sql import Window
+
+    j = cc.join(docs, "doc_id")
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    k = (
+        j.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc"),
+            F.col("n_chars").alias("keep_chars"),
+        )
+    )
+    return (
+        j.join(k, "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").alias("cluster_size"),
+            F.max("keep_doc").alias("keep_doc"),
+            F.max("keep_chars").alias("keep_chars"),
+            (F.sum("n_chars") - F.max("keep_chars")).alias("chars_removed"),
+            (F.max("keep_doc") != F.col("cluster_id")).alias("policy_differs"),
+        )
+    )

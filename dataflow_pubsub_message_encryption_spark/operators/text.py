@@ -1038,3 +1038,99 @@ def text_boilerplate_ngrams(spark, sf_dir):
             ).alias("shared_ratio"),
         )
     )
+
+
+@query(
+    "text_zipf_fit",
+    """
+    WITH counts AS (
+      SELECT term, count(*) AS c FROM
+        (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, c,
+             row_number() OVER (ORDER BY c DESC, term) AS rnk
+      FROM counts
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rnk) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(c) * 1000000) AS BIGINT) AS y,
+             term, c, rnk
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             min(CASE WHEN rnk = 1 THEN term END) AS top_term,
+             max(CASE WHEN rnk = 1 THEN c END) AS top_count
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           top_term, CAST(top_count AS BIGINT) AS top_count,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS zipf_slope,
+           round(((CAST(sy AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000000.0,
+                 6) AS zipf_intercept_nats
+    FROM s
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the token frequency-rank curve — the
+    corpus-linguistics QA metric (natural text slopes ≈ −1; a slope far
+    off flags synthetic/templated/deduplicated-to-death corpora, and the
+    fit drifting between snapshots flags a distribution shift): least
+    squares of ln(count) on ln(rank). Determinism: ln values are
+    int64-quantized at 1e6 FIRST so the five regression sums are exact
+    commutative integers; the final slope/intercept combination runs the
+    IDENTICAL double-op sequence in both engines (the n·Σxy − Σx·Σy
+    numerator would overflow int64, so it is computed in doubles FROM
+    exact integer sums — the window_rolling_zscore pattern). Shape: one
+    token count (shuffle ∝ vocab), one vocab-sized ranking window, one
+    1-row aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "term")
+    pts = counts.withColumn("rnk", F.row_number().over(w)).select(
+        "term",
+        "c",
+        "rnk",
+        F.round(F.log("rnk") * 1_000_000).cast("long").alias("x"),
+        F.round(F.log("c") * 1_000_000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min(F.when(F.col("rnk") == 1, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("rnk") == 1, F.col("c"))).alias("top_count"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        F.col("n").alias("n_terms"),
+        "top_term",
+        F.col("top_count").cast("long").alias("top_count"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(((syd - slope * sxd) / nd) / 1_000_000.0, 6).alias(
+            "zipf_intercept_nats"
+        ),
+    )
