@@ -504,3 +504,107 @@ def corpus_dedup_priority_keep(spark, sf_dir):
             (F.max("keep_doc") != F.col("cluster_id")).alias("policy_differs"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_sql(prev_e: str, cur_e: str) -> str:
+    """One peel round: degrees under ``prev_e``, survivors with degree
+    >= k, edges restricted to surviving endpoints as ``cur_e``."""
+    return f"""deg_{cur_e} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM {prev_e}
+        UNION ALL SELECT v FROM {prev_e}
+      ) GROUP BY node
+    ),
+    keep_{cur_e} AS MATERIALIZED (SELECT node FROM deg_{cur_e} WHERE d >= {_KCORE_K}),
+    {cur_e} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {prev_e} e
+      JOIN keep_{cur_e} a ON a.node = e.u
+      JOIN keep_{cur_e} b ON b.node = e.v
+    )"""
+
+
+@query(
+    "graph_kcore_membership",
+    f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]})
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT greatest(doc_a, doc_b) AS u, least(doc_a, doc_b) AS v
+      FROM pairs WHERE doc_a != doc_b
+    ),
+    {", ".join(_kcore_round_sql(f"e{i}", f"e{i + 1}") for i in range(_KCORE_ROUNDS))},
+    fdeg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e{_KCORE_ROUNDS}
+        UNION ALL SELECT v FROM e{_KCORE_ROUNDS}
+      ) GROUP BY node
+    ),
+    conv AS (
+      SELECT CAST(count(*) AS BIGINT) = 0 AS converged
+      FROM fdeg WHERE d < {_KCORE_K}
+    )
+    SELECT fdeg.node AS doc_id, CAST(fdeg.d AS INTEGER) AS core_degree,
+           conv.converged
+    FROM fdeg, conv
+    """,
+)
+def graph_kcore_membership(spark, sf_dir):
+    """{_KCORE_K}-core of the duplicate-pair graph — the iterative PEEL
+    fixed point (repeatedly remove nodes with degree < k) that completes
+    the graph family next to components (contract), PageRank (propagate)
+    and triangles (orient): core members are docs embedded in densely
+    interlinked duplicate neighborhoods — template farms and mirror
+    clusters — where a single near-dup pair (degree 1) is often just two
+    legitimate revisions. Bounded-round determinism pattern: BOTH engines
+    peel exactly {_KCORE_ROUNDS} rounds (peeling past convergence is a
+    no-op, so the bound loses nothing once converged — the emitted
+    ``converged`` flag says so and the suite asserts it on fixtures; the
+    oracle unrolls every round as CTEs). Scale: each round is one
+    ids-only degree count (map-side partial agg) + two semi-join
+    restrictions; the edge set only shrinks; per-round eager checkpoints
+    keep the plan shallow — the components-loop recipe."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e):
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(edges).filter(F.col("d") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    fdeg = degrees(edges)
+    conv = fdeg.agg(
+        (
+            F.count(F.when(F.col("d") < _KCORE_K, 1)) == 0
+        ).alias("converged")
+    )
+    return fdeg.crossJoin(F.broadcast(conv)).select(
+        F.col("node").alias("doc_id"),
+        F.col("d").cast("int").alias("core_degree"),
+        "converged",
+    )

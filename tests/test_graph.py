@@ -188,3 +188,21 @@ def test_pagerank_int_symmetric_star(spark):
     hub, leaves = got[1], [got[k] for k in (10, 11, 12, 13)]
     assert len(set(leaves)) == 1
     assert hub > leaves[0]
+
+
+def test_kcore_converged_and_degrees(spark, sf_dir):
+    """graph_kcore_membership: on the fixtures the bounded peel reaches
+    the true fixed point (converged flag), every member has core degree
+    >= k, and members form a subset of the components node set."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        QUERIES as GQ,
+    )
+
+    rows = GQ["graph_kcore_membership"](spark, sf_dir).collect()
+    assert rows, "fixture duplicate graph has no 2-core"
+    assert all(r.converged for r in rows)
+    assert all(r.core_degree >= 2 for r in rows)
+    comp_nodes = {
+        r.doc_id for r in GQ["dedup_cluster_components"](spark, sf_dir).collect()
+    }
+    assert {r.doc_id for r in rows} <= comp_nodes

@@ -226,3 +226,16 @@ def test_cms_estimate_never_undercounts(spark, sf_dir):
     assert len(rows) == 10
     assert all(r["overestimate"] >= 0 for r in rows)
     assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_bloom_prefilter_probes_via_broadcast_only(spark, sf_dir):
+    """join_bloom_prefilter: the fact side must never shuffle for the
+    filter — all three word lookups AND the exact-verify semi-join plan
+    as broadcast joins (the filter is KB-scale by construction)."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    plan = formatted_plan(SCQ["join_bloom_prefilter"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # 3 word lookups + verify
+    assert "SortMergeJoin" not in plan
