@@ -1365,3 +1365,68 @@ def sim_pq_adc_topk(spark, sf_dir):
         .filter(F.col("rk") <= _TOPK)
         .select("vec_id", F.col("approx_dist").cast("long").alias("approx_dist"), "rk")
     )
+
+
+@query(
+    "emb_pca_project",
+    f"""
+    WITH pca AS MATERIALIZED ({ORACLES["emb_pca_power_iteration"]}),
+    q AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {_PI_SCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    proj AS (
+      SELECT q.vec_id, q.label, SUM(q.qv * pca.v_scaled) AS score
+      FROM q JOIN pca ON pca.pos = q.pos
+      GROUP BY q.vec_id, q.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(score) AS BIGINT) AS proj_min,
+           CAST(max(score) AS BIGINT) AS proj_max,
+           CAST(SUM(score) AS BIGINT) AS proj_sum
+    FROM proj GROUP BY label
+    """,
+)
+def emb_pca_project(spark, sf_dir):
+    """Apply the learned principal direction — the train→apply round
+    trip for ``emb_pca_power_iteration`` (the PCA analog of
+    text_bpe_encode following text_bpe_merges): every embedding is
+    projected onto the converged iterate and the per-label projection
+    census (count / min / max / sum, all exact integers since both the
+    quantized components and the iterate are fixed-point) shows how the
+    top direction separates the labels — the sanity table read before
+    committing to PCA whitening or a 1-D quantization split. Scale: the
+    64-row eigenvector broadcasts; the projection is one narrow
+    map-side dot product per vector (shuffle only for the |labels|-sized
+    census); the oracle recomputes the whole training trajectory
+    (MATERIALIZED so the unrolled rounds evaluate once) and the same
+    projection."""
+    v = QUERIES["emb_pca_power_iteration"](spark, sf_dir)
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(
+                F.transform(
+                    as_double("embedding"),
+                    lambda x: F.floor(x * _PI_SCALE + 0.5).cast("long"),
+                )
+            ).alias("pos0", "qv"),
+        )
+        .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "qv")
+    )
+    proj = (
+        q.join(F.broadcast(v), "pos")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("qv") * F.col("v_scaled")).alias("score"))
+    )
+    return proj.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("score").alias("proj_min"),
+        F.max("score").alias("proj_max"),
+        F.sum("score").alias("proj_sum"),
+    )
