@@ -1006,3 +1006,122 @@ def events_longest_streaks(spark, sf_dir):
         F.max("run_len").alias("longest_streak"),
         F.count("*").alias("n_streaks"),
     )
+
+
+@query(
+    "events_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS first_week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      FROM uw
+    ),
+    states AS (
+      SELECT week,
+             CASE WHEN week = first_week THEN 'new'
+                  WHEN prev_week = week - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM marked
+    ),
+    churn AS (
+      SELECT m.week + 1 AS week, count(*) AS n_churned
+      FROM marked m
+      WHERE NOT EXISTS (SELECT 1 FROM uw
+                        WHERE uw.user_id = m.user_id
+                          AND uw.week = m.week + 1)
+        AND m.week + 1 <= (SELECT max(week) FROM uw)
+      GROUP BY m.week + 1
+    ),
+    activity AS (
+      SELECT week,
+             CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+             CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM states GROUP BY week
+    )
+    SELECT CAST(a.week AS INTEGER) AS week, a.n_new, a.n_retained,
+           a.n_resurrected,
+           CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+    FROM activity a LEFT JOIN churn c ON c.week = a.week
+    """,
+)
+def events_growth_accounting(spark, sf_dir):
+    """Growth accounting — THE weekly active-user decomposition every
+    product/growth team maintains: each week's actives split into new
+    (first-ever week), retained (also active the week before), and
+    resurrected (returning after a gap), plus churned (active last week,
+    absent this week; attributed to the week they went missing, capped
+    at the observed horizon). The identity actives(w) = new + retained +
+    resurrected and the cross-week conservation retained(w) =
+    actives(w−1) − churned(w) make the table self-auditing (pinned in
+    tests). Shape: one distinct (user, week) reduction of the fact
+    table (map-side partial), ONE user-partitioned window pass for
+    first/prev week, an anti-join-shaped churn count, and |weeks|-sized
+    aggregates — the event table is scanned once and everything after
+    the reduction is user-rows, not events."""
+    uw = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            # epoch-day // 7: engine-neutral week id (days are non-negative,
+            # so floor-div matches DuckDB's //)
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    wfirst = Window.partitionBy("user_id")
+    wlag = Window.partitionBy("user_id").orderBy("week")
+    marked = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(wfirst).alias("first_week"),
+        F.lag("week").over(wlag).alias("prev_week"),
+    )
+    state = (
+        F.when(F.col("week") == F.col("first_week"), "new")
+        .when(F.col("prev_week") == F.col("week") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    activity = marked.select("week", state.alias("state")).groupBy("week").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).alias(
+            "n_resurrected"
+        ),
+    )
+    horizon = uw.agg(F.max("week").alias("mx"))
+    churn = (
+        marked.select("user_id", (F.col("week") + 1).alias("week"))
+        .join(uw, ["user_id", "week"], "left_anti")
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("week") <= F.col("mx"))
+        .groupBy("week")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        activity.join(churn, "week", "left")
+        .select(
+            F.col("week").cast("int").alias("week"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )

@@ -134,3 +134,37 @@ def test_pattern_match_mega_user_cap(spark, sf_dir):
     uncapped = {tuple(r) for r in _pattern_match(fix, cap=1 << 40).collect()}
     assert capped == uncapped
     assert capped == {tuple(r) for r in BQ["events_pattern_match"](spark, sf_dir).collect()}
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """events_growth_accounting conservation laws: actives(w) = new +
+    retained + resurrected equals the directly-counted weekly actives,
+    and retained(w) = actives(w-1) - churned(w) for every interior
+    week."""
+    from pyspark.sql import functions as F
+
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    rows = {r.week: r for r in BQ["events_growth_accounting"](spark, sf_dir).collect()}
+    assert rows
+    actives = {
+        r.week: r.n
+        for r in load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7
+            ).cast("long").alias("week"),
+        )
+        .distinct()
+        .groupBy("week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for w, r in rows.items():
+        assert r.n_new + r.n_retained + r.n_resurrected == actives[w]
+        if w - 1 in rows:
+            assert r.n_retained == actives[w - 1] - r.n_churned
