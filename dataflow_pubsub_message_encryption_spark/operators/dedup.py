@@ -1203,3 +1203,97 @@ def dedup_minhash_estimator_quality(spark, sf_dir):
 ORACLES["dedup_minhash_estimator_quality"] = ORACLES[
     "dedup_minhash_estimator_quality"
 ].replace("__LSH__", ORACLES["dedup_minhash_lsh_pairs"])
+
+
+def _bbit_sql(side: str, k: int) -> str:
+    """DuckDB: lowest bit of lane k's last hex nibble on table alias
+    ``side``."""
+    return (
+        f"((instr('0123456789abcdef', substr({side}.mh{k}, 16, 1)) - 1) % 2)"
+    )
+
+
+_BBIT_MATCH_SQL = " + ".join(
+    f"CASE WHEN {_bbit_sql('a', k)} = {_bbit_sql('b', k)} THEN 1 ELSE 0 END"
+    for k in range(_N_PERMS)
+)
+
+
+@query(
+    "dedup_minhash_bbit",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {', '.join(_minhash_sql_cols())}
+      FROM documents
+    ),
+    pairs AS (SELECT doc_a, doc_b, jac FROM (__LSH2__))
+    SELECT p.doc_a, p.doc_b,
+           CAST(({_LANES_SQL}) AS INTEGER) AS n_lanes_match,
+           CAST(({_BBIT_MATCH_SQL}) AS INTEGER) AS n_bits_match,
+           round(CAST(({_LANES_SQL}) AS DOUBLE) / {_N_PERMS}, 6) AS est_full,
+           round(2.0 * ({_BBIT_MATCH_SQL}) / {_N_PERMS} - 1.0, 6)
+             AS est_1bit,
+           p.jac AS true_jac
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b
+    """,
+)
+def dedup_minhash_bbit(spark, sf_dir):
+    """b-bit MinHash (b=1, Li & König): store only the lowest bit of
+    each lane — a 16-lane signature compresses from 256 B of hex to TWO
+    BYTES — and correct the estimator for chance collisions
+    (E[match] = J + (1−J)/2 ⇒ est = 2·match/k − 1). Emitted per
+    verified pair next to the full-lane estimate and the true Jaccard,
+    so the storage-vs-variance trade of the compressed index is
+    measured, not assumed (the 1-bit estimate is noisier at the same k —
+    visibly so at k=16). At 100 TB this is the difference between a
+    signature table that fits in memory per executor and one that
+    doesn't; the join shapes are identical to
+    ``dedup_minhash_estimator_quality`` (ids + signatures, text
+    untouched)."""
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    sig = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", _minhash_sig().alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    bit = lambda s: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"), F.substring(s, 16, 1)) - 1
+    ) % 2
+    bits = lambda c: F.transform(c, bit)  # noqa: E731
+    lanes = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    bmatch = F.aggregate(
+        F.zip_with(bits(F.col("sa")), bits(F.col("sb")),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            lanes.cast("int").alias("n_lanes_match"),
+            bmatch.cast("int").alias("n_bits_match"),
+            F.round(lanes.cast("double") / _N_PERMS, 6).alias("est_full"),
+            F.round(2.0 * bmatch / _N_PERMS - 1.0, 6).alias("est_1bit"),
+            F.col("jac").alias("true_jac"),
+        )
+    )
+
+
+ORACLES["dedup_minhash_bbit"] = ORACLES["dedup_minhash_bbit"].replace(
+    "__LSH2__", ORACLES["dedup_minhash_lsh_pairs"]
+)

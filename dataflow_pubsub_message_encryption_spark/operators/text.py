@@ -1134,3 +1134,49 @@ def text_zipf_fit(spark, sf_dir):
             "zipf_intercept_nats"
         ),
     )
+
+
+@query(
+    "corpus_perplexity_buckets",
+    f"""
+    WITH scored AS ({ORACLES["text_unigram_logprob"]}),
+    b AS (
+      SELECT doc_id, n_tokens, avg_neg_logprob,
+             ntile(3) OVER (ORDER BY avg_neg_logprob, doc_id) AS bucket
+      FROM scored
+    )
+    SELECT CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           round(min(avg_neg_logprob), 6) AS score_min,
+           round(max(avg_neg_logprob), 6) AS score_max
+    FROM b GROUP BY bucket
+    """,
+)
+def corpus_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split: docs terciled by LM quality score
+    (here the unigram perplexity proxy — the oracle inlines its full
+    computation) with a per-bucket doc/token census — the table that
+    decides which tercile feeds training, which gets re-filtered, and
+    which is dropped. The tercile cut uses ntile over a fully tie-broken
+    order (score, doc_id) so both engines cut identically. Scale: the
+    scoring op's shapes (vocab broadcast, integer-quantized ln sums)
+    carry over; the ntile window runs over |docs| scored rows — at
+    corpus scale the split becomes quantile thresholds from
+    ``agg_quantile_sketch_union``-style summaries rather than one
+    window, with the same downstream census."""
+    scored = QUERIES["text_unigram_logprob"](spark, sf_dir)
+    w = Window.orderBy("avg_neg_logprob", "doc_id")
+    b = scored.withColumn("bucket", F.ntile(3).over(w))
+    name = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.groupBy(name.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.min("avg_neg_logprob"), 6).alias("score_min"),
+        F.round(F.max("avg_neg_logprob"), 6).alias("score_max"),
+    )
