@@ -46,6 +46,8 @@ HEADLINE = [
     ("q12_connected_components", "dedup_cluster_components"),
     ("q13_bpe_train", "text_bpe_merges"),
     ("q14_training_manifest", "corpus_training_manifest"),
+    ("q15_bloom_prefilter", "join_bloom_prefilter"),
+    ("q16_rolling_distinct", "events_rolling_distinct_users"),
 ]
 
 _N_TIMED = 3
