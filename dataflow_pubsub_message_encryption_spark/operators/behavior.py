@@ -1125,3 +1125,100 @@ def events_growth_accounting(spark, sf_dir):
             F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
         )
     )
+
+
+@query(
+    "events_peak_concurrency",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             date_diff('microseconds', TIMESTAMP '1970-01-01', min(ts))
+               AS st,
+             date_diff('microseconds', TIMESTAMP '1970-01-01', max(ts))
+               AS en
+      FROM t GROUP BY user_id, sid
+    ),
+    bounds AS (
+      SELECT st AS t, 1 AS d, user_id, sid FROM sess
+      UNION ALL
+      SELECT en, -1, user_id, sid FROM sess
+    ),
+    r AS (
+      SELECT t, SUM(d) OVER (ORDER BY t, d DESC, user_id, sid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bounds
+    )
+    SELECT CAST(t // 86400000000 AS INTEGER) AS day,
+           CAST(max(conc) AS INTEGER) AS peak_concurrent
+    FROM r GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — the capacity-planning number
+    (licenses, connection pools, live-ops dashboards): sessions from the
+    proven 30-minute-gap sessionization, converted to +1/−1 boundary
+    deltas, a running sum over the boundary stream, and the per-day max.
+    Same-instant boundaries process starts before ends (ORDER BY t,
+    d DESC), so touching sessions count as concurrent; within an equal
+    (t, d) block the running sum's intermediate order is arbitrary but
+    the per-day MAX is permutation-invariant (the +1 block's maximum is
+    its end), so the result is deterministic — the remaining (user, sid)
+    tie-break keys just pin both engines to one order. Shape: the
+    boundary table is 2×|sessions| rows (events reduce per user first);
+    the global running sum is merge-stage-only over that summary — the
+    ``orders_backlog_daily`` O(n) interval-counting shape at session
+    grain."""
+    ev = load_events(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    t = s.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    sess = t.groupBy("user_id", "sid").agg(
+        F.expr(us.format("min(ts)")).alias("st"),
+        F.expr(us.format("max(ts)")).alias("en"),
+    )
+    bounds = sess.select(
+        F.col("st").alias("t"), F.lit(1).alias("d"), "user_id", "sid"
+    ).unionByName(
+        sess.select(
+            F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id", "sid"
+        )
+    )
+    wr = Window.orderBy(
+        "t", F.desc("d"), "user_id", "sid"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = bounds.withColumn("conc", F.sum("d").over(wr))
+    return r.groupBy(
+        F.expr("t DIV 86400000000").cast("int").alias("day")
+    ).agg(F.max("conc").cast("int").alias("peak_concurrent"))

@@ -2074,3 +2074,77 @@ def orders_cohort_ltv_curve(spark, sf_dir):
             ).alias("cum_revenue_per_customer"),
         )
     )
+
+
+_MIG_SPLIT = "1996-01-01"  # period A strictly before, period B on/after
+
+
+@query(
+    "customer_segment_migration",
+    f"""
+    WITH seg AS (
+      SELECT o_custkey, period, ntile(4) OVER (PARTITION BY period
+               ORDER BY r, o_custkey) AS seg
+      FROM (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate < TIMESTAMP '{_MIG_SPLIT}'
+                    THEN 'A' ELSE 'B' END AS period,
+               SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+        FROM orders GROUP BY 1, 2
+      )
+    ),
+    a AS (SELECT o_custkey, seg FROM seg WHERE period = 'A'),
+    b AS (SELECT o_custkey, seg FROM seg WHERE period = 'B')
+    SELECT COALESCE(CAST(a.seg AS INTEGER), 0) AS seg_before,
+           COALESCE(CAST(b.seg AS INTEGER), 0) AS seg_after,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark, sf_dir):
+    """Customer value-segment MIGRATION matrix — the retention
+    twin of ``customer_value_quartiles``: customers quartiled by revenue
+    within each of two periods (before/after {_MIG_SPLIT}), then the
+    (segment-before × segment-after) transition counts, with 0 meaning
+    'not present in that period' (new or lapsed customers get their own
+    row/column — the matrix margins ARE the churn/acquisition census).
+    Determinism: per-period decimal revenue + tie-broken ntile(4), so
+    both engines cut quartiles on the same customer; the FULL OUTER join
+    keeps one-sided customers. Shape: one customer-grain partial agg,
+    one per-period window over |customers| rows, one full outer join of
+    two |customers|-sized sides (sort-merge on custkey), and a ≤25-cell
+    aggregate. At 100 TB the per-period windows become sketch-quantile
+    threshold joins, same downstream matrix."""
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.when(
+                F.col("o_orderdate") < F.lit(_MIG_SPLIT).cast("timestamp"), "A"
+            )
+            .otherwise("B")
+            .alias("period"),
+        )
+        .agg(F.sum(dec4("o_totalprice")).alias("r"))
+    )
+    w = Window.partitionBy("period").orderBy("r", "o_custkey")
+    seg = per.withColumn("seg", F.ntile(4).over(w))
+    a = seg.filter(F.col("period") == "A").select(
+        F.col("o_custkey").alias("ck"), F.col("seg").alias("seg_a")
+    )
+    b = seg.filter(F.col("period") == "B").select(
+        F.col("o_custkey").alias("ck"), F.col("seg").alias("seg_b")
+    )
+    return (
+        a.join(b, "ck", "full_outer")
+        .groupBy(
+            F.coalesce(F.col("seg_a").cast("int"), F.lit(0)).alias(
+                "seg_before"
+            ),
+            F.coalesce(F.col("seg_b").cast("int"), F.lit(0)).alias(
+                "seg_after"
+            ),
+        )
+        .agg(F.count("*").alias("n_customers"))
+    )
