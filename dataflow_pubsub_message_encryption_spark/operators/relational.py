@@ -2148,3 +2148,133 @@ def customer_segment_migration(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+_TRGM_QUERY = "smal widgett"  # deliberately misspelled probe
+
+
+@query(
+    "part_name_trigram_search",
+    f"""
+    WITH q AS (
+      SELECT list_distinct(list_transform(
+               generate_series(1, len('{_TRGM_QUERY}') - 2),
+               i -> substr('{_TRGM_QUERY}', i, 3))) AS qt
+    ),
+    p AS (
+      SELECT p_partkey, p_name,
+             list_distinct(list_transform(
+               generate_series(1, len(p_name) - 2),
+               i -> substr(p_name, i, 3))) AS pt
+      FROM part WHERE len(p_name) >= 3
+    )
+    SELECT p_partkey, p_name, sim, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT p.p_partkey, p.p_name,
+             round(CAST(len(list_intersect(p.pt, q.qt)) AS DOUBLE)
+                   / len(list_distinct(list_concat(p.pt, q.qt))), 6) AS sim,
+             row_number() OVER (
+               ORDER BY round(CAST(len(list_intersect(p.pt, q.qt)) AS DOUBLE)
+                   / len(list_distinct(list_concat(p.pt, q.qt))), 6) DESC,
+                 p.p_partkey) AS rk
+      FROM p, q
+    ) WHERE rk <= 10
+    """,
+)
+def part_name_trigram_search(spark, sf_dir):
+    """Fuzzy string search via character trigrams (the pg_trgm /
+    Elasticsearch-ngram idiom): the misspelled probe '{_TRGM_QUERY}'
+    still finds 'small widget' because trigram-set Jaccard degrades
+    gracefully under edits, where equality and LIKE fail outright. Top-10
+    by (similarity, key) over the dim table. Scale shape: the probe's
+    trigram set is a 1-row broadcast; per-row trigram extraction is a JVM
+    array transform; at catalog scale (fuzzy search over billions of
+    names) the same trigrams become an inverted index — explode
+    (trigram, key), equi-join the probe's trigrams, count matches per
+    key (candidates ∝ posting lists, the dedup_containment_blocked
+    plan) — this operator is the verify-stage math of that index."""
+    grams = lambda c: F.array_distinct(  # noqa: E731
+        F.expr(
+            f"transform(sequence(1, length({c}) - 2), i -> substring({c}, i, 3))"
+        )
+    )
+    q = (
+        load(spark, sf_dir, "part")
+        .limit(1)
+        .select(F.lit(_TRGM_QUERY).alias("qs"))
+        .select(grams("qs").alias("qt"))
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.length("p_name") >= 3)
+        .select("p_partkey", "p_name", grams("p_name").alias("pt"))
+    )
+    sim = F.round(
+        F.size(F.array_intersect("pt", "qt")).cast("double")
+        / F.size(F.array_distinct(F.concat("pt", "qt"))),
+        6,
+    )
+    w = Window.orderBy(F.desc("sim"), "p_partkey")
+    return (
+        p.crossJoin(F.broadcast(q))  # |part| x 1 row
+        .select("p_partkey", "p_name", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "orders_gmv_daily_7dma",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             count(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(day AS INTEGER) AS day,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           (CAST(SUM(rev) OVER w * 10000 AS BIGINT)
+            // SUM(n_orders) OVER w) / 10000.0 AS rev_per_order_7d,
+           CAST(round(SUM(rev) OVER w, 2) AS DOUBLE) AS revenue_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_gmv_daily_7dma(spark, sf_dir):
+    """Daily GMV with trailing-7-day totals and revenue-per-order — the
+    topline smoothing every revenue dashboard applies (day-of-week noise
+    vs trend). Exactness at the division: the 7-day mean is decimal-sum →
+    integer 1e-4 units → floor-div by the window's order count → one
+    shared IEEE division (the cohort-LTV hazard pattern; round() at a
+    half boundary is never evaluated). The RANGE frame is over the
+    integer day key, so gap days shrink the window's content, not its
+    span. Shape: the fact table reduces to |days| rows in one
+    partial-aggregating pass; every window runs on that summary —
+    merge-stage-only at any scale."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec4("o_totalprice")).alias("rev"),
+        )
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    with7 = daily.withColumn("rev7", F.sum("rev").over(w)).withColumn(
+        "n7", F.sum("n_orders").over(w)
+    )
+    return with7.select(
+        F.col("day").cast("int").alias("day"),
+        "n_orders",
+        money(F.col("rev")).alias("revenue"),
+        (
+            F.expr("CAST(rev7 * 10000 AS BIGINT) DIV n7") / 10000.0
+        ).alias("rev_per_order_7d"),
+        money(F.col("rev7")).alias("revenue_7d"),
+    )

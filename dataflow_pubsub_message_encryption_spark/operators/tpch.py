@@ -845,3 +845,69 @@ def tpch_q21_waiting_orders(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "supplier_hhi_concentration",
+    """
+    WITH s AS (
+      SELECT n.n_name,
+             l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem l
+      JOIN supplier su ON su.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = su.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT n_name, SUM(rev) AS trev, count(*) AS n_suppliers
+            FROM s GROUP BY 1)
+    SELECT s.n_name AS nation,
+           CAST(max(tot.n_suppliers) AS BIGINT) AS n_suppliers,
+           CAST(round(max(tot.trev), 2) AS DOUBLE) AS revenue,
+           CAST(SUM(((CAST(s.rev * 10000 AS BIGINT) * 1000000)
+                      // CAST(tot.trev * 10000 AS BIGINT))
+                    * ((CAST(s.rev * 10000 AS BIGINT) * 1000000)
+                       // CAST(tot.trev * 10000 AS BIGINT)))
+                AS BIGINT) AS hhi_ppm2
+    FROM s JOIN tot USING (n_name)
+    GROUP BY s.n_name
+    """,
+)
+def supplier_hhi_concentration(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation — the
+    antitrust/supply-risk number ('is this nation's supply one mega
+    vendor or many small ones'): HHI = Σ share², shares in parts-per-
+    million so the squares sum as exact integers (floor-divided 1e6-
+    scaled decimal revenue; both engines run identical integer
+    arithmetic — no float shares, no rounding boundary). 10^12 = full
+    monopoly. Shapes: one (nation, supplier) decimal aggregate off the
+    fact join (dims broadcast), nation totals re-broadcast, ≤|nations|
+    output rows."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    su = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(dec4("l_extendedprice")).alias("rev"))
+    )
+    tot = s.groupBy("n_name").agg(
+        F.sum("rev").alias("trev"), F.count("*").alias("n_suppliers")
+    )
+    # scale BOTH operands to exact scale-4 integer units before the
+    # floor-div: CAST(decimal AS BIGINT) truncates in Spark but rounds in
+    # DuckDB, so the denominator must never cast a fractional decimal
+    share_ppm = F.expr(
+        "(CAST(rev * 10000 AS BIGINT) * 1000000)"
+        " DIV CAST(trev * 10000 AS BIGINT)"
+    )
+    return (
+        s.join(F.broadcast(tot), "n_name")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            money(F.max("trev")).alias("revenue"),
+            F.sum(share_ppm * share_ppm).cast("long").alias("hhi_ppm2"),
+        )
+    )
