@@ -1222,3 +1222,99 @@ def events_peak_concurrency(spark, sf_dir):
     return r.groupBy(
         F.expr("t DIV 86400000000").cast("int").alias("day")
     ).agg(F.max("conc").cast("int").alias("peak_concurrent"))
+
+
+@query(
+    "events_bot_score_flags",
+    """
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microseconds',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS gap
+      FROM events
+    ),
+    iat AS (
+      SELECT user_id, count(gap) AS n_gaps, min(gap) AS min_gap,
+             SUM(gap) // count(gap) AS mean_gap
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    ),
+    runs AS (
+      SELECT user_id, max(run_len) AS max_streak FROM (
+        SELECT user_id, count(*) AS run_len FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS grp
+          FROM events
+        ) GROUP BY user_id, event_type, grp
+      ) GROUP BY user_id
+    )
+    SELECT i.user_id,
+           CAST(i.n_gaps + 1 AS BIGINT) AS n_events,
+           CAST(i.min_gap AS BIGINT) AS min_gap_us,
+           CAST(i.mean_gap AS BIGINT) AS mean_gap_us,
+           CAST(r.max_streak AS INTEGER) AS max_streak,
+           (CASE WHEN i.min_gap < 60000000 THEN 1 ELSE 0 END
+            + CASE WHEN i.mean_gap < 3600000000 THEN 1 ELSE 0 END
+            + CASE WHEN r.max_streak >= 5 THEN 1 ELSE 0 END) >= 2 AS bot_flag
+    FROM iat i JOIN runs r USING (user_id)
+    """,
+)
+def events_bot_score_flags(spark, sf_dir):
+    """Composite bot-likelihood flags — the rule-based fraud/abuse screen
+    that composes the engine's cadence signals into one verdict per
+    user: sub-minute minimum inter-arrival gap, sub-hour mean gap, and a
+    ≥5-event same-type streak each contribute a point; two of three
+    flags the user (the thresholds are the tunable policy; the SHAPES
+    are the point). All three signals come off the SAME user-partitioned
+    shuffle — one lag pass for gaps, the two-row_number gaps-and-islands
+    for streaks — then a |users|-sized join. Integer µs throughout
+    (floored mean), so the verdict is cross-engine exact. At 100 TB the
+    per-user reductions partial-aggregate; no signal ever re-shuffles
+    raw events."""
+    ev = load_events(spark, sf_dir)
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    iat = (
+        ev.select("user_id", gap.alias("gap"))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.min("gap").alias("min_gap"),
+            F.expr("SUM(gap) DIV count(gap)").alias("mean_gap"),
+        )
+    )
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(wl) - F.row_number().over(wt)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").alias("max_streak"))
+    )
+    score = (
+        F.when(F.col("min_gap") < 60_000_000, 1).otherwise(0)
+        + F.when(F.col("mean_gap") < 3_600_000_000, 1).otherwise(0)
+        + F.when(F.col("max_streak") >= 5, 1).otherwise(0)
+    )
+    return (
+        iat.join(runs, "user_id")
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+            F.col("min_gap").cast("long").alias("min_gap_us"),
+            F.col("mean_gap").cast("long").alias("mean_gap_us"),
+            F.col("max_streak").cast("int").alias("max_streak"),
+            (score >= 2).alias("bot_flag"),
+        )
+    )

@@ -464,3 +464,67 @@ def corpus_source_mix(spark, sf_dir):
             "avg_doc_tokens"
         ),
     )
+
+
+@query(
+    "corpus_source_quality_report",
+    """
+    WITH q AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             sha256(text) AS sha
+      FROM documents
+    ),
+    dup AS (
+      SELECT sha, count(*) AS copies FROM q GROUP BY sha
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT q.lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN q.n_tokens < 12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_floor,
+           CAST(SUM(CASE WHEN dup.copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup_docs,
+           round(CAST(SUM(CASE WHEN dup.copies >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS dup_ratio,
+           CAST(SUM(q.n_chars) AS BIGINT) AS n_chars
+    FROM q JOIN dup USING (sha)
+    GROUP BY q.source
+    """,
+)
+def corpus_source_quality_report(spark, sf_dir):
+    """Per-source data-vendor scorecard — the table that decides which
+    feeds get renegotiated: per source, docs, token volume, language
+    spread, docs under the quality floor (<12 tokens — the
+    corpus_clean_pipeline cut), docs participating in exact duplicates
+    ANYWHERE in the corpus (cross-source copying shows up in BOTH
+    sources' dup_ratio), and byte volume. One pass computes per-doc
+    stats + content hash; the hash census joins back on the hash key
+    (ids + hashes shuffle, never text); the final aggregate is
+    |sources|-sized. At 100 TB this is the first report a curation run
+    emits and the baseline the next snapshot's report diffs against."""
+    q = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.sha2("text", 256).alias("sha"),
+    )
+    dup = q.groupBy("sha").agg(F.count("*").alias("copies"))
+    j = q.join(dup, "sha")
+    is_dup = F.when(F.col("copies") >= 2, 1).otherwise(0)
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("n_tokens") < 12, 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_floor"),
+        F.sum(is_dup).cast("long").alias("n_exact_dup_docs"),
+        F.round(F.sum(is_dup).cast("double") / F.count("*"), 6).alias(
+            "dup_ratio"
+        ),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
