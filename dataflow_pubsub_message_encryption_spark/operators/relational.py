@@ -2278,3 +2278,79 @@ def orders_gmv_daily_7dma(spark, sf_dir):
         ).alias("rev_per_order_7d"),
         money(F.col("rev7")).alias("revenue_7d"),
     )
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "join_asof_tolerance",
+    f"""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    s AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup'),
+    m AS (
+      SELECT e.event_id, e.ts AS e_ts, s.event_id AS s_event_id, s.ts AS s_ts,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      FROM e JOIN s ON s.user_id = e.user_id AND s.ts <= e.ts
+    )
+    SELECT e.event_id,
+           {duck_ts('e.ts')} AS error_ts,
+           CASE WHEN date_diff('microseconds', m.s_ts, m.e_ts)
+                     <= {_ASOF_TOL_US}
+                THEN m.s_event_id END AS signup_event_id,
+           CASE WHEN date_diff('microseconds', m.s_ts, m.e_ts)
+                     <= {_ASOF_TOL_US}
+                THEN date_diff('microseconds', m.s_ts, m.e_ts)
+           END AS gap_us
+    FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound — the sensor-alignment /
+    attribution parameter plain backward as-of lacks (pandas
+    ``merge_asof(tolerance=...)``): each error matches its user's most
+    recent prior signup ONLY if it happened within the last hour,
+    otherwise the error keeps a NULL match (LEFT semantics — no error
+    rows disappear, unlike the inner C11 form). The match is resolved
+    BEFORE the tolerance test, so a too-old nearest match yields NULL
+    rather than sliding to an even older one — pandas semantics, pinned
+    by the oracle. Shape: user-keyed equi-join + per-error ranking
+    window (ids and timestamps only), then the tolerance filter as a
+    projection; integer-µs gap math keeps NULL-vs-match cross-engine
+    exact."""
+    ev = load_events(spark, sf_dir)
+    e = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"),
+        F.col("user_id").alias("s_user_id"),
+        F.col("ts").alias("s_ts"),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("s_ts"), F.desc("s_event_id")
+    )
+    m = (
+        e.join(
+            s,
+            (e.user_id == s.s_user_id) & (F.col("s_ts") <= e.ts),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "s_event_id", "s_ts")
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, s_ts, ts)")
+    return (
+        e.join(m, "event_id", "left")
+        .select(
+            "event_id",
+            ts_str("ts").alias("error_ts"),
+            F.when(gap <= _ASOF_TOL_US, F.col("s_event_id")).alias(
+                "signup_event_id"
+            ),
+            F.when(gap <= _ASOF_TOL_US, gap).alias("gap_us"),
+        )
+    )

@@ -1430,3 +1430,86 @@ def emb_pca_project(spark, sf_dir):
         F.max("score").alias("proj_max"),
         F.sum("score").alias("proj_sum"),
     )
+
+
+@query(
+    "emb_centroid_drift",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label, (vec_id % 2 = 0) AS half_a, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * {_CENT_SCALE})
+                  AS BIGINT) AS qv
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    c AS (
+      SELECT label, half_a, pos,
+             CAST(floor(CAST(SUM(qv) AS DOUBLE) / count(DISTINCT vec_id))
+                  AS BIGINT) AS cq,
+             count(DISTINCT vec_id) AS n
+      FROM q GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT a.label, a.pos, a.cq - b.cq AS diff,
+             max(a.n) OVER (PARTITION BY a.label) AS n_a,
+             max(b.n) OVER (PARTITION BY b.label) AS n_b
+      FROM (SELECT * FROM c WHERE half_a) a
+      JOIN (SELECT * FROM c WHERE NOT half_a) b
+        ON b.label = a.label AND b.pos = a.pos
+    )
+    SELECT label,
+           CAST(max(n_a) AS BIGINT) AS n_half_a,
+           CAST(max(n_b) AS BIGINT) AS n_half_b,
+           CAST(SUM(diff * diff) AS BIGINT) AS drift_sq,
+           CAST(max(abs(diff)) AS BIGINT) AS max_dim_drift
+    FROM d GROUP BY label
+    """,
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Per-label centroid DRIFT between two cohorts (even vs odd vec_id —
+    standing in for 'last index build' vs 'current data'): the staleness
+    monitor that tells an ANN operator when to retrain the IVF/PQ
+    codebooks — if the class centroids moved, the learned cells are
+    routing against stale geometry. All fixed-point: cohort centroids
+    are floored integer component means (the Lloyd update arithmetic),
+    drift is the exact integer squared-L2 between them plus the hottest
+    single dimension. Shapes: one (label, cohort, pos) partial
+    aggregate off the vector scan; everything downstream is
+    |labels|×64-sized."""
+    q = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            (F.col("vec_id") % 2 == 0).alias("half_a"),
+            F.posexplode(
+                F.transform(
+                    as_double("embedding"),
+                    lambda x: F.round(x * _CENT_SCALE).cast("long"),
+                )
+            ).alias("pos0", "qv"),
+        )
+        .select("vec_id", "label", "half_a", (F.col("pos0") + 1).alias("pos"), "qv")
+    )
+    c = q.groupBy("label", "half_a", "pos").agg(
+        F.floor(
+            F.sum("qv").cast("double") / F.count_distinct("vec_id")
+        )
+        .cast("long")
+        .alias("cq"),
+        F.count_distinct("vec_id").alias("n"),
+    )
+    a = c.filter(F.col("half_a")).select(
+        "label", "pos", F.col("cq").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = c.filter(~F.col("half_a")).select(
+        "label", "pos", F.col("cq").alias("cb"), F.col("n").alias("n_b")
+    )
+    d = a.join(b, ["label", "pos"]).select(
+        "label", "n_a", "n_b", (F.col("ca") - F.col("cb")).alias("diff")
+    )
+    return d.groupBy("label").agg(
+        F.max("n_a").cast("long").alias("n_half_a"),
+        F.max("n_b").cast("long").alias("n_half_b"),
+        F.sum(F.col("diff") * F.col("diff")).cast("long").alias("drift_sq"),
+        F.max(F.abs("diff")).cast("long").alias("max_dim_drift"),
+    )
