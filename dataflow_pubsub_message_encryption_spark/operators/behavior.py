@@ -1318,3 +1318,141 @@ def events_bot_score_flags(spark, sf_dir):
             (score >= 2).alias("bot_flag"),
         )
     )
+
+
+@query(
+    "basket_affinity_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+    supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(sa.s AS BIGINT) AS n_a,
+           CAST(sb.s AS BIGINT) AS n_b,
+           round(CAST(p.n_both AS DOUBLE) / sa.s, 6) AS confidence_a_to_b,
+           round(CAST(p.n_both AS DOUBLE) * n_ord.n / (sa.s * sb.s), 6)
+             AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b, n_ord
+    """,
+)
+def basket_affinity_lift(spark, sf_dir):
+    """Association-rule metrics over the co-occurrence pairs — the step
+    that turns ``market_basket_pairs``'s raw counts into decisions:
+    confidence(A→B) = P(B|A) and lift = P(A,B)/(P(A)·P(B)), where
+    lift > 1 is genuine affinity and lift ≈ 1 is two independently
+    popular parts (raw counts can't tell these apart — the classic
+    beer-diapers correction). All ratios derive from exact integer
+    counts (pair support floor 3, per-part supports, total basket
+    count as a broadcast 1-row aggregate), divided once and rounded —
+    no float accumulations. Shapes: the bounded-basket pair join from
+    the pairs op, plus two broadcast support lookups."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_ord = items.agg(F.count_distinct("l_orderkey").alias("n"))
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("s").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("s").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "events_rapid_repeat_pairs",
+    """
+    SELECT a.user_id, a.event_type,
+           a.event_id AS event_a, b.event_id AS event_b,
+           date_diff('microseconds', a.ts, b.ts) AS gap_us
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = a.event_type
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND date_diff('microseconds', a.ts, b.ts) <= 600000000
+    WHERE a.event_type IN ('purchase', 'signup')
+      AND b.event_type IN ('purchase', 'signup')
+    """,
+)
+def events_rapid_repeat_pairs(spark, sf_dir):
+    """Double-submit screen — the idempotency auditor for state-changing
+    actions: pairs of SAME-user SAME-type purchase/signup events within
+    10 minutes (retried checkout, double-click, replayed webhook — the
+    at-least-once-delivery symptom R11's stateful dedup exists to
+    prevent, here measured on the batch log). The type filter pushes to
+    both scans BEFORE the self-join, so the join input is the
+    purchase+signup slice only; the join keys on (user, type) with the
+    time proximity residual and ``<`` emit-once orientation — candidate
+    blow-up bounded by per-user action counts, not table size. Integer-µs
+    gaps keep the pair set cross-engine exact. At 100 TB add a coarse
+    time-bucket to the join key (the join_range_binned rewrite) so the
+    residual never sees cross-day pairs."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "signup")
+    ).select("user_id", "event_type", "event_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    gap = F.expr("timestampdiff(MICROSECOND, a.ts, b.ts)")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("a.event_id") < F.col("b.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (gap <= 600_000_000),
+        )
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+            gap.alias("gap_us"),
+        )
+    )
