@@ -2354,3 +2354,117 @@ def join_asof_tolerance(spark, sf_dir):
             F.when(gap <= _ASOF_TOL_US, gap).alias("gap_us"),
         )
     )
+
+
+def _format_roundtrip_dir(spark, name: str) -> str:
+    """Warehouse scratch dir for a write-once format twin (the
+    join_bucketed_colocated local-catalog pattern)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    path = f"{wh.path or wh.geturl()}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@query(
+    "src_scan_csv_roundtrip",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def src_scan_csv_roundtrip(spark, sf_dir):
+    """CSV source: the customer table written once as headered CSV and
+    read back with an EXPLICIT schema (never inferSchema — schema
+    inference is a full extra pass and type-guesses; a production CSV
+    feed ships a contract), then the per-segment census. The oracle
+    computes the same census from the parquet table, so the whole
+    text round trip — including double serialization, which Spark writes
+    with shortest-exact-roundtrip digits — is value-checked. Scale
+    notes: CSV splits by line, so unlike the single-row-group parquet
+    fixtures a big CSV scan parallelizes by byte ranges; it has NO
+    column pruning or predicate pushdown (every query decodes every
+    column) — which is exactly why the first job in every pipeline here
+    converts text feeds to parquet."""
+    src = load(spark, sf_dir, "customer")
+    path = _format_roundtrip_dir(spark, "sg_csv_customer")
+    src.write.option("header", True).csv(path)
+    csv = (
+        spark.read.option("header", True)
+        .schema(src.schema)
+        .csv(path)
+    )
+    return csv.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        money(F.sum(dec4("c_acctbal"))).alias("total_acctbal"),
+    )
+
+
+@query(
+    "src_scan_jsonl_roundtrip",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS n_text_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def src_scan_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines source: the documents table (including multi-byte
+    zh text — the escaping hazard) written once as NDJSON and read back
+    with an explicit schema, then the per-language census with BOTH the
+    stored char count and a recomputed one — a silent mojibake in the
+    round trip would split them. Same scale story as CSV: line-split
+    parallel scan, no pruning/pushdown, convert-to-parquet-first; NDJSON
+    additionally tolerates schema drift (absent keys → NULL), which is
+    why it's the standard landing format for event feeds like the
+    reference's decrypted payloads."""
+    src = load(spark, sf_dir, "documents")
+    path = _format_roundtrip_dir(spark, "sg_jsonl_documents")
+    src.write.json(path)
+    js = spark.read.schema(src.schema).json(path)
+    return js.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum(F.length("text")).cast("long").alias("n_text_chars"),
+    )
+
+
+@query(
+    "src_scan_orc_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def src_scan_orc_roundtrip(spark, sf_dir):
+    """ORC source: the lineitem fact written once as ORC and read back,
+    then the Q1-style decimal revenue census — proving the engine's
+    second columnar format end to end (DuckDB never sees the ORC; the
+    oracle recomputes from parquet, so the binary round trip is
+    value-checked). ORC keeps what CSV/JSON lose: column pruning,
+    predicate pushdown into stripe/row-group stats, and splittable
+    compressed stripes — operationally interchangeable with parquet in
+    every plan in this engine, which is the point of demonstrating it."""
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    path = _format_roundtrip_dir(spark, "sg_orc_lineitem")
+    src.write.orc(path)
+    orc = spark.read.orc(path)
+    return orc.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        money(
+            F.sum(dec4("l_extendedprice") * (1 - dec4("l_discount")))
+        ).alias("revenue"),
+    )
