@@ -32,7 +32,13 @@ def _run_stream_to_memory(spark, sdf, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates on its own once the backlog drains; the cap
+    # only bounds a hang. 120 s proved too tight once on a loaded box
+    # (Python-UDF worker spin-up under contention -> zero batches
+    # committed -> empty memory table); fail loudly instead of returning
+    # partial state.
+    drained = q.awaitTermination(300)
+    assert drained, f"stream {name} still active after 300s"
     return spark.table(name)
 
 
