@@ -31,7 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import tokens
-from ..sources import load
+from ..sources import load, load_events
 from .base import make_registry
 
 QUERIES, ORACLES, query = make_registry()
@@ -528,3 +528,100 @@ def corpus_source_quality_report(spark, sf_dir):
         ),
         F.sum("n_chars").cast("long").alias("n_chars"),
     )
+
+
+@query(
+    "dq_rule_violations",
+    """
+    SELECT 'lineitem_discount_range' AS rule,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_positive_quantity',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_ship_after_order',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate < o.o_orderdate)
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events_props_parseable',
+           (SELECT CAST(count(*) AS BIGINT) FROM events),
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE json_extract(props, '$.k') IS NULL)
+    """,
+)
+def dq_rule_violations(spark, sf_dir):
+    """Declarative data-quality rule census (the deequ / dbt-test shape):
+    five contract rules — a value-range check, a positivity check, a
+    cross-table temporal invariant (ship ≥ order date), a foreign-key
+    existence check (anti-join count), and a payload-parseability check
+    — each reported as (rule, rows checked, violations). Zero is the
+    expected steady state; the table exists so a bad load turns into a
+    named nonzero instead of a downstream mystery. Shapes: each rule is
+    one filtered count (predicates pushed to the scans), the FK rule an
+    anti join against the broadcast dim, the temporal rule the orderkey
+    equi-join; a production run fuses same-table rules into one
+    conditional aggregate per scan — the bloom-census pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    ev = load_events(spark, sf_dir)
+
+    def rule(name, checked_df, violation_cond=None, violations_df=None):
+        n = checked_df.agg(F.count("*").alias("n_checked"))
+        v = (
+            violations_df
+            if violations_df is not None
+            else checked_df.filter(violation_cond)
+        ).agg(F.count("*").alias("n_violations"))
+        return (
+            n.crossJoin(F.broadcast(v))  # 1 row x 1 row
+            .select(
+                F.lit(name).alias("rule"), "n_checked", "n_violations"
+            )
+        )
+
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    parts = [
+        rule(
+            "lineitem_discount_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        ),
+        rule("lineitem_positive_quantity", li, F.col("l_quantity") <= 0),
+        rule(
+            "lineitem_ship_after_order",
+            lo,
+            F.col("l_shipdate") < F.col("o_orderdate"),
+        ),
+        rule(
+            "orders_customer_fk",
+            o,
+            violations_df=o.join(
+                F.broadcast(c),
+                o.o_custkey == c.c_custkey,
+                "left_anti",
+            ),
+        ),
+        rule(
+            "events_props_parseable",
+            ev,
+            F.get_json_object("props", "$.k").isNull(),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1513,3 +1513,77 @@ def emb_centroid_drift(spark, sf_dir):
         F.sum(F.col("diff") * F.col("diff")).cast("long").alias("drift_sq"),
         F.max(F.abs("diff")).cast("long").alias("max_dim_drift"),
     )
+
+
+@query(
+    "emb_duplicate_vectors_exact",
+    f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             sha256(array_to_string(
+               list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(CAST(round(x * {_CENT_SCALE}) AS BIGINT)
+                           AS VARCHAR)), ',')) AS vh
+      FROM embeddings
+    ),
+    g AS (
+      SELECT vh, count(*) AS copies, min(vec_id) AS keep_vec,
+             count(DISTINCT label) AS n_labels
+      FROM q GROUP BY vh
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_distinct_vectors,
+           CAST(SUM(copies) AS BIGINT) AS n_vectors,
+           CAST(SUM(copies - 1) AS BIGINT) AS n_redundant,
+           CAST(SUM(CASE WHEN copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN copies >= 2 AND n_labels >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_label_conflicts
+    FROM g
+    """,
+)
+def emb_duplicate_vectors_exact(spark, sf_dir):
+    """Exact duplicate-vector census — the FAISS-prep dedup every index
+    build runs first: byte-identical embeddings (at fixed-point
+    precision) inflate k-means cells, bias ANN recall measurements, and
+    — the worst case counted here separately — the SAME vector under
+    DIFFERENT labels is a labeling conflict no classifier can fix.
+    Fingerprint = sha256 of the comma-joined fixed-point components
+    (the engine's portable content-hash idiom), so the census is
+    cross-engine exact. Shapes: one narrow map + one hash-keyed partial
+    aggregate (hashes shuffle, vectors don't) + a 1-row census — the
+    dedup_exact_hash plan applied to the vector table."""
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    as_double("embedding"),
+                    lambda x: F.round(x * _CENT_SCALE)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            ),
+            256,
+        ).alias("vh"),
+    )
+    g = q.groupBy("vh").agg(
+        F.count("*").alias("copies"),
+        F.min("vec_id").alias("keep_vec"),
+        F.count_distinct("label").alias("n_labels"),
+    )
+    dup = F.when(F.col("copies") >= 2, 1).otherwise(0)
+    return g.agg(
+        F.count("*").alias("n_distinct_vectors"),
+        F.sum("copies").cast("long").alias("n_vectors"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_redundant"),
+        F.sum(dup).cast("long").alias("n_dup_groups"),
+        F.sum(
+            F.when((F.col("copies") >= 2) & (F.col("n_labels") >= 2), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_label_conflicts"),
+    )
