@@ -35,22 +35,41 @@ _MODULES = [
 # follows in module order; oracle-less (ROWS-class) queries always sort last
 # so no graded slot is burned on a `no_oracle` row.
 _WINDOW = [
-    # round-4 late additions, never driver-graded (round-5 rotation head)
-    "win_time_range_sum",
-    "agg_cube",
-    "profile_table_stats",
-    "text_unigram_logprob",
-    "dedup_shingle_minhash_lsh",
-    "events_pattern_match",
-    "join_bucketed_colocated",
-    "agg_incremental_merge",
-    "topk_per_group_twolevel",
-    # round-5 late additions (displaced the 4 graded-green filler slots)
-    "agg_bitmap_distinct",
-    "agg_heavy_hitters_cms",
-    "join_partition_pruned_dpp",
-    "orders_pareto_abc",
-    # round-5 additions
+    # round-5 late additions, never driver-graded (round-6 rotation head:
+    # every key below is absent from every CORRECTNESS_r1..r5 artifact)
+    "join_bloom_prefilter",
+    "events_rolling_distinct_users",
+    "sim_pq_adc_topk",
+    "graph_kcore_membership",
+    "dq_rule_violations",
+    "src_scan_csv_roundtrip",
+    "src_scan_jsonl_roundtrip",
+    "src_scan_orc_roundtrip",
+    "orders_cohort_ltv_curve",
+    "customer_segment_migration",
+    "part_name_trigram_search",
+    "orders_gmv_daily_7dma",
+    "join_asof_tolerance",
+    "supplier_hhi_concentration",
+    "text_bigram_logprob",
+    "text_boilerplate_ngrams",
+    "text_zipf_fit",
+    "corpus_perplexity_buckets",
+    "dedup_minhash_bbit",
+    "sim_ann_recall_eval",
+    "emb_pca_project",
+    "emb_centroid_drift",
+    "emb_duplicate_vectors_exact",
+    "multimodal_shot_boundaries",
+    "corpus_source_quality_report",
+    "corpus_dedup_priority_keep",
+    "events_growth_accounting",
+    "events_peak_concurrency",
+    "events_bot_score_flags",
+    "basket_affinity_lift",
+    "events_rapid_repeat_pairs",
+    # round-6 additions land here, each displacing a graded-green filler
+    # below (fillers are r5-green keys re-gated only until displaced)
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -70,24 +89,6 @@ _WINDOW = [
     "multimodal_audio_energy",
     "text_feature_hash",
     "agg_exact_percentiles_twopass",
-    "text_langid_confusion",
-    "dedup_exact_hierarchical",
-    "dedup_lsh_recall_eval",
-    "funnel_time_to_convert",
-    "dedup_lsh_band_tuning",
-    "orders_backlog_daily",
-    "audience_overlap_matrix",
-    "events_iat_stats",
-    "vocab_growth_curve",
-    "dedup_minhash_estimator_quality",
-    "embedding_index_pipeline",
-    "dedup_cluster_summary",
-    "supplier_lead_time",
-    "customer_value_quartiles",
-    "events_hourly_seasonality",
-    "orders_priority_mix_shift",
-    "multimodal_payload_entropy",
-    "events_longest_streaks",
 ]
 
 
