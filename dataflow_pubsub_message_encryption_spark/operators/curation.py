@@ -559,7 +559,9 @@ def corpus_source_quality_report(spark, sf_dir):
     SELECT 'events_props_parseable',
            (SELECT CAST(count(*) AS BIGINT) FROM events),
            (SELECT CAST(count(*) AS BIGINT) FROM events
-            WHERE json_extract(props, '$.k') IS NULL)
+            WHERE CASE WHEN props IS NOT NULL AND json_valid(props)
+                       THEN json_extract_string(props, '$.k') IS NULL
+                       ELSE TRUE END)
     """,
 )
 def dq_rule_violations(spark, sf_dir):
@@ -573,7 +575,15 @@ def dq_rule_violations(spark, sf_dir):
     one filtered count (predicates pushed to the scans), the FK rule an
     anti join against the broadcast dim, the temporal rule the orderkey
     equi-join; a production run fuses same-table rules into one
-    conditional aggregate per scan — the bloom-census pattern."""
+    conditional aggregate per scan — the bloom-census pattern.
+
+    Cross-engine note: Spark ``get_json_object`` returns SQL NULL for
+    malformed JSON, a missing path, and a JSON ``null`` value alike; the
+    oracle mirrors all three via ``CASE WHEN json_valid(...) THEN
+    json_extract_string(...) IS NULL ELSE TRUE END`` (DuckDB's bare
+    ``json_extract`` would instead raise on malformed input and return
+    non-NULL ``'null'`` for ``{"k": null}`` — probed on both engines, all
+    five edge shapes agree)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")

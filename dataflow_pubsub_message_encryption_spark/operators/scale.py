@@ -1148,7 +1148,7 @@ def join_bloom_prefilter(spark, sf_dir):
     pattern behind Spark's injected bloom runtime filters and every
     warehouse's join pushdown: reduce the dim's key set to a
     {_BLOOM_BITS}-bit filter ({_BLOOM_K} sha-derived positions per key,
-    OR-folded into 62-bit words — {_BLOOM_BITS // 62 + 1} longs total),
+    OR-folded into 62-bit words — {-(-_BLOOM_BITS // 62)} longs total),
     broadcast THAT instead of the keys, and drop fact rows whose bits
     aren't all set BEFORE the join. False positives survive the bloom and
     die in the exact verify (here a semi-join against the real dim), so

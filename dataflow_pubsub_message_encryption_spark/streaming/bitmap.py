@@ -25,6 +25,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._snapshot import recover_snapshot
+
 _WORD = 62  # keep in lock-step with operators/scale.py::_BM_WORD
 _SNAPSHOT = "words"
 _MARKER = "_last_batch_id"
@@ -59,6 +61,7 @@ def bitmap_distinct_sink(events: DataFrame, target_dir: str, checkpoint_dir: str
     :func:`bitmap_distinct_view`."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_snapshot(target_dir, _SNAPSHOT, _MARKER)
         marker = os.path.join(target_dir, _MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:

@@ -32,6 +32,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._snapshot import recover_snapshot
+
 _SNAPSHOT = "current"
 _MARKER = "_last_batch_id"
 
@@ -75,6 +77,7 @@ def cdc_upsert_sink(events: DataFrame, target_dir: str, checkpoint_dir: str):
     ``cdc_current_view``."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_snapshot(target_dir, _SNAPSHOT, _MARKER)
         marker = os.path.join(target_dir, _MARKER)
         if os.path.exists(marker):
             with open(marker) as fh:

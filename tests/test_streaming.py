@@ -996,3 +996,51 @@ def test_bitmap_distinct_stream_equals_batch(spark, sf_dir, tmpdir):
         for r in st.bitmap_distinct_view(spark, target).collect()
     }
     assert again == batch
+
+
+def test_snapshot_swap_crash_recovery(tmpdir):
+    """A crash between rename(cur, old) and rename(tmp, cur) must not lose
+    state: recover_snapshot restores the complete post-merge tmp AND
+    journals its batch id (so non-idempotent merges like cdc's
+    sum(n_versions) don't fold the replayed batch in twice)."""
+    import os
+
+    from dataflow_pubsub_message_encryption_spark.streaming._snapshot import (
+        recover_snapshot,
+    )
+
+    def mkdir_with(path, sentinel):
+        os.makedirs(path)
+        open(os.path.join(path, sentinel), "w").write(sentinel)
+
+    # crash window: cur gone, old-6 (pre-merge) + tmp-6 (post-merge) both left
+    t1 = f"{tmpdir}/t1"
+    mkdir_with(f"{t1}/.old-6", "pre")
+    mkdir_with(f"{t1}/.tmp-6", "post")
+    open(f"{t1}/_last_batch_id", "w").write("5")
+    recover_snapshot(t1, "words", "_last_batch_id")
+    assert os.path.exists(f"{t1}/words/post"), "post-merge tmp not restored"
+    assert open(f"{t1}/_last_batch_id").read() == "6", "marker not journaled"
+    assert not os.path.exists(f"{t1}/.old-6") and not os.path.exists(f"{t1}/.tmp-6")
+
+    # defensive fallback: only a pre-merge old survives -> restore, keep marker
+    t2 = f"{tmpdir}/t2"
+    mkdir_with(f"{t2}/.old-3", "pre")
+    open(f"{t2}/_last_batch_id", "w").write("2")
+    recover_snapshot(t2, "words", "_last_batch_id")
+    assert os.path.exists(f"{t2}/words/pre")
+    assert open(f"{t2}/_last_batch_id").read() == "2", "marker must stay pre-merge"
+
+    # healthy snapshot: stale leftovers from an interrupted write are dropped
+    t3 = f"{tmpdir}/t3"
+    mkdir_with(f"{t3}/words", "live")
+    mkdir_with(f"{t3}/.tmp-9", "partial")
+    recover_snapshot(t3, "words", "_last_batch_id")
+    assert os.path.exists(f"{t3}/words/live") and not os.path.exists(f"{t3}/.tmp-9")
+
+    # first-batch crash: no old, no marker, tmp-0 complete
+    t4 = f"{tmpdir}/t4"
+    mkdir_with(f"{t4}/.tmp-0", "post")
+    recover_snapshot(t4, "words", "_last_batch_id")
+    assert os.path.exists(f"{t4}/words/post")
+    assert open(f"{t4}/_last_batch_id").read() == "0"
