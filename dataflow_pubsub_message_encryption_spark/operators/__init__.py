@@ -70,6 +70,8 @@ _WINDOW = [
     "events_rapid_repeat_pairs",
     # round-6 additions land here, each displacing a graded-green filler
     # below (fillers are r5-green keys re-gated only until displaced)
+    "customer_value_quartiles_scalable",
+    "rfm_segmentation_scalable",
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -87,8 +89,6 @@ _WINDOW = [
     "corpus_source_mix",
     "envelope_key_rotation",
     "multimodal_audio_energy",
-    "text_feature_hash",
-    "agg_exact_percentiles_twopass",
 ]
 
 

@@ -240,3 +240,17 @@ def test_bloom_prefilter_probes_via_broadcast_only(spark, sf_dir):
     # one exploded word lookup + bloom-pass membership + exact verify
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_scalable_segmentation_has_no_single_partition_window(spark, sf_dir):
+    """The _global_rank twins must plan with ZERO single-partition
+    exchanges at data grain — the whole point of the machinery (their
+    ntile originals warn 'No Partition Defined for Window')."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    for key in ("customer_value_quartiles_scalable", "rfm_segmentation_scalable"):
+        plan = formatted_plan(SCQ[key](spark, sf_dir))
+        assert "Exchange SinglePartition" not in plan, key
+        assert "Window" in plan, f"{key}: rank window missing entirely"
