@@ -72,6 +72,10 @@ _WINDOW = [
     # below (fillers are r5-green keys re-gated only until displaced)
     "customer_value_quartiles_scalable",
     "rfm_segmentation_scalable",
+    # changed round 6 (candidate caps, oracle-mirrored) -> re-gate
+    "dedup_near_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -86,9 +90,6 @@ _WINDOW = [
     "join_asof_nearest",
     "corpus_training_manifest",
     "sql_recursive_date_spine",
-    "corpus_source_mix",
-    "envelope_key_rotation",
-    "multimodal_audio_energy",
 ]
 
 

@@ -507,3 +507,33 @@ def test_pq_adc_structure_recall_and_determinism(spark, sf_dir):
     assert [(r.vec_id, r.approx_dist) for r in again] == [
         (r.vec_id, r.approx_dist) for r in rows
     ]
+
+
+def test_pair_cap_bounds_hot_source_key(spark, monkeypatch):
+    """_PAIR_CAP backstop (VERDICT r5): inject a hot blocking key with
+    more docs than the cap and pin that (a) every pair stays within the
+    first-cap doc_ids per source, (b) the result equals the uncapped
+    pairing run on the capped subset (the cap is a pure input prune), and
+    (c) a cold source is untouched."""
+    from dataflow_pubsub_message_encryption_spark.operators import dedup as dd
+
+    monkeypatch.setattr(dd, "_PAIR_CAP", 5)
+    rows = [(i, "hot", "alpha beta gamma delta") for i in range(9)] + [
+        (100, "cold", "omega psi"),
+        (101, "cold", "omega psi"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    capped = dd._cap_per_source(docs)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dd.containment_pairs(capped).collect()
+    }
+    # (a) nothing beyond the first 5 hot doc_ids participates
+    assert all((a < 5 and b < 5) or (a >= 100 and b >= 100) for a, b in got)
+    # (b) equal to uncapped pairing on the manually pruned input
+    manual = docs.filter("doc_id < 5 OR source = 'cold'")
+    want = {(r.doc_a, r.doc_b) for r in dd.containment_pairs(manual).collect()}
+    assert got == want
+    # (c) the cold source's pair survives
+    assert (100, 101) in got
