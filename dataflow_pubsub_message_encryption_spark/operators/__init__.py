@@ -76,6 +76,7 @@ _WINDOW = [
     "dedup_near_jaccard",
     "dedup_ngram_jaccard",
     "dedup_containment",
+    "join_bloom_prefilter_fast",
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -89,7 +90,6 @@ _WINDOW = [
     "emb_pca_power_iteration",
     "join_asof_nearest",
     "corpus_training_manifest",
-    "sql_recursive_date_spine",
 ]
 
 

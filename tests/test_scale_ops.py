@@ -368,3 +368,56 @@ def test_pareto_abc_partitions_customers_and_shares(spark, sf_dir):
         assert rows["A"].revenue_share <= 0.80 + avg["A"] / sum(
             r.revenue for r in rows.values()
         )
+
+
+def test_fast_bloom_no_false_negatives(spark):
+    """join_bloom_prefilter_fast's law: EVERY inserted key passes the
+    xxhash64 bloom (membership is sound), and the pass-set over a wider
+    probe domain is a superset of the inserted keys (est >= truth)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+    )
+
+    keys = spark.range(1, 301).select(F.col("id").alias("l_suppkey"))
+    dimpos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("l_suppkey", F.lit(j)), F.lit(_BLOOM_BITS))
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        dimpos.select(
+            F.expr("pos DIV 62").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    packed = words.agg(F.collect_list(F.struct("w", "bm")).alias("ws")).collect()  # test-side
+    arr = [0] * (-(-_BLOOM_BITS // 62))
+    for s in packed[0]["ws"]:
+        arr[s["w"]] = s["bm"]
+
+    def bit_test(j):
+        p = f"pmod(xxhash64(l_suppkey, {j}), {_BLOOM_BITS})"
+        return (
+            f"((shiftright(element_at(bw, CAST({p} DIV 62 AS INT) + 1),"
+            f" CAST({p} % 62 AS INT)) & 1) = 1)"
+        )
+
+    hit = " AND ".join(bit_test(j) for j in range(_BLOOM_K))
+    probe = spark.range(1, 1001).select(
+        F.col("id").alias("l_suppkey"),
+        F.array(*[F.lit(x) for x in arr]).alias("bw"),
+    ).withColumn("hit", F.expr(hit))
+    n_members_passing = probe.filter("l_suppkey <= 300 AND hit").count()
+    assert n_members_passing == 300, "false negative: an inserted key missed"
+    n_pass = probe.filter("hit").count()
+    assert n_pass >= 300, "pass-set must contain every inserted key"
