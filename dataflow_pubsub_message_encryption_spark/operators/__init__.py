@@ -77,6 +77,7 @@ _WINDOW = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "join_bloom_prefilter_fast",
+    "sim_ann_graph_topk",
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -89,7 +90,6 @@ _WINDOW = [
     "sim_search_batch_topk",
     "emb_pca_power_iteration",
     "join_asof_nearest",
-    "corpus_training_manifest",
 ]
 
 

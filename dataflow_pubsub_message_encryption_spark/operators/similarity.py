@@ -1587,3 +1587,243 @@ def emb_duplicate_vectors_exact(spark, sf_dir):
         .cast("long")
         .alias("n_label_conflicts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW-class graph ANN (VERDICT r5 item 7: completes the family
+# LSH / multiprobe / IVF / learned-IVF / PQ / graph)
+
+_GR_M = 10  # neighbors per node per level (HNSW's M)
+_GR_BEAM = 8  # search beam width (HNSW's ef-search), swept: B=8 dominates
+_GR_HOPS = 3  # beam hops per level, unrolled (bounded walk = oracle-able)
+_GR_LEVELS = (2, 1, 0)  # sparse top layer -> dense base layer
+# (M, beam, hops) swept in DuckDB over both fixtures before pinning:
+# M=6/B=1 greedy stalls at recall@10 0.0-0.3; M=10/B=8/h=3 reads 1.0 (sf0.001)
+# and 0.9 (sf0.01) — pinned exactly in tests/test_ext_ops.py
+
+
+def _gr_isq_sql(a: str, b: str) -> str:
+    """DuckDB: integer squared-L2 between two fixed-point vectors."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 65),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _gr_edges_sql(l: int) -> str:
+    return f"""e{l} AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_gr_isq_sql('a.qe', 'b.qe')}, b.vec_id) AS rk
+        FROM lv a JOIN lv b
+          ON a.lvl >= {l} AND b.lvl >= {l} AND a.vec_id != b.vec_id
+      ) WHERE rk <= {_GR_M}
+    )"""
+
+
+def _gr_step_sql(t: int, l: int) -> str:
+    return f"""c{t} AS MATERIALIZED (
+      SELECT n0.vec_id FROM (
+        SELECT vec_id FROM c{t - 1}
+        UNION
+        SELECT e.dst AS vec_id FROM e{l} e JOIN c{t - 1} c ON e.src = c.vec_id
+      ) f
+      JOIN lv n0 ON n0.vec_id = f.vec_id
+      CROSS JOIN probe p
+      ORDER BY {_gr_isq_sql('n0.qe', 'p.pq')}, n0.vec_id
+      LIMIT {_GR_BEAM}
+    )"""
+
+
+def _gr_sql() -> str:
+    steps, t = [], 0
+    for l in _GR_LEVELS:
+        for _ in range(_GR_HOPS):
+            t += 1
+            steps.append(_gr_step_sql(t, l))
+    final = t
+    return f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    lv AS MATERIALIZED (
+      SELECT vec_id, qe,
+             CASE WHEN hv % 16 = 0 THEN 2
+                  WHEN hv % 4 = 0 THEN 1
+                  ELSE 0 END AS lvl
+      FROM (
+        SELECT vec_id, qe,
+               (instr('0123456789abcdef',
+                      substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + (instr('0123456789abcdef',
+                        substr(sha256(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)
+                 AS hv
+        FROM qv WHERE vec_id != {_PROBE_ID}
+      )
+    ),
+    probe AS MATERIALIZED (
+      SELECT qe AS pq FROM qv WHERE vec_id = {_PROBE_ID}
+    ),
+    {', '.join(_gr_edges_sql(l) for l in _GR_LEVELS)},
+    c0 AS MATERIALIZED (
+      SELECT vec_id FROM lv ORDER BY lvl DESC, vec_id LIMIT 1
+    ),
+    {', '.join(steps)},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_id FROM c{final}
+        UNION ALL
+        SELECT e.dst AS vec_id
+        FROM e0 e JOIN c{final} c ON e.src = c.vec_id
+        UNION ALL
+        SELECT eb.dst AS vec_id
+        FROM e0 ea JOIN c{final} c ON ea.src = c.vec_id
+        JOIN e0 eb ON eb.src = ea.dst
+      )
+    )
+    SELECT vec_id, idist FROM (
+      SELECT n.vec_id, {_gr_isq_sql('n.qe', 'p.pq')} AS idist
+      FROM cand f JOIN lv n ON n.vec_id = f.vec_id CROSS JOIN probe p
+    ) ORDER BY idist, vec_id LIMIT {_TOPK}
+    """
+
+
+def _gr_isq(a, b):
+    """Spark: integer squared-L2 (exact int64 arithmetic — the same
+    accumulation the oracle's list_sum performs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _gr_nodes(e):
+    """Quantize + seeded level assignment (sha-nibble of the vec_id: the
+    deterministic stand-in for HNSW's geometric level draw — P(lvl>=1)=1/4,
+    P(lvl=2)=1/16, the 'exponentially decaying layer population')."""
+    h = F.sha2(F.col("vec_id").cast("string"), 256)
+
+    def nib(i):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    hv = nib(1) * 16 + nib(2)
+    qe = F.transform(
+        as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
+    )
+    return e.select(
+        "vec_id",
+        qe.alias("qe"),
+        F.when(hv % 16 == 0, 2).when(hv % 4 == 0, 1).otherwise(0).alias("lvl"),
+    )
+
+
+def _gr_edges(nodes, l: int):
+    """Level-l M-NN graph: self-join among nodes living at level >= l,
+    keep each source's _GR_M nearest by (integer distance, dst id)."""
+    a, b = nodes.alias("a"), nodes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lvl") >= l)
+        & (F.col("b.lvl") >= l)
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        _gr_isq(F.col("a.qe"), F.col("b.qe")).alias("d"),
+    )
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _GR_M)
+        .select("src", "dst")
+    )
+
+
+def _gr_step(cur, edges, nodes, probe):
+    """One beam hop (HNSW ef-search analog): frontier = beam ∪ N(beam);
+    keep the _GR_BEAM frontier nodes nearest the probe (ties by id). The
+    beam is what rescues greedy descent from local optima — swept: beam=1
+    reads recall 0.0-0.3, beam=8 reads 0.9-1.0 on the fixtures."""
+    nb = cur.join(edges, cur["vec_id"] == edges["src"]).select(
+        F.col("dst").alias("vec_id")
+    )
+    frontier = cur.select("vec_id").union(nb).distinct()
+    scored = (
+        frontier.join(nodes, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("d"))
+    )
+    return scored.orderBy("d", "vec_id").limit(_GR_BEAM).select("vec_id")
+
+
+@query("sim_ann_graph_topk", _gr_sql())
+def sim_ann_graph_topk(spark, sf_dir):
+    """Graph-index ANN (HNSW/NSW class) — the family member the r5 verdict
+    called missing: a multi-level navigable small-world graph, fully
+    deterministic so the unrolled oracle replays it move for move.
+
+    Build: fixed-point vectors (round(x·1e6) int64 — integer squared-L2 is
+    exact cross-engine); each node draws its level from sha-nibbles of its
+    id (P(lvl≥1)=1/4, P(lvl=2)=1/16 — HNSW's exponentially-thinning
+    layers, seeded instead of random); each level keeps every node's
+    ``_GR_M`` nearest same-or-higher-level neighbors (ties by id).
+
+    Search: enter at the topmost node (id tie-break), run ``_GR_HOPS``
+    greedy hops per level from sparse to dense (frontier = self ∪
+    neighbors, move to the probe-nearest), then score the final node's
+    2-hop base-layer neighborhood (≤ 1+M+M² candidates — the ef-candidate
+    set) and return the exact top-10 by (distance, id).
+
+    Scale shape: the per-level graph build here is the naive self-join
+    (fixture |V|=500); at 100 TB the build is NN-descent or LSH-bucketed
+    candidate generation (both shuffle candidate edges, never all pairs)
+    — the rank-per-source window and everything downstream is unchanged.
+    The walk itself touches ≤ (M+1)·hops·levels rows per query and serves
+    from a broadcast edge list: graph ANN is built distributed, served
+    cheap. Recall vs the brute-force truth op is pinned in
+    tests/test_ext_ops.py (like sim_ann_recall_eval)."""
+    e = load(spark, sf_dir, "embeddings")
+    # eager localCheckpoint = the oracle's MATERIALIZED: each greedy step
+    # references its predecessor twice and the shared edge/node tables, so
+    # lazy lineage would double per hop (2^9 subtrees — measured: the plan
+    # never finishes compiling). Same per-round pattern as the connected-
+    # components contraction loop (graph.py).
+    nodes = _gr_nodes(e.filter(F.col("vec_id") != _PROBE_ID)).localCheckpoint()
+    probe = (
+        e.filter(F.col("vec_id") == _PROBE_ID)
+        .select(
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            ).alias("pq")
+        )
+        .localCheckpoint()
+    )
+    edges = {l: _gr_edges(nodes, l).localCheckpoint() for l in _GR_LEVELS}
+    cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
+    for l in _GR_LEVELS:
+        for _ in range(_GR_HOPS):
+            cur = _gr_step(cur, edges[l], nodes, probe).localCheckpoint()
+    e0 = edges[0]
+    hop1 = cur.join(e0, cur["vec_id"] == e0["src"]).select(
+        F.col("dst").alias("vec_id")
+    )
+    ea, eb = e0.alias("ea"), e0.alias("eb")
+    hop2 = (
+        cur.join(ea, cur["vec_id"] == F.col("ea.src"))
+        .join(eb, F.col("ea.dst") == F.col("eb.src"))
+        .select(F.col("eb.dst").alias("vec_id"))
+    )
+    cand = cur.select("vec_id").union(hop1).union(hop2).distinct()
+    return (
+        cand.join(nodes, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("idist"))
+        .orderBy("idist", "vec_id")
+        .limit(_TOPK)
+    )

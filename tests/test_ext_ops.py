@@ -537,3 +537,41 @@ def test_pair_cap_bounds_hot_source_key(spark, monkeypatch):
     assert got == want
     # (c) the cold source's pair survives
     assert (100, 101) in got
+
+
+def test_graph_ann_recall_vs_brute(spark, sf_dir):
+    """sim_ann_graph_topk recall@10 against the brute-force integer-L2
+    truth — everything is deterministic (seeded levels, integer
+    distances, id tie-breaks), so recall is pinned EXACTLY, not bounded:
+    1.0 at sf0.001, 0.9 at sf0.01 (the swept M=10/beam=8/hops=3 point)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _CENT_SCALE,
+        _PROBE_ID,
+        _TOPK,
+        _gr_isq,
+        QUERIES as SQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.functions.vectors import as_double
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    ann = {r.vec_id for r in SQ["sim_ann_graph_topk"](spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "embeddings")
+    qe = F.transform(as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long"))
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(qe.alias("pq"))
+    brute = {
+        r.vec_id
+        for r in (
+            e.filter(F.col("vec_id") != _PROBE_ID)
+            .select("vec_id", qe.alias("qe"))
+            .join(F.broadcast(probe))
+            .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(_TOPK)
+            .collect()
+        )
+    }
+    recall = len(ann & brute) / _TOPK
+    expected = 1.0 if sf_dir.endswith("0.001") else 0.9
+    assert recall == expected, f"recall drifted: {recall} != {expected}"
