@@ -5,10 +5,18 @@ value comparison) so regressions surface locally before a round ends.
 
 Usage: python tools/check.py [sf_dir] [query ...]
        python tools/check.py --wrapper [sf_dir] [query ...]
+       python tools/check.py --changed [--wrapper] [sf_dir]
 
 --wrapper: exercise the exact driver path — a bare SparkSession (no engine
 confs pre-applied) calling ``__spark_entry__.queries()`` / ``oracle_sql()``
 instead of the internal registry.
+
+--changed: git-diff-driven selection (VERDICT r5 item 9 — the registry is
+230+ queries, a full sweep is no longer a per-commit tool): check only the
+queries registered by operator modules touched in the working tree (or, if
+the tree is clean, by the last commit). A touched shared module
+(functions/ sources/ plans/ streaming/) can affect any query, so that
+triggers a loud warning recommending the full sweep.
 """
 
 from __future__ import annotations
@@ -55,12 +63,55 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _changed_query_names() -> set[str]:
+    """Queries registered by operator modules the git diff touches."""
+    import subprocess
+    from importlib import import_module
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def diff(*rev) -> list[str]:
+        out = subprocess.run(
+            ["git", "-C", repo, "diff", "--name-only", *rev],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return [line for line in out.splitlines() if line.strip()]
+
+    files = diff("HEAD")
+    if not files:
+        files = diff("HEAD~1", "HEAD")
+    pkg = "dataflow_pubsub_message_encryption_spark"
+    shared = [
+        f for f in files
+        if f.startswith(f"{pkg}/") and f"{pkg}/operators/" not in f
+    ]
+    if shared:
+        print(f"WARNING: shared engine files changed ({shared}) — any query "
+              "may be affected; run the full sweep before shipping")
+    names: set[str] = set()
+    for f in files:
+        if f.startswith(f"{pkg}/operators/") and f.endswith(".py"):
+            mod_name = os.path.basename(f)[:-3]
+            if mod_name in ("__init__", "base"):
+                continue
+            mod = import_module(f"{pkg}.operators.{mod_name}")
+            names |= set(getattr(mod, "QUERIES", {}))
+    return names
+
+
 def main() -> int:
     args = sys.argv[1:]
     wrapper = "--wrapper" in args
-    args = [a for a in args if a != "--wrapper"]
+    changed = "--changed" in args
+    args = [a for a in args if a not in ("--wrapper", "--changed")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if changed:
+        only |= _changed_query_names()
+        if not only:
+            print("--changed: no operator-module changes detected; nothing to check")
+            return 0
+        print(f"--changed: {len(only)} queries from touched modules")
 
     if wrapper:
         from pyspark.sql import SparkSession
