@@ -1044,3 +1044,30 @@ def test_snapshot_swap_crash_recovery(tmpdir):
     recover_snapshot(t4, "words", "_last_batch_id")
     assert os.path.exists(f"{t4}/words/post")
     assert open(f"{t4}/_last_batch_id").read() == "0"
+
+
+def test_stateful_v2_env_boundary_is_exactly_protobuf():
+    """Pin the documented env boundary (stateful_v2.py header): the ONLY
+    thing between this container and the transformWithStateInPandas e2e
+    path is the protobuf package — Spark's own state-protocol module
+    (pyspark.sql.streaming.proto.StateMessage_pb2) must import iff
+    google.protobuf does. If protobuf ever lands in the image, this test
+    forces the e2e twin (which importorskips on the same condition) to
+    start running instead of silently staying skipped."""
+    import importlib
+
+    try:
+        importlib.import_module("google.protobuf")
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    try:
+        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
+        proto_importable = True
+    except ImportError as e:
+        proto_importable = False
+        assert "google" in str(e), (
+            f"boundary drifted: state protocol failed on {e!r}, not protobuf"
+        )
+    assert proto_importable == has_protobuf
