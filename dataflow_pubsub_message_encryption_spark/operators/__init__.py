@@ -78,6 +78,8 @@ _WINDOW = [
     "dedup_containment",
     "join_bloom_prefilter_fast",
     "sim_ann_graph_topk",
+    "win_ntile_scalable",
+    "corpus_perplexity_buckets_scalable",
     "sim_ann_kmeans_ivf_topk",
     "text_bpe_merges",
     "text_bpe_encode",
@@ -88,8 +90,6 @@ _WINDOW = [
     "corpus_temperature_resample",
     "agg_exact_median_twopass",
     "sim_search_batch_topk",
-    "emb_pca_power_iteration",
-    "join_asof_nearest",
 ]
 
 

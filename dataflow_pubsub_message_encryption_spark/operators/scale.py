@@ -1552,3 +1552,65 @@ def join_bloom_prefilter_fast(spark, sf_dir):
             "revenue"
         ),
     )
+
+
+@query(
+    "win_ntile_scalable",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def win_ntile_scalable(spark, sf_dir):
+    """C21's scale-safe twin — the last member of the VERDICT r5 global-
+    ntile weak family: same (c_custkey, quartile) rows as ``win_ntile``,
+    but the single-partition window is replaced by the distributed
+    global-rank machinery + all-integer ntile formula. The oracle runs
+    the plain ntile, so equality is proven at DATA grain (every customer
+    row carries its bucket — unlike the segmentation twins this op
+    returns the full assignment, which is what a downstream join
+    consumes)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = _global_rank(cust, "c_acctbal", "c_custkey")
+    return ranked.select(
+        "c_custkey", _ntile_from_rank(F.col("rk"), n, 4).alias("quartile")
+    )
+
+
+from .text import ORACLES as _TEXT_ORACLES  # noqa: E402
+
+
+@query(
+    "corpus_perplexity_buckets_scalable",
+    _TEXT_ORACLES["corpus_perplexity_buckets"],  # identical oracle: the
+    # rank machinery must answer the ntile form's SQL verbatim
+)
+def corpus_perplexity_buckets_scalable(spark, sf_dir):
+    """CCNet head/middle/tail split WITHOUT the single-partition tercile
+    window: scores come from the same ``text_unigram_logprob`` op, the
+    tercile cut from :func:`_global_rank` + the integer ntile formula —
+    answering the ORIGINAL op's oracle verbatim, so the rank machinery is
+    proven equal to the ntile form on a second, document-grain ordering
+    (6dp float scores with doc_id tie-break). Closes the whole r5
+    'global single-partition window at data grain' weak family."""
+    from .text import QUERIES as TEXT_QUERIES
+
+    scored = TEXT_QUERIES["text_unigram_logprob"](spark, sf_dir)
+    ranked, n = _global_rank(
+        scored.select("doc_id", "avg_neg_logprob", "n_tokens"),
+        "avg_neg_logprob",
+        "doc_id",
+    )
+    b = ranked.withColumn("bucket", _ntile_from_rank(F.col("rk"), n, 3))
+    name = (
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail")
+    )
+    return b.groupBy(name.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.min("avg_neg_logprob"), 6).alias("score_min"),
+        F.round(F.max("avg_neg_logprob"), 6).alias("score_max"),
+    )

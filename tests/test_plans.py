@@ -250,7 +250,12 @@ def test_scalable_segmentation_has_no_single_partition_window(spark, sf_dir):
         QUERIES as SCQ,
     )
 
-    for key in ("customer_value_quartiles_scalable", "rfm_segmentation_scalable"):
+    for key in (
+        "customer_value_quartiles_scalable",
+        "rfm_segmentation_scalable",
+        "win_ntile_scalable",
+        "corpus_perplexity_buckets_scalable",
+    ):
         plan = formatted_plan(SCQ[key](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, key
         assert "Window" in plan, f"{key}: rank window missing entirely"
