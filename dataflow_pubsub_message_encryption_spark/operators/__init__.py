@@ -80,11 +80,11 @@ _WINDOW = [
     "sim_ann_graph_topk",
     "win_ntile_scalable",
     "corpus_perplexity_buckets_scalable",
+    "dedup_span_exact",
+    "decontam_span_max",
+    "sim_radius_search",
+    "join_point_in_time_scd2",
     "sim_ann_kmeans_ivf_topk",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "text_repetition_stats",
-    "profile_key_skew",
     "graph_triangle_count",
     "window_rolling_zscore",
     "corpus_temperature_resample",

@@ -115,3 +115,79 @@ def cdc_scd2_intervals(spark, sf_dir):
         F.coalesce(ts_str(nxt), F.lit(_OPEN_END)).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    f"""
+    WITH dim AS (
+      SELECT user_id, event_id AS state_event_id, event_type AS state_type,
+             ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    f AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id,
+           {duck_ts('f.ts')} AS purchase_ts,
+           CAST(round(CAST(f.value AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS purchase_value,
+           d.state_event_id,
+           d.state_type,
+           {duck_ts('d.vf')} AS state_since
+    FROM f LEFT JOIN dim d
+      ON d.user_id = f.user_id AND d.vf <= f.ts
+         AND (f.ts < d.vt OR d.vt IS NULL)
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time (PIT) join against SCD2 validity intervals — the
+    warehouse/feature-store lookup the SCD2 build exists FOR: every
+    purchase fact picks up the dimension version (here: the user's most
+    recent non-purchase state event) that was valid AT the purchase
+    timestamp, via interval containment ``valid_from <= ts < valid_to``
+    with the open current version matching everything after its start.
+    LEFT semantics: a purchase before the user's first state version
+    survives with NULL state (PIT joins must never lose facts — the
+    training-data corollary is no feature leakage from the future, which
+    the containment predicate enforces by construction).
+
+    Versions partition each user's timeline, so join multiplicity is ≤ 1
+    per fact — same-timestamp version pairs yield an empty [t, t)
+    interval for the superseded row in BOTH engines, keeping the winner
+    deterministic. Scale: user_id equality drives the shuffle (ordinary
+    equi-join); the containment residual filters in-place. The per-user
+    ``lead`` window parallelizes across keys; a bot-user hot key falls to
+    the documented SCD2 mitigation (time-bucketed window + boundary
+    stitch)."""
+    ev = load_events(spark, sf_dir)
+    dim = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_id").alias("state_event_id"),
+            F.col("event_type").alias("state_type"),
+            F.col("ts").alias("vf"),
+        )
+        .withColumn(
+            "vt", F.lead("vf").over(
+                Window.partitionBy("d_user").orderBy("vf", "state_event_id")
+            )
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase")
+    j = facts.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("vf") <= F.col("ts"))
+        & ((F.col("ts") < F.col("vt")) | F.col("vt").isNull()),
+        "left",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("purchase_ts"),
+        money(dec4("value")).alias("purchase_value"),
+        "state_event_id",
+        "state_type",
+        ts_str("vf").alias("state_since"),
+    )

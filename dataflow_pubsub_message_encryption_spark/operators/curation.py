@@ -635,3 +635,109 @@ def dq_rule_violations(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "decontam_span_max",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN substr(sha256(text), 1, 1) < 'd' THEN 'train'
+                  WHEN substr(sha256(text), 1, 1) < 'f' THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split(text, ' ') AS t
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SHINGLE_N}
+    ),
+    p2 AS (
+      SELECT b.doc_id, b.split, i.i AS i,
+             array_to_string(list_slice(b.t, i.i, i.i + {_SHINGLE_N - 1}), ' ')
+               AS s
+      FROM base b, LATERAL (
+        SELECT unnest(generate_series(1, len(b.t) - {_SHINGLE_N - 1})) AS i
+      ) i
+    ),
+    tr AS (SELECT DISTINCT s FROM p2 WHERE split = 'train'),
+    m AS (
+      SELECT p.doc_id, p.i FROM p2 p JOIN tr USING (s)
+      WHERE p.split = 'test'
+    ),
+    runs AS (
+      SELECT doc_id,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM m
+    ),
+    sp AS (SELECT doc_id, count(*) AS run FROM runs GROUP BY doc_id, g),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(run) AS BIGINT) AS n_matched_positions,
+             CAST(max(run) + {_SHINGLE_N - 1} AS BIGINT) AS max_span_tokens
+      FROM sp GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(b.t) - {_SHINGLE_N - 1} AS BIGINT) AS n_positions,
+           a.n_matched_positions,
+           a.max_span_tokens
+    FROM agg a JOIN base b USING (doc_id)
+    """,
+)
+def decontam_span_max(spark, sf_dir):
+    """Span-level decontamination — the GPT-3/Llama-report flavor the
+    sibling ``decontam_ngram_overlap`` doesn't measure: not just WHETHER a
+    held-out document shares 5-grams with the train split, but the LONGEST
+    CONTIGUOUS contaminated run (in tokens). A single shared idiom reads
+    max_span = n-gram width; a verbatim lifted passage reads tens of
+    tokens — the difference between 'discard the doc' and 'ignore'.
+
+    Mechanics: every 5-gram START POSITION of a test doc is matched
+    against the train split's distinct-shingle set; matched positions form
+    runs via gaps-and-islands (pos − row_number, window PARTITIONED by
+    doc — parallel), and a run of R consecutive matched starts covers
+    R + 4 tokens. Scale: the benchmark (test) side is tiny and broadcast;
+    the train corpus streams past it map-side, ships one distinct int64
+    fingerprint per shingle, and is never sorted (the oracle joins literal
+    strings, re-certifying the fingerprint join collision-free). Only
+    contaminated docs emit rows, like the sibling op."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    h1 = F.substring(F.sha2("text", 256), 1, 1)
+    split = F.when(h1 < "d", "train").when(h1 < "f", "val").otherwise("test")
+    base = docs.select("doc_id", toks.alias("t"), split.alias("split")).filter(
+        F.size("t") >= _SHINGLE_N
+    )
+    pos = base.select(
+        "doc_id",
+        "split",
+        F.size("t").alias("nt"),
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1))
+        ).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "split",
+        "nt",
+        "i",
+        F.xxhash64(F.array_join(F.slice("t", F.col("i"), _SHINGLE_N), " ")).alias(
+            "s"
+        ),
+    )
+    test_pos = pos.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("b_doc"), F.col("nt").alias("b_nt"), "i", "s"
+    )
+    train_sh = pos.filter(F.col("split") == "train").select("s").distinct()
+    matched = train_sh.join(F.broadcast(test_pos), "s").select(
+        "b_doc", "b_nt", "i"
+    )
+    w = Window.partitionBy("b_doc").orderBy("i")
+    runs = matched.withColumn("g", F.col("i") - F.row_number().over(w))
+    sp = runs.groupBy("b_doc", "b_nt", "g").agg(F.count("*").alias("run"))
+    return sp.groupBy("b_doc", "b_nt").agg(
+        F.sum("run").cast("long").alias("n_matched_positions"),
+        (F.max("run") + (_SHINGLE_N - 1)).cast("long").alias("max_span_tokens"),
+    ).select(
+        F.col("b_doc").alias("doc_id"),
+        (F.col("b_nt") - (_SHINGLE_N - 1)).cast("long").alias("n_positions"),
+        "n_matched_positions",
+        "max_span_tokens",
+    )

@@ -1357,3 +1357,92 @@ def dedup_minhash_bbit(spark, sf_dir):
 ORACLES["dedup_minhash_bbit"] = ORACLES["dedup_minhash_bbit"].replace(
     "__LSH2__", ORACLES["dedup_minhash_lsh_pairs"]
 )
+
+
+_SPAN_W = 8  # tokens per exact-dedup span (non-overlapping windows)
+
+
+@query(
+    "dedup_span_exact",
+    f"""
+    WITH sp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(len(string_split(text, ' ')) // {_SPAN_W} AS INT)),
+               i -> sha256(array_to_string(
+                      list_slice(string_split(text, ' '),
+                                 i * {_SPAN_W} + 1, i * {_SPAN_W} + {_SPAN_W}),
+                      ' ')))) AS span
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+    ),
+    census AS (
+      SELECT span, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY span
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(CAST(SUM(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio
+    FROM sp JOIN census c USING (span)
+    GROUP BY doc_id
+    """,
+)
+def dedup_span_exact(spark, sf_dir):
+    """Sub-document EXACT-substring dedup census — the C4 line-dedup /
+    'Deduplicating Training Data Makes LMs Better' (Lee et al.) signal,
+    adapted to this corpus's structure (no newlines): each document is cut
+    into consecutive non-overlapping ``_SPAN_W``-token spans, a corpus-wide
+    span census counts how many DISTINCT documents carry each span, and
+    every document reports its cross-document duplicated-span fraction —
+    the number a curation pass thresholds to strip boilerplate spans that
+    doc-level dedup (exact or MinHash) cannot see because the containing
+    documents differ.
+
+    Scale shape: spans travel as 32-byte hashes, never text (the shuffle
+    is |spans| hashes ≈ |tokens|/W); the census is one partial-aggregating
+    groupBy; the rollup joins ids+hashes back on the span key. The
+    production extreme of this family is a suffix-array pass (exact
+    substrings of ANY length); fixed-window spans are the standard
+    shuffle-friendly approximation with one-pass cost. Trailing <W-token
+    remainders are dropped deterministically on both engines (floor-div
+    span count)."""
+    toks = F.split(F.col("text"), " ")
+    docs = (
+        _parallel(spark, load(spark, sf_dir, "documents"))
+        .filter(F.size(toks) >= _SPAN_W)
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.floor(F.size(toks) / _SPAN_W).cast("int").alias("n_spans"),
+        )
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("si"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.sha2(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("si") * _SPAN_W + 1, _SPAN_W), " "
+            ),
+            256,
+        ).alias("span"),
+    )
+    census = spans.groupBy("span").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        spans.join(census, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+            F.round(F.sum(dup).cast("double") / F.count("*"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+    )

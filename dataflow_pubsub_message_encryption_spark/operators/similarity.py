@@ -1827,3 +1827,50 @@ def sim_ann_graph_topk(spark, sf_dir):
         .orderBy("idist", "vec_id")
         .limit(_TOPK)
     )
+
+
+_RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the
+# top-k ops' _COS_TAU=0.3 admits only 3-4, too thin to exercise the shape)
+
+
+@query(
+    "sim_radius_search",
+    f"""
+    SELECT vec_id, label, cos_sim FROM (
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = {_PROBE_ID})), 6) AS cos_sim
+      FROM embeddings e WHERE e.vec_id != {_PROBE_ID}
+    ) WHERE cos_sim >= {_RADIUS_TAU}
+    """,
+)
+def sim_radius_search(spark, sf_dir):
+    """Radius (range) similarity search — the OTHER vector-query shape:
+    top-k answers 'the k nearest', radius answers 'EVERYTHING within
+    cos ≥ τ' (dedup sweeps, recommendation candidate pools, abuse-cluster
+    expansion all want the full ball, not a fixed k). Brute form: one
+    broadcast of the probe, a codegen'd cosine map, and a pushed filter —
+    no TakeOrdered, no sort at all, so the scan parallelizes perfectly
+    and output size is data-driven. At 100 TB the radius query is BETTER
+    suited to bucket pruning than top-k (a ball maps to a fixed set of
+    IVF cells / LSH buckets with a provable cell-boundary bound, whereas
+    top-k's k-th distance is unknown a priori); the pruned variants reuse
+    ``sim_ann_*``'s bucket machinery unchanged with τ as the verify
+    filter."""
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+        as_double("embedding").alias("probe_emb")
+    )
+    return (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine(as_double("embedding"), F.col("probe_emb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _RADIUS_TAU)
+    )
