@@ -84,10 +84,10 @@ _WINDOW = [
     "decontam_span_max",
     "sim_radius_search",
     "join_point_in_time_scd2",
+    "graph_label_propagation",
+    "emb_truncation_fidelity",
     "sim_ann_kmeans_ivf_topk",
     "graph_triangle_count",
-    "window_rolling_zscore",
-    "corpus_temperature_resample",
     "agg_exact_median_twopass",
     "sim_search_batch_topk",
 ]

@@ -608,3 +608,97 @@ def graph_kcore_membership(spark, sf_dir):
         F.col("d").cast("int").alias("core_degree"),
         "converged",
     )
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(r: int) -> str:
+    return f"""n{r} AS MATERIALIZED (
+      SELECT e.dst AS node, l.lab AS lab, count(*) AS c
+      FROM bedges e JOIN l{r - 1} l ON l.node = e.src
+      GROUP BY 1, 2
+    ),
+    l{r} AS MATERIALIZED (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+        FROM n{r}
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "graph_label_propagation",
+    f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]})
+    ),
+    bedges AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE doc_a <> doc_b
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE doc_a <> doc_b
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT dst AS node, dst AS lab FROM bedges
+    ),
+    {', '.join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))}
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(lab AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Label-propagation communities (Raghavan et al. 2007) over the
+    verified near-duplicate graph — the community-detection sibling of
+    ``dedup_cluster_components``: components answer 'which docs are
+    transitively duplicates', LPA answers 'which docs form DENSE
+    duplicate neighborhoods' (a long weak chain splits into its hubs,
+    which is what corpus triage wants when a component is too coarse to
+    keep-one-drop-rest).
+
+    Determinism: synchronous updates, a FIXED ``_LPA_ROUNDS`` rounds
+    (asynchronous/converged LPA is famously order-dependent — the
+    bounded synchronous unroll is the oracle-able form), and the
+    most-frequent-neighbor-label argmax fully tie-broken by (count DESC,
+    label ASC). Each round = one edges⋈labels equi-join + a per-(node,
+    label) partial-aggregating count + a per-node argmax window
+    (PARTITIONED — parallel), ids only, with per-round eager
+    localCheckpoint exactly like the components loop. At 100 TB: rounds
+    are O(|E|) shuffles; label skew (a giant community) concentrates in
+    the count aggregate, which partial-aggregates map-side — the same
+    reason the components loop survives."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    e1 = pairs.filter(F.col("doc_a") != F.col("doc_b")).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    bedges = (
+        e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = bedges.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            bedges.join(labels, bedges["src"] == labels["node"])
+            .select("dst", "lab")
+            .groupBy("dst", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("c"), "lab")
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "lab")
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("lab").cast("long").alias("community"),
+    )

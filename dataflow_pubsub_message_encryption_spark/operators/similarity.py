@@ -1874,3 +1874,108 @@ def sim_radius_search(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= _RADIUS_TAU)
     )
+
+
+_TRUNC_D = 16  # truncated prefix dimensionality (64 -> 16, MRL-style)
+
+
+@query(
+    "emb_truncation_fidelity",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id % {_KNN_STRIDE} = 0
+    ),
+    full_rank AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC, e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    trunc_rank AS (
+      SELECT q.qid, e.vec_id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY round(list_cosine_similarity(
+                 list_slice(CAST(e.embedding AS DOUBLE[]), 1, {_TRUNC_D}),
+                 list_slice(q.qe, 1, {_TRUNC_D})), 6) DESC, e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id <> q.qid
+    ),
+    ov AS (
+      SELECT f.qid, count(*) AS n_common
+      FROM (SELECT qid, vec_id FROM full_rank WHERE rn <= {_TOPK}) f
+      JOIN (SELECT qid, vec_id FROM trunc_rank WHERE rn <= {_TOPK}) t
+        USING (qid, vec_id)
+      GROUP BY f.qid
+    )
+    SELECT q.qid AS q_vec,
+           CAST(COALESCE(ov.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(ov.n_common, 0) AS DOUBLE) / {_TOPK}, 6)
+             AS recall_at_k
+    FROM q LEFT JOIN ov ON ov.qid = q.qid
+    """,
+)
+def emb_truncation_fidelity(spark, sf_dir):
+    """Truncated-embedding retrieval fidelity — the Matryoshka (MRL)
+    evaluation every embedding-serving stack runs before cutting storage
+    4×: for each query vector, how much of the full-64-dim cosine top-k
+    survives when BOTH sides are truncated to their first {_TRUNC_D}
+    components (prefix truncation is the MRL contract; for non-MRL
+    embeddings this measures how front-loaded the variance is, cf. the
+    PCA ops). Per-query recall@k of the truncated index against the
+    full-dim truth — the number that decides whether the cheap index
+    serves tier-1 traffic or only candidate generation.
+
+    Shapes: the query set (every {_KNN_STRIDE}th vector) is broadcast;
+    both rankings are per-query windows (PARTITIONED by query — parallel;
+    6dp-rounded sims, id tie-breaks make both engines rank identically);
+    overlap is an id equi-join of two top-k sets. At 100 TB each ranking
+    is the brute scan the ANN ops replace — the eval runs on a sampled
+    query set by design, so cost is |queries| × scan, embarrassingly
+    parallel."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") % _KNN_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("qid"), as_double("embedding").alias("qe")
+        )
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(as_double("embedding"), F.col("qe")), 6).alias("cs_full"),
+        F.round(
+            cosine(
+                F.slice(as_double("embedding"), 1, _TRUNC_D),
+                F.slice(F.col("qe"), 1, _TRUNC_D),
+            ),
+            6,
+        ).alias("cs_trunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cs_full"), "vec_id")
+    wt = Window.partitionBy("qid").orderBy(F.desc("cs_trunc"), "vec_id")
+    ranked = pairs.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    ov = (
+        ranked.filter((F.col("rf") <= _TOPK) & (F.col("rt") <= _TOPK))
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        q.select("qid")
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("q_vec"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / _TOPK,
+                6,
+            ).alias("recall_at_k"),
+        )
+    )
