@@ -86,10 +86,10 @@ _WINDOW = [
     "join_point_in_time_scd2",
     "graph_label_propagation",
     "emb_truncation_fidelity",
+    "text_entropy_char",
+    "events_top_paths",
+    "split_temporal_holdout",
     "sim_ann_kmeans_ivf_topk",
-    "graph_triangle_count",
-    "agg_exact_median_twopass",
-    "sim_search_batch_topk",
 ]
 
 

@@ -1456,3 +1456,50 @@ def events_rapid_repeat_pairs(spark, sf_dir):
             gap.alias("gap_us"),
         )
     )
+
+
+@query(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, n_occurrences FROM (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    ) ORDER BY n_occurrences DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top-10 most-travelled 3-step event paths — the clickstream
+    path-analysis table (what leads to purchase? where do signups come
+    from?) that generalizes ``events_transition_matrix``'s 2-step edges to
+    path n-grams. Each user's stream yields its consecutive type trigrams
+    via two leads over ONE per-user window pass (no self-joins — the
+    window is partitioned by user, parallel across keys); the global census
+    partial-aggregates to ≤ |types|³ = 125 path rows, and the top-10 is
+    TakeOrdered, never a global sort. At 100 TB the only real shuffle is
+    the per-user window's — the same one sessionization already pays —
+    and the path census rides map-side combine."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(10)
+    )

@@ -25,8 +25,9 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.normalize import ts_str
 from ..functions.textfns import tokens
-from ..sources import load
+from ..sources import load, load_events
 from .base import make_registry
 
 QUERIES, ORACLES, query = make_registry()
@@ -323,4 +324,74 @@ def corpus_temperature_resample(spark, sf_dir):
         "n_before",
         "keep_rate",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+_TEMPORAL_SPLIT = "2024-01-24"  # ~80/20 over the fixture's Jan 1-30 span
+
+
+@query(
+    "split_temporal_holdout",
+    f"""
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN ts < TIMESTAMP '{_TEMPORAL_SPLIT}'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events
+    ),
+    shared AS (
+      SELECT CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT user_id FROM s WHERE split = 'train'
+        INTERSECT
+        SELECT user_id FROM s WHERE split = 'test'
+      )
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           (SELECT c FROM shared) AS n_users_in_both
+    FROM s GROUP BY split
+    """,
+)
+def split_temporal_holdout(spark, sf_dir):
+    """Time-based train/test holdout — the OTHER canonical split beside
+    the content-hash one (``split_train_test``): everything before the
+    boundary trains, everything after evaluates, which is the only split
+    that is leakage-safe for forecasting/recommendation tasks (a random
+    or hash split trains on the future). The census reports each side's
+    volume, reach and time extent, plus the cross-split shared-user count
+    — NOT a leak (user overlap is expected in temporal splits) but the
+    number that distinguishes user-cold-start from warm-start evaluation.
+
+    Shapes: one scan with the boundary predicate folded into a CASE (at
+    scale: partition pruning makes each side read only its date range);
+    the distinct-user counts are the only shuffles; the shared-user
+    intersect runs at |users| grain. Timestamps exit as NTZ strings per
+    the house discipline."""
+    ev = load_events(spark, sf_dir)
+    boundary = F.lit(_TEMPORAL_SPLIT).cast("timestamp_ntz")
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.when(F.col("ts") < boundary, "train").otherwise("test").alias(
+            "split"
+        ),
+    )
+    shared = (
+        s.filter("split = 'train'")
+        .select("user_id")
+        .intersect(s.filter("split = 'test'").select("user_id"))
+        .agg(F.count("*").cast("long").alias("n_users_in_both"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            ts_str(F.min("ts")).alias("min_ts"),
+            ts_str(F.max("ts")).alias("max_ts"),
+        )
+        .crossJoin(F.broadcast(shared))  # 2 rows x 1 row
     )

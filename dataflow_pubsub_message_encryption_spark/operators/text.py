@@ -1180,3 +1180,64 @@ def corpus_perplexity_buckets(spark, sf_dir):
         F.round(F.min("avg_neg_logprob"), 6).alias("score_min"),
         F.round(F.max("avg_neg_logprob"), 6).alias("score_max"),
     )
+
+
+@query(
+    "text_entropy_char",
+    """
+    WITH cf AS (
+      SELECT doc_id, ch, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      ) GROUP BY doc_id, ch
+    ),
+    d AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             SUM(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT))
+               AS s
+      FROM cf GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars, k AS n_distinct_chars,
+           round(ln(CAST(n AS DOUBLE)) - (CAST(s AS DOUBLE) / 1000000000) / n, 6)
+             AS char_entropy
+    FROM d
+    """,
+)
+def text_entropy_char(spark, sf_dir):
+    """Character-entropy quality signal: Shannon entropy (nats) of each
+    document's character distribution — the cheap gibberish/encoding-
+    garbage detector curation stacks run beside token heuristics
+    (base64 blobs and key-mash read ~ln(alphabet) high; stuck-key /
+    single-char spam reads near 0; natural text sits in a tight band).
+    Unicode-correct: both engines split '' per CODEPOINT (probed on CJK),
+    so the zh docs score over characters, not bytes.
+
+    Determinism: H = ln(n) − (1/n)·Σ cᵢ·ln cᵢ; the per-char ln cᵢ terms
+    are quantized to int64 at 1e9 FIRST so the per-doc sum commutes
+    (the text_unigram_logprob idiom) — one double ln(n), one division,
+    one 6dp round at the end. Shape: explode to chars, one (doc, char)
+    partial-aggregating count (≤ |alphabet| rows per doc), one per-doc
+    rollup — scan-bound, no joins at all."""
+    docs = load(spark, sf_dir, "documents")
+    cf = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    q = F.round(F.log(F.col("c").cast("double")) * 1_000_000_000).cast("long")
+    d = cf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct_chars"),
+        F.sum(F.col("c") * q).alias("s"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        F.round(
+            F.log(F.col("n_chars").cast("double"))
+            - (F.col("s").cast("double") / 1_000_000_000)
+            / F.col("n_chars"),
+            6,
+        ).alias("char_entropy"),
+    )
