@@ -89,7 +89,7 @@ _WINDOW = [
     "text_entropy_char",
     "events_top_paths",
     "split_temporal_holdout",
-    "sim_ann_kmeans_ivf_topk",
+    "agg_exact_weighted_median",
 ]
 
 

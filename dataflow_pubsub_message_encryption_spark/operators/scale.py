@@ -1614,3 +1614,79 @@ def corpus_perplexity_buckets_scalable(spark, sf_dir):
         F.round(F.min("avg_neg_logprob"), 6).alias("score_min"),
         F.round(F.max("avg_neg_logprob"), 6).alias("score_max"),
     )
+
+
+@query(
+    "agg_exact_weighted_median",
+    """
+    WITH t AS (
+      SELECT l_extendedprice AS x, CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ),
+    tot AS (SELECT SUM(w) AS W FROM t),
+    r AS (
+      SELECT x, SUM(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw
+      FROM t
+    )
+    SELECT (SELECT CAST(W AS BIGINT) FROM tot) AS total_weight,
+           (SELECT min(x) FROM r, tot WHERE cw >= (W + 1) // 2)
+             AS weighted_median,
+           (SELECT CAST(count(*) AS BIGINT) FROM t, tot
+            WHERE floor(x) = floor((SELECT min(x) FROM r, tot
+                                    WHERE cw >= (W + 1) // 2)))
+             AS n_bucket_scanned
+    """,
+)
+def agg_exact_weighted_median(spark, sf_dir):
+    """EXACT WEIGHTED median (smallest x whose cumulative weight reaches
+    ⌈W/2⌉ — integer weights, so the target rank is exact) — the curation
+    form of the two-pass order-statistic family: 'median quality score
+    weighted by token count' is this op with (score, n_tokens); here
+    (l_extendedprice, l_quantity) exercises it on the big fact table.
+
+    Same two-pass prune as ``agg_exact_median_twopass``, generalized to
+    weights: pass 1 histograms WEIGHT mass into integer buckets and walks
+    the cumulative masses to the target bucket; pass 2 rescans ONLY that
+    bucket (pushed predicate), collapses it per distinct value (weights
+    re-sum — associative), and takes the first value whose in-bucket
+    cumulative weight crosses the residual target. The in-bucket window
+    is single-partition but BUCKET-BOUNDED (the prune is what makes that
+    admissible — same argument as TakeOrdered's per-partition heaps).
+    Determinism under ties: rows of equal x always expose their full
+    cumulative mass at the value's last row, so 'min x with cw ≥ k' is
+    order-independent — the oracle's per-row running sum and the
+    per-value collapse here provably agree. Driver traffic: two bounded
+    scalars, as in the unweighted op."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    W = li.agg(F.sum("w").alias("W")).collect()[0][0]  # driver-scalar
+    k = (W + 1) // 2
+    hist = li.groupBy(F.floor("x").alias("b")).agg(F.sum("w").alias("c"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(wc))
+        .filter(F.col("cum") >= k)
+        .orderBy("b")
+        .limit(1)
+    )
+    row = cum.agg(F.min("b").alias("b"), F.min(F.col("cum") - F.col("c")).alias("prev")).collect()[0]  # driver-scalar
+    k_res = int(k - row["prev"])
+    in_bucket = li.filter(F.floor("x") == row["b"])
+    vals = in_bucket.groupBy("x").agg(F.sum("w").alias("vw"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        vals.withColumn("cw", F.sum("vw").over(wv))
+        .filter(F.col("cw") >= k_res)
+        .agg(F.min("x").alias("weighted_median"))
+    )
+    n_bucket = in_bucket.agg(F.count("*").alias("n_bucket_scanned"))
+    return (
+        med.crossJoin(F.broadcast(n_bucket))  # 1 row x 1 row
+        .select(
+            F.lit(W).cast("long").alias("total_weight"),
+            "weighted_median",
+            "n_bucket_scanned",
+        )
+    )
