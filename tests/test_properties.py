@@ -193,3 +193,50 @@ def test_bpe_merges_match_scalar_reference(spark, corpus):
         assert got == _py_bpe_merges(counts, _BPE_MERGES), f"corpus={texts}"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# values with heavy ties + unique ids: the regime where rank machinery bugs
+# hide (tie-break correctness, range-boundary placement, ntile remainders)
+_rank_values = st.lists(
+    st.integers(min_value=0, max_value=5), min_size=1, max_size=40
+)
+
+
+@given(values=_rank_values, k=st.integers(min_value=1, max_value=7))
+@settings(**_SETTINGS)
+def test_global_rank_and_ntile_match_window_forms(spark, values, k):
+    """_global_rank must equal the single-partition row_number for ANY
+    input (including n < partitions and heavy ties), and _ntile_from_rank
+    must equal F.ntile(k) — the laws the 5 scalable-window queries stand
+    on, checked beyond the fixtures."""
+    from pyspark.sql import Window
+
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        _global_rank,
+        _ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    ranked, n = _global_rank(df, "v", "id")
+    assert n == len(values)
+    got = {r.id: r.rk for r in ranked.collect()}
+
+    w = Window.orderBy("v", "id")
+    want_df = df.select(
+        "id",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(k).over(w).alias("nt"),
+    ).collect()
+    want = {r.id: r.rk for r in want_df}
+    assert got == want, "distributed rank diverged from window row_number"
+
+    nt_got = {
+        r.id: r.nt
+        for r in ranked.withColumn(
+            "nt", _ntile_from_rank(F.col("rk"), n, k)
+        ).collect()
+    }
+    nt_want = {r.id: r.nt for r in want_df}
+    assert nt_got == nt_want, "integer ntile formula diverged from F.ntile"
