@@ -259,3 +259,38 @@ def test_scalable_segmentation_has_no_single_partition_window(spark, sf_dir):
         plan = formatted_plan(SCQ[key](spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, key
         assert "Window" in plan, f"{key}: rank window missing entirely"
+
+
+def test_pit_join_is_equi_not_nested_loop(spark, sf_dir):
+    """join_point_in_time_scd2: the interval-containment predicate must
+    ride as a residual on the user_id EQUI-join — a BroadcastNestedLoopJoin
+    here would be the classic accidental-cross-join scale bug."""
+    from dataflow_pubsub_message_encryption_spark.operators.cdc import (
+        QUERIES as CQ,
+    )
+
+    plan = formatted_plan(CQ["join_point_in_time_scd2"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_radius_search_has_no_sort(spark, sf_dir):
+    """sim_radius_search: a radius query is a pushed filter over the scan —
+    any Sort/TakeOrdered in the plan means someone re-introduced a top-k."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    plan = formatted_plan(SQ["sim_radius_search"](spark, sf_dir))
+    assert "TakeOrdered" not in plan and "(\n) Sort" not in plan
+    assert "Sort" not in plan.replace("SortMergeJoin", "")
+
+
+def test_decontam_span_broadcasts_benchmark_side(spark, sf_dir):
+    """decontam_span_max: the benchmark (test-split) side must broadcast —
+    the 100 TB train corpus never shuffles its shingles."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CUQ,
+    )
+
+    assert has_broadcast_join(CUQ["decontam_span_max"](spark, sf_dir))
