@@ -48,6 +48,10 @@ HEADLINE = [
     ("q14_training_manifest", "corpus_training_manifest"),
     ("q15_bloom_prefilter", "join_bloom_prefilter"),
     ("q16_rolling_distinct", "events_rolling_distinct_users"),
+    # round-6 mix extension: the new rank machinery and sub-document dedup
+    # made perf-visible (legacy subtotals stay comparable — additions only)
+    ("q17_scalable_rank_rfm", "rfm_segmentation_scalable"),
+    ("q18_span_dedup", "dedup_span_exact"),
 ]
 
 _N_TIMED = 3
