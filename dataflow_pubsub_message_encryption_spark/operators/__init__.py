@@ -72,10 +72,11 @@ _WINDOW = [
     # below (fillers are r5-green keys re-gated only until displaced)
     "customer_value_quartiles_scalable",
     "rfm_segmentation_scalable",
-    # changed round 6 (candidate caps, oracle-mirrored) -> re-gate
+    # changed round 6 (candidate caps, oracle-mirrored): near_jaccard
+    # re-gates as the family representative; the ngram/containment twins
+    # (identical cap mechanics, locally sweep-proven at both SFs) yield
+    # their slots to never-graded queries and queue for r7
     "dedup_near_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
     "join_bloom_prefilter_fast",
     "sim_ann_graph_topk",
     "win_ntile_scalable",
@@ -90,6 +91,8 @@ _WINDOW = [
     "events_top_paths",
     "split_temporal_holdout",
     "agg_exact_weighted_median",
+    "corpus_budget_waterfill",
+    "tokenizer_fertility_by_lang",
 ]
 
 

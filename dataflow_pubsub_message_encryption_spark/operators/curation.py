@@ -741,3 +741,98 @@ def decontam_span_max(spark, sf_dir):
         "n_matched_positions",
         "max_span_tokens",
     )
+
+
+_BUDGET_PCT = 90  # token budget = 90% of the corpus — probed: the fair
+# share (budget/20 sources ≈ 1.2k tokens) then EXCEEDS the smallest
+# sources' capacity at both fixture SFs, so the cap regime AND the
+# proportional-refill regime are both exercised (at 60% nothing capped);
+# refill can never overshoot: leftover <= headroom because budget <= corpus
+
+
+@query(
+    "corpus_budget_waterfill",
+    f"""
+    WITH cap AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(avail) AS BIGINT) AS corpus,
+             CAST(SUM(avail) * {_BUDGET_PCT} // 100 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM cap
+    ),
+    r1 AS (
+      SELECT c.source, c.avail,
+             least(c.avail, t.budget // t.n_src) AS a1
+      FROM cap c, tot t
+    ),
+    lo AS (
+      SELECT CAST(t.budget - SUM(r.a1) AS BIGINT) AS leftover,
+             CAST(SUM(r.avail - r.a1) AS BIGINT) AS headroom
+      FROM r1 r, tot t GROUP BY t.budget
+    )
+    SELECT r.source,
+           CAST(r.avail AS BIGINT) AS avail_tokens,
+           CAST(r.a1 + CASE WHEN l.headroom > 0
+                 THEN (r.avail - r.a1) * l.leftover // l.headroom
+                 ELSE 0 END AS BIGINT) AS alloc_tokens,
+           round(CAST(r.a1 + CASE WHEN l.headroom > 0
+                 THEN (r.avail - r.a1) * l.leftover // l.headroom
+                 ELSE 0 END AS DOUBLE) / r.avail, 6) AS epochs
+    FROM r1 r, lo l
+    """,
+)
+def corpus_budget_waterfill(spark, sf_dir):
+    """Token-budget allocation across sources with capacity caps — the
+    waterfilling step of Dolma/LLaMA-style data mixing: a fair per-source
+    share of the training budget, capped at each source's available
+    tokens (nobody is asked for epochs it can't supply without repeats),
+    with the stranded remainder of capped sources redistributed
+    proportionally to the others' remaining headroom. Two FIXED rounds
+    (fair-share-with-cap, then one proportional refill) — the bounded
+    unroll of true iterative waterfilling, exactly replayed by the
+    oracle. All-integer: token counts are ints, shares use floor-div
+    against the summed headroom, so no float accumulation anywhere; the
+    reported ``epochs`` (allocation/available — >1 would mean repeats)
+    is the only division, rounded once.
+
+    Shapes: one per-source census (partial-aggregating groupBy to
+    |sources| rows), then broadcast 1-row totals — the allocation table
+    itself is dimension-sized at any corpus scale. The downstream
+    consumer is ``sample_weighted_k``/``corpus_temperature_resample``:
+    this op decides HOW MUCH of each source; those decide WHICH rows."""
+    cap = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("avail"))
+    )
+    tot = cap.agg(
+        F.sum("avail").cast("long").alias("corpus"),
+        F.expr(f"CAST(SUM(avail) * {_BUDGET_PCT} DIV 100 AS BIGINT)").alias(
+            "budget"
+        ),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    r1 = cap.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.least(F.col("avail"), F.expr("budget DIV n_src")).alias("a1"),
+        "budget",
+    )
+    lo = r1.agg(
+        (F.max("budget") - F.sum("a1")).cast("long").alias("leftover"),
+        F.sum(F.col("avail") - F.col("a1")).cast("long").alias("headroom"),
+    )
+    alloc = F.col("a1") + F.when(
+        F.col("headroom") > 0,
+        F.expr("(avail - a1) * leftover DIV headroom"),
+    ).otherwise(F.lit(0))
+    return r1.crossJoin(F.broadcast(lo)).select(
+        "source",
+        F.col("avail").alias("avail_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
+        F.round(alloc.cast("double") / F.col("avail"), 6).alias("epochs"),
+    )

@@ -697,6 +697,22 @@ def text_repetition_stats(spark, sf_dir):
     )
 
 
+def _bpe_sizes(spark, sf_dir):
+    """Train the BPE merges and return the word -> token-count dimension
+    (shared by the encode op and the fertility report)."""
+    words = _bpe_words0(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(_BPE_MERGES):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pc"), "s1", "s2")
+            .limit(1)
+            .select("s1", "s2")
+            .localCheckpoint(eager=True)
+        )
+        words = _bpe_apply_merge(words, best).localCheckpoint(eager=True)
+    return words.select("word", F.size("syms").alias("ntok"))
+
+
 @query(
     "text_bpe_encode",
     f"""
@@ -734,17 +750,7 @@ def text_bpe_encode(spark, sf_dir):
     counts are what batch packing and cost estimates key on. The oracle
     replays the identical unrolled training CTEs and joins the same
     dimension — integer counts plus one double division."""
-    words = _bpe_words0(spark, sf_dir).localCheckpoint(eager=True)
-    for _ in range(_BPE_MERGES):
-        best = (
-            _bpe_pair_counts(words)
-            .orderBy(F.desc("pc"), "s1", "s2")
-            .limit(1)
-            .select("s1", "s2")
-            .localCheckpoint(eager=True)
-        )
-        words = _bpe_apply_merge(words, best).localCheckpoint(eager=True)
-    sizes = words.select("word", F.size("syms").alias("ntok"))
+    sizes = _bpe_sizes(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     doc_words = docs.select(
         "doc_id", F.explode(tokens("text")).alias("word")
@@ -1240,4 +1246,99 @@ def text_entropy_char(spark, sf_dir):
             / F.col("n_chars"),
             6,
         ).alias("char_entropy"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt,
+             list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY word
+    ),
+    {_bpe_round_sql("w0", 1)},
+    {_bpe_round_sql("w1", 2)},
+    {_bpe_round_sql("w2", 3)},
+    sizes AS (SELECT word, len(syms) AS ntok FROM w3),
+    doc_words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(length(word)) AS BIGINT) AS n_chars
+      FROM doc_words JOIN sizes USING (word)
+      WHERE length(word) >= 1
+      GROUP BY lang
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n_bpe_tokens) AS DOUBLE) / SUM(n_words) AS f_corpus
+      FROM per_lang
+    )
+    SELECT p.lang, p.n_docs, p.n_words, p.n_bpe_tokens,
+           round(CAST(p.n_bpe_tokens AS DOUBLE) / p.n_words, 6) AS fertility,
+           round(CAST(p.n_chars AS DOUBLE) / p.n_bpe_tokens, 6)
+             AS chars_per_token,
+           round((CAST(p.n_bpe_tokens AS DOUBLE) / p.n_words) / c.f_corpus, 6)
+             AS fertility_vs_corpus
+    FROM per_lang p, corpus c
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility parity report — the multilingual-fairness
+    number (tokens per word, per language) that decides whether a BPE
+    vocabulary taxes some languages with more tokens per word (higher
+    serving cost, shorter effective context for the same text). Uses the
+    SAME trained merge table as ``text_bpe_encode`` (shared
+    ``_bpe_sizes`` dimension), rolled up per language with each
+    language's fertility normalized against the corpus-wide fertility —
+    a ratio > 1 flags the penalized languages (the metric behind 'train
+    a bigger multilingual vocab' decisions).
+
+    Shapes: the word→token-count table is the broadcast dimension (∝
+    |vocab|); the corpus streams past it once; the report is |langs|
+    rows. All counts integer; three divisions on exact integer inputs,
+    each rounded once — IEEE-deterministic cross-engine."""
+    sizes = _bpe_sizes(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("word")
+    ).filter(F.length("word") >= 1)
+    per_lang = (
+        doc_words.join(F.broadcast(sizes), "word")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("ntok").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+        )
+    )
+    corpus = per_lang.agg(
+        (F.sum("n_bpe_tokens").cast("double") / F.sum("n_words")).alias(
+            "f_corpus"
+        )
+    )
+    return per_lang.crossJoin(F.broadcast(corpus)).select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            (F.col("n_bpe_tokens").cast("double") / F.col("n_words"))
+            / F.col("f_corpus"),
+            6,
+        ).alias("fertility_vs_corpus"),
     )
