@@ -72,11 +72,9 @@ _WINDOW = [
     # below (fillers are r5-green keys re-gated only until displaced)
     "customer_value_quartiles_scalable",
     "rfm_segmentation_scalable",
-    # changed round 6 (candidate caps, oracle-mirrored): near_jaccard
-    # re-gates as the family representative; the ngram/containment twins
-    # (identical cap mechanics, locally sweep-proven at both SFs) yield
-    # their slots to never-graded queries and queue for r7
-    "dedup_near_jaccard",
+    # (the 3 cap-changed dedup ops are graded-green with fixture-identical
+    # results — locally sweep-proven at both SFs — and queue for an r7
+    # re-gate slot so every r6 slot grades a never-graded query)
     "join_bloom_prefilter_fast",
     "sim_ann_graph_topk",
     "win_ntile_scalable",
@@ -93,6 +91,7 @@ _WINDOW = [
     "agg_exact_weighted_median",
     "corpus_budget_waterfill",
     "tokenizer_fertility_by_lang",
+    "emb_covariance_isotropy",
 ]
 
 

@@ -1503,3 +1503,59 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_seasonal_anomaly",
+    """
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hour,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT dow, hour, CAST(SUM(n_events) AS DOUBLE) / count(*) AS avg_n
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT c.day, c.dow, c.hour, c.n_events,
+           round(b.avg_n, 6) AS baseline,
+           round(c.n_events / b.avg_n, 6) AS ratio
+    FROM cells c JOIN base b USING (dow, hour)
+    WHERE c.n_events / b.avg_n >= 1.5 OR c.n_events / b.avg_n <= 0.6
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-baseline anomaly flags: each (day, hour) traffic cell
+    compared against its own (day-of-week, hour) seasonal average — the
+    production alerting shape ``events_hourly_seasonality`` builds the
+    grid FOR: 'Tuesday 14:00 is at 1.9× its normal Tuesday-14:00 level'
+    fires; a daily rush hour does not (it IS the baseline). Ratio
+    thresholds (≥1.5×, ≤0.6×) instead of z-scores keep the op exactly
+    deterministic (integer counts, one exact double division — no float
+    std accumulation); the thresholds flag 172/49 fixture cells, both
+    tails populated. The engines disagree on dayofweek numbering
+    (Spark Sunday=1, DuckDB Sunday=0 — the hourly_seasonality probe);
+    the oracle adds 1. Shapes: the fact table folds to ≤ |days|×24 cells
+    in one partial-aggregating pass; baseline and flags are grid-sized
+    joins — at 100 TB only the first aggregation touches data."""
+    ev = load_events(spark, sf_dir)
+    cells = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count("*").alias("n_events"))
+    base = cells.groupBy("dow", "hour").agg(
+        (F.sum("n_events").cast("double") / F.count("*")).alias("avg_n")
+    )
+    j = cells.join(base, ["dow", "hour"])
+    ratio = F.col("n_events") / F.col("avg_n")
+    return j.filter((ratio >= 1.5) | (ratio <= 0.6)).select(
+        "day",
+        "dow",
+        "hour",
+        "n_events",
+        F.round("avg_n", 6).alias("baseline"),
+        F.round(ratio, 6).alias("ratio"),
+    )

@@ -395,3 +395,114 @@ def split_temporal_holdout(spark, sf_dir):
         )
         .crossJoin(F.broadcast(shared))  # 2 rows x 1 row
     )
+
+
+@query(
+    "pack_efficiency_report",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS nt
+      FROM documents
+    ),
+    stream AS (
+      SELECT source,
+             CAST(floor(COALESCE(SUM(nt) OVER (PARTITION BY source
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {_PACK_CAPACITY}) AS BIGINT) AS bin
+      FROM d
+    ),
+    sorted_pack AS (
+      SELECT source,
+             CAST(floor(COALESCE(SUM(nt) OVER (PARTITION BY source
+                 ORDER BY nt DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {_PACK_CAPACITY}) AS BIGINT) AS bin
+      FROM d
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS tokens FROM d GROUP BY source
+    ),
+    s1 AS (
+      SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS bins_stream
+      FROM stream GROUP BY source
+    ),
+    s2 AS (
+      SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS bins_sorted
+      FROM sorted_pack GROUP BY source
+    )
+    SELECT t.source, t.tokens,
+           CAST((t.tokens + {_PACK_CAPACITY} - 1) // {_PACK_CAPACITY}
+                AS BIGINT) AS bins_lower_bound,
+           s1.bins_stream,
+           round(CAST(t.tokens AS DOUBLE)
+                 / (s1.bins_stream * {_PACK_CAPACITY}), 6) AS util_stream,
+           s2.bins_sorted,
+           round(CAST(t.tokens AS DOUBLE)
+                 / (s2.bins_sorted * {_PACK_CAPACITY}), 6) AS util_sorted
+    FROM tot t JOIN s1 USING (source) JOIN s2 USING (source)
+    """,
+)
+def pack_efficiency_report(spark, sf_dir):
+    """Packing-efficiency comparison: the arrival-order streaming packer
+    (``pack_sequences``) against its length-descending variant (the
+    streaming cousin of first-fit-decreasing — long docs placed first,
+    short docs fill remainders), each scored by bins used and capacity
+    utilization against the per-source lower bound ⌈tokens/C⌉. This is
+    the table that justifies (or kills) a pre-sort stage in the packing
+    pipeline: FFD-ordering buys utilization only when the length
+    distribution is heavy-tailed, and the report makes the trade
+    measurable per source rather than asserted.
+
+    Both packings are the same windowed running-sum bin assignment with
+    different ORDER BY (doc_id vs nt DESC, doc_id) — per-source windows,
+    parallel across sources; the report is |sources| rows. All integer
+    except the two utilization divisions, rounded once."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).alias("nt")
+    )
+
+    def bins(order_cols, name):
+        w = (
+            Window.partitionBy("source")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            d.select(
+                "source",
+                F.floor(
+                    F.coalesce(F.sum("nt").over(w), F.lit(0)) / _PACK_CAPACITY
+                ).alias("bin"),
+            )
+            .groupBy("source")
+            .agg(F.count_distinct("bin").alias(name))
+        )
+
+    tot = d.groupBy("source").agg(F.sum("nt").cast("long").alias("tokens"))
+    s1 = bins([F.col("doc_id")], "bins_stream")
+    s2 = bins([F.desc("nt"), F.col("doc_id")], "bins_sorted")
+    lb = F.expr(
+        f"CAST((tokens + {_PACK_CAPACITY} - 1) DIV {_PACK_CAPACITY} AS BIGINT)"
+    )
+    return (
+        tot.join(s1, "source")
+        .join(s2, "source")
+        .select(
+            "source",
+            "tokens",
+            lb.alias("bins_lower_bound"),
+            "bins_stream",
+            F.round(
+                F.col("tokens").cast("double")
+                / (F.col("bins_stream") * _PACK_CAPACITY),
+                6,
+            ).alias("util_stream"),
+            "bins_sorted",
+            F.round(
+                F.col("tokens").cast("double")
+                / (F.col("bins_sorted") * _PACK_CAPACITY),
+                6,
+            ).alias("util_sorted"),
+        )
+    )

@@ -1979,3 +1979,133 @@ def emb_truncation_fidelity(spark, sf_dir):
             ).alias("recall_at_k"),
         )
     )
+
+
+@query(
+    "emb_covariance_isotropy",
+    f"""
+    WITH q AS (
+      SELECT vec_id, i.i AS pos,
+             CAST(round(CAST(embedding[i.i] AS DOUBLE) * {_CENT_SCALE})
+                  AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) i
+    ),
+    m AS (
+      SELECT pos,
+             CAST(floor(CAST(SUM(q) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+      FROM q GROUP BY pos
+    ),
+    c AS (
+      SELECT q.vec_id, q.pos, q.q - m.mu AS c FROM q JOIN m USING (pos)
+    ),
+    cov AS (
+      SELECT a.pos AS i, b.pos AS j, SUM(a.c * b.c) AS s
+      FROM c a JOIN c b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN i = j THEN s ELSE 0 END) AS BIGINT) AS trace_q,
+             CAST(SUM(CASE WHEN i <> j THEN abs(s) ELSE 0 END) AS BIGINT)
+               AS offdiag_abs_q
+      FROM cov
+    ),
+    top AS (
+      SELECT i, j, s FROM (
+        SELECT i, j, s,
+               row_number() OVER (ORDER BY abs(s) DESC, i, j) AS rn
+        FROM cov WHERE i < j
+      ) WHERE rn = 1
+    )
+    SELECT (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) FROM q) AS n_vecs,
+           a.trace_q, a.offdiag_abs_q,
+           round(CAST(a.trace_q AS DOUBLE)
+                 / (a.trace_q + a.offdiag_abs_q), 6) AS isotropy,
+           CAST(t.i AS INTEGER) AS top_i,
+           CAST(t.j AS INTEGER) AS top_j,
+           CAST(t.s AS BIGINT) AS top_cov_q
+    FROM agg a, top t
+    """,
+)
+def emb_covariance_isotropy(spark, sf_dir):
+    """Embedding-space isotropy / whitening report: the centered
+    covariance's diagonal mass (trace) against its off-diagonal absolute
+    mass, plus the single strongest cross-dimension correlation — the
+    numbers that decide whether an index needs a whitening/OPQ rotation
+    before product quantization (correlated dimensions waste PQ codebook
+    capacity) and whether cosine is drifting toward a dominant direction
+    (the anisotropy problem in contextual embeddings).
+
+    Determinism: components quantized to int64 (``_CENT_SCALE``), means
+    floored from an exact-in-double integer division, every covariance
+    entry an INTEGER sum of integer products — no float accumulation;
+    two divisions rounded once at the end. Shapes: the per-vector outer
+    product explodes to |V|·64² rows but partial-aggregates map-side
+    into the 64×64 grid — at 100 TB this is the one-pass Gram-matrix
+    job (same shuffle budget as ``emb_pca_power_iteration``'s Gram
+    step); everything downstream is 4096 rows."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            )
+        ).alias("pos0", "q"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "q")
+    m = q.groupBy("pos").agg(
+        F.floor(F.sum("q").cast("double") / F.count("*"))
+        .cast("long")
+        .alias("mu")
+    )
+    c = q.join(F.broadcast(m), "pos").select(
+        "vec_id", "pos", (F.col("q") - F.col("mu")).alias("c")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .select(
+            F.col("a.pos").alias("i"),
+            F.col("b.pos").alias("j"),
+            (F.col("a.c") * F.col("b.c")).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+    )
+    agg = cov.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("s")).otherwise(0))
+        .cast("long")
+        .alias("trace_q"),
+        F.sum(F.when(F.col("i") != F.col("j"), F.abs("s")).otherwise(0))
+        .cast("long")
+        .alias("offdiag_abs_q"),
+    )
+    wtop = Window.orderBy(F.desc(F.abs("s")), "i", "j")
+    top = (
+        cov.filter(F.col("i") < F.col("j"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("i").cast("int").alias("top_i"),
+            F.col("j").cast("int").alias("top_j"),
+            F.col("s").cast("long").alias("top_cov_q"),
+        )
+    )
+    n = e.agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        n.crossJoin(F.broadcast(agg))  # 1 row x 1 row
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_vecs",
+            "trace_q",
+            "offdiag_abs_q",
+            F.round(
+                F.col("trace_q").cast("double")
+                / (F.col("trace_q") + F.col("offdiag_abs_q")),
+                6,
+            ).alias("isotropy"),
+            "top_i",
+            "top_j",
+            "top_cov_q",
+        )
+    )
