@@ -671,6 +671,17 @@ def graph_label_propagation(spark, sf_dir):
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )
+    return label_propagation(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("lab").cast("long").alias("community"),
+    )
+
+
+def label_propagation(pairs: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
+    """Synchronous LPA over an undirected pair list (columns doc_a, doc_b)
+    -> (node, lab). DataFrame-in form behind ``graph_label_propagation``;
+    crafted-graph semantics (communities split where components cannot)
+    are pinned in tests/test_graph.py."""
     e1 = pairs.filter(F.col("doc_a") != F.col("doc_b")).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -684,7 +695,7 @@ def graph_label_propagation(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(rounds):
         counted = (
             bedges.join(labels, bedges["src"] == labels["node"])
             .select("dst", "lab")
@@ -698,7 +709,4 @@ def graph_label_propagation(spark, sf_dir):
             .select(F.col("dst").alias("node"), "lab")
             .localCheckpoint()
         )
-    return labels.select(
-        F.col("node").cast("long").alias("doc_id"),
-        F.col("lab").cast("long").alias("community"),
-    )
+    return labels

@@ -127,3 +127,39 @@ def test_win_distribution_laws(spark, sf_dir):
         # max cume_dist is exactly 1; min percent_rank is exactly 0
         assert max(r.cd for r in rs) == 1.0, seg
         assert min(r.pr for r in rs) == 0.0, seg
+
+
+def test_waterfill_allocation_laws(spark, sf_dir):
+    """corpus_budget_waterfill invariants beyond the oracle: no source
+    allocated past capacity, total allocation never exceeds the budget,
+    and the fixture budget (90%) actually exercises BOTH regimes —
+    capped sources (epochs == 1.0) and waterfilled ones (< 1)."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        _BUDGET_PCT,
+        QUERIES as CUQ,
+    )
+
+    rows = CUQ["corpus_budget_waterfill"](spark, sf_dir).collect()
+    assert all(r.alloc_tokens <= r.avail_tokens for r in rows)
+    corpus = sum(r.avail_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) <= corpus * _BUDGET_PCT // 100
+    assert any(r.epochs >= 0.999999 for r in rows), "cap regime not hit"
+    assert any(r.epochs < 0.999999 for r in rows), "refill regime not hit"
+
+
+def test_decontam_span_max_bounds(spark):
+    """decontam_span_max structural laws on the fixture output (the split
+    rule hashes document text, so membership can't be crafted from a
+    test): every reported span covers at least one whole 5-gram and at
+    most the doc's full position range + 4, and matched positions never
+    exceed available positions. An isolated shared 5-gram reads exactly
+    5; runs grow by 1 token per consecutive matched start."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CUQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load  # noqa: F401
+
+    rows = CUQ["decontam_span_max"](spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert 5 <= r.max_span_tokens <= r.n_positions + 4
+        assert 1 <= r.n_matched_positions <= r.n_positions

@@ -206,3 +206,27 @@ def test_kcore_converged_and_degrees(spark, sf_dir):
         r.doc_id for r in GQ["dedup_cluster_components"](spark, sf_dir).collect()
     }
     assert {r.doc_id for r in rows} <= comp_nodes
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two triangles joined by one bridge edge: ONE connected component but
+    TWO LPA communities — the semantic difference the operator exists for.
+    (Hand-simulated: sync LPA with (count DESC, min label) tie-break
+    converges in 3 rounds to one label per triangle.)"""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)],
+        ["doc_a", "doc_b"],
+    )
+    comp, _ = connected_components(pairs)
+    assert len({r[1] for r in comp.collect()}) == 1, "bridge joins components"
+
+    lab = {r.node: r.lab for r in label_propagation(pairs).collect()}
+    a = {lab[0], lab[1], lab[2]}
+    b = {lab[10], lab[11], lab[12]}
+    assert len(a) == 1 and len(b) == 1, "each clique must agree internally"
+    assert a != b, "bridged cliques must land in different communities"
