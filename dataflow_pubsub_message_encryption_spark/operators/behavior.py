@@ -1559,3 +1559,70 @@ def events_seasonal_anomaly(spark, sf_dir):
         F.round("avg_n", 6).alias("baseline"),
         F.round(ratio, 6).alias("ratio"),
     )
+
+
+@query(
+    "events_user_gini",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n, user_id) AS rk FROM c
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS nu,
+             CAST(SUM(n) AS BIGINT) AS total,
+             CAST(SUM(rk * n) AS BIGINT) AS wsum
+      FROM r
+    )
+    SELECT nu AS n_users, total AS total_events,
+           round(2.0 * wsum / (nu * total) - (nu + 1.0) / nu, 6) AS gini,
+           round((SELECT CAST(SUM(n) AS DOUBLE) FROM r, t
+                  WHERE rk > nu - nu // 10) / total, 6) AS top_decile_share
+    FROM t
+    """,
+)
+def events_user_gini(spark, sf_dir):
+    """Activity-inequality census: the Gini coefficient of events over
+    users plus the top-decile share — the one-row table that answers 'is
+    this workload a bot problem / whale problem' and sizes the skew
+    mitigations (``join_skew_salted``, AQE skew join) with a number
+    instead of a guess. Gini from the rank form G = 2·Σ rk·xᵤ/(n·Σx) −
+    (n+1)/n over ascending (count, user_id) ranks — ties share a value,
+    and Σ rk·x is permutation-invariant within a tie group, so the
+    id tie-break changes nothing and both engines agree exactly.
+
+    The ranking uses the distributed :func:`_global_rank` machinery
+    (range repartition + parallel per-partition row_number — no
+    single-partition window at user grain); the oracle ranks with a
+    plain window, so the machinery is again value-proven on a third
+    ordering. Integer sums throughout; two divisions rounded once."""
+    from .scale import _global_rank
+
+    c = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    ranked, nu = _global_rank(c, "n", "user_id")
+    t = ranked.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("rk") * F.col("n")).cast("long").alias("wsum"),
+        F.sum(
+            F.when(F.col("rk") > nu - nu // 10, F.col("n")).otherwise(0)
+        ).cast("long").alias("top_sum"),
+    )
+    return t.select(
+        F.lit(nu).cast("long").alias("n_users"),
+        F.col("total").alias("total_events"),
+        F.round(
+            2.0 * F.col("wsum") / (F.lit(nu) * F.col("total"))
+            - (nu + 1.0) / nu,
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_sum").cast("double") / F.col("total"), 6).alias(
+            "top_decile_share"
+        ),
+    )

@@ -191,3 +191,67 @@ def join_point_in_time_scd2(spark, sf_dir):
         "state_type",
         ts_str("vf").alias("state_since"),
     )
+
+
+_AS_OF = "2024-01-15"  # mid-span snapshot instant (fixture covers Jan 1-30)
+
+
+@query(
+    "scd2_as_of_snapshot",
+    f"""
+    WITH v AS (
+      SELECT user_id, event_id, event_type, ts AS vf,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS state_event_id,
+           event_type AS state_type,
+           {duck_ts('vf')} AS since,
+           (SELECT CAST(count(*) AS BIGINT) FROM v v2
+            WHERE v2.user_id = v.user_id
+              AND v2.vf <= TIMESTAMP '{_AS_OF}') AS n_prior_versions
+    FROM v
+    WHERE vf <= TIMESTAMP '{_AS_OF}'
+      AND (vt > TIMESTAMP '{_AS_OF}' OR vt IS NULL)
+    """,
+)
+def scd2_as_of_snapshot(spark, sf_dir):
+    """Dimension time travel: reconstruct every user's state AS OF a past
+    instant from the SCD2 validity intervals — the snapshot complement of
+    ``join_point_in_time_scd2`` (that one answers per-FACT lookups; this
+    one answers 'what did the whole dimension look like on Jan 15', the
+    query behind backfills, audits and reproducible feature snapshots).
+    Selection is pure interval containment ``vf <= T < vt`` with the open
+    current version matching; exactly one row per user with any history
+    before T (versions partition each user's timeline), plus the
+    version-count census up to T. One per-user ``lead`` window (parallel
+    across keys) + a containment filter — at scale this prunes to the
+    partitions overlapping T if the version table is date-partitioned.
+    The correlated census subquery decorrelates to a per-user aggregate
+    join (same Q17 shape Catalyst handles in agg_correlated_subquery)."""
+    ev = load_events(spark, sf_dir)
+    T = F.lit(_AS_OF).cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("vf"),
+        F.lead("ts").over(w).alias("vt"),
+    )
+    prior = (
+        v.filter(F.col("vf") <= T)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_prior_versions"))
+    )
+    snap = v.filter(
+        (F.col("vf") <= T) & ((F.col("vt") > T) | F.col("vt").isNull())
+    )
+    return snap.join(prior, "user_id").select(
+        "user_id",
+        F.col("event_id").alias("state_event_id"),
+        F.col("event_type").alias("state_type"),
+        ts_str("vf").alias("since"),
+        F.col("n_prior_versions").cast("long"),
+    )

@@ -1342,3 +1342,94 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             6,
         ).alias("fertility_vs_corpus"),
     )
+
+
+@query(
+    "text_js_divergence_sources",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM st GROUP BY 1),
+    ct AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c FROM st GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+    grid AS (
+      SELECT s.source, t.term, s.n AS ns, t.c AS ct, n.n AS nc,
+             COALESCE(st.c, 0) AS cs
+      FROM ns s CROSS JOIN ct t CROSS JOIN n
+      LEFT JOIN st ON st.source = s.source AND st.term = t.term
+    ),
+    terms AS (
+      SELECT source,
+             CAST(round((
+               CASE WHEN cs > 0 THEN
+                 0.5 * (CAST(cs AS DOUBLE) / ns)
+                     * ln((CAST(cs AS DOUBLE) / ns)
+                          / (0.5 * (CAST(cs AS DOUBLE) / ns
+                                    + CAST(ct AS DOUBLE) / nc)))
+               ELSE 0 END
+               + 0.5 * (CAST(ct AS DOUBLE) / nc)
+                     * ln((CAST(ct AS DOUBLE) / nc)
+                          / (0.5 * (CAST(cs AS DOUBLE) / ns
+                                    + CAST(ct AS DOUBLE) / nc)))
+             ) * 1000000000000) AS BIGINT) AS q
+      FROM grid
+    )
+    SELECT source,
+           (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_vocab_terms,
+           round(CAST(SUM(q) AS DOUBLE) / 1000000000000, 6) AS jsd_nats
+    FROM terms GROUP BY source
+    """,
+)
+def text_js_divergence_sources(spark, sf_dir):
+    """Source-vs-corpus distribution drift: Jensen-Shannon divergence
+    between each source's unigram distribution and the whole corpus's —
+    the bounded, symmetric drift metric (0 = identical, ln 2 = disjoint)
+    curation stacks chart per source/per snapshot to catch a feed whose
+    content silently changed. Absent terms contribute the q·ln2 tail via
+    the p=0 branch, so the metric is exact, not truncated.
+
+    Determinism: each (source, term) cell's JSD contribution is computed
+    in doubles FROM EXACT INTEGER ratios (identical inputs → identical
+    IEEE result in both engines), quantized to int64 at 1e12, and summed
+    in integers — the per-cell generalization of the quantized-ln idiom
+    (a direct double SUM would be accumulation-order-dependent). Shapes:
+    the grid is |sources|×|vocab| (dimension-sized; the corpus itself is
+    touched once for the term counts); the vocab and totals broadcast."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count("*").alias("cs"))
+    ns = st.groupBy("source").agg(F.sum("cs").cast("long").alias("ns"))
+    ct = st.groupBy("term").agg(F.sum("cs").cast("long").alias("ct"))
+    n = ct.agg(F.sum("ct").cast("long").alias("nc"))
+    grid = (
+        ns.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(st, ["source", "term"], "left")
+        .fillna({"cs": 0})
+    )
+    p = F.col("cs").cast("double") / F.col("ns")
+    q = F.col("ct").cast("double") / F.col("nc")
+    m = 0.5 * (p + q)
+    contrib = (
+        F.when(F.col("cs") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + 0.5 * q * F.log(q / m)
+    )
+    terms = grid.select(
+        "source", F.round(contrib * 1_000_000_000_000).cast("long").alias("q")
+    )
+    nv = ct.agg(F.count("*").cast("long").alias("n_vocab_terms"))
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("q").alias("s"))
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "source",
+            "n_vocab_terms",
+            F.round(F.col("s").cast("double") / 1_000_000_000_000, 6).alias(
+                "jsd_nats"
+            ),
+        )
+    )
