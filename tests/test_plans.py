@@ -294,3 +294,35 @@ def test_decontam_span_broadcasts_benchmark_side(spark, sf_dir):
     )
 
     assert has_broadcast_join(CUQ["decontam_span_max"](spark, sf_dir))
+
+
+def test_parquet_aggregate_pushdown_reaches_footer(spark, sf_dir):
+    """scan_agg_pushdown_stats' claim, asserted on a live plan: with the
+    v2 parquet source + aggregatePushdown, COUNT/MIN/MAX appear as
+    PushedAggregation on the scan (footer-stats answering), and the op
+    itself restores both confs afterwards (no session leak)."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+    )
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.parquet.aggregatePushdown",
+            "spark.sql.sources.useV1SourceList",
+        )
+    }
+    assert SCQ["scan_agg_pushdown_stats"](spark, sf_dir).count() == 1
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert after == before, "op leaked session confs"
+
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        agg = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count("*"), F.min("l_quantity"), F.max("l_quantity")
+        )
+        assert "PushedAggregation: [COUNT(*)" in formatted_plan(agg)
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")
