@@ -1071,3 +1071,59 @@ def test_stateful_v2_env_boundary_is_exactly_protobuf():
             f"boundary drifted: state protocol failed on {e!r}, not protobuf"
         )
     assert proto_importable == has_protobuf
+
+
+def test_cms_sketch_stream_equals_batch_grid(spark, sf_dir, tmpdir):
+    """The streaming CMS counter grid, folded over a 4-file replay, must
+    be BIT-IDENTICAL to the batch-built sketch (cell sums are associative
+    over any micro-batch split), and a checkpoint-resumed restart must
+    not double-count — SUM is not idempotent, so this e2e is what proves
+    the batch-id journal + crash recovery actually carry the
+    at-least-once contract (the bitmap twin's bit_or would mask a replay
+    bug)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dataflow_pubsub_message_encryption_spark.streaming import (
+        cms_grid_view,
+        cms_sketch_sink,
+    )
+    from dataflow_pubsub_message_encryption_spark.streaming.cms import (
+        _batch_cells,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+    n = tbl.num_rows
+    src = f"{tmpdir}/src"
+    os.makedirs(src)
+    for i in range(4):
+        pq.write_table(
+            tbl.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            f"{src}/part{i}.parquet",
+        )
+
+    target, ckpt = f"{tmpdir}/target", f"{tmpdir}/ckpt"
+    stream = st.events_file_stream(spark, src, max_files_per_trigger=1)
+    q = cms_sketch_sink(stream, target, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {
+        (r.i, r.p): r.c for r in cms_grid_view(spark, target).collect()
+    }
+    want = {
+        (r.i, r.p): r.c
+        for r in _batch_cells(load_events(spark, sf_dir)).collect()
+    }
+    assert got == want, "stream-folded grid diverged from batch grid"
+
+    # restart from the same checkpoint: replayed batches must be skipped
+    # (a double-count would inflate every touched cell)
+    q2 = cms_sketch_sink(
+        st.events_file_stream(spark, src, max_files_per_trigger=1), target, ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    again = {(r.i, r.p): r.c for r in cms_grid_view(spark, target).collect()}
+    assert again == want, "checkpoint restart double-counted cells"
