@@ -2468,3 +2468,66 @@ def src_scan_orc_roundtrip(spark, sf_dir):
             F.sum(dec4("l_extendedprice") * (1 - dec4("l_discount")))
         ).alias("revenue"),
     )
+
+
+@query(
+    "join_asof_forward",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id AS pid, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cand AS (
+      SELECT e.event_id, p.pid, p.pts,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY p.pts, p.pid) AS rn
+      FROM e JOIN p ON p.user_id = e.user_id AND p.pts >= e.ts
+    )
+    SELECT e.event_id,
+           c.pid AS next_purchase_id,
+           {duck_ts('e.ts')} AS error_ts,
+           {duck_ts('c.pts')} AS purchase_ts
+    FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id)
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — the direction the C11 family was missing
+    (backward / nearest / tolerance exist): each error event matched to
+    the same user's NEXT purchase at-or-after it, the time-to-next-action
+    / recovery-after-failure lookup (pandas ``merge_asof
+    direction='forward'``). LEFT semantics keep errors with no later
+    purchase (NULL match) — the population whose churn the number
+    exists to measure. Same scalable idiom as the siblings: equi-join on
+    user_id, per-error candidate ranking by (earliest ts, id) — windows
+    PARTITIONED per error event, shuffle on the user key only. The
+    oracle ranks with the identical window (DuckDB's native ASOF binds
+    the backward direction only)."""
+    ev = load_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("next_purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    cand = err.join(
+        pur,
+        (err.user_id == pur.p_user_id) & (pur.pts >= err.ts),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy("pts", "next_purchase_id")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "next_purchase_id", "pts")
+    )
+    return err.join(best, "event_id", "left").select(
+        "event_id",
+        "next_purchase_id",
+        ts_str("ts").alias("error_ts"),
+        ts_str("pts").alias("purchase_ts"),
+    )
