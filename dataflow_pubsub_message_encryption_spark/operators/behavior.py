@@ -1627,3 +1627,66 @@ def events_user_gini(spark, sf_dir):
             "top_decile_share"
         ),
     )
+
+
+@query(
+    "events_dau_mau_stickiness",
+    """
+    WITH d AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             strftime(ts, '%Y-%m') AS month,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT month, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY month, day
+    ),
+    mau AS (
+      SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM d GROUP BY month
+    )
+    SELECT m.month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(a.dau) AS BIGINT) AS min_dau,
+           CAST(max(a.dau) AS BIGINT) AS max_dau,
+           m.mau,
+           round(CAST(SUM(a.dau) AS DOUBLE) / count(*) / m.mau, 6)
+             AS stickiness
+    FROM dau a JOIN mau m USING (month)
+    GROUP BY m.month, m.mau
+    """,
+)
+def events_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — the engagement headline (avg daily actives ÷
+    monthly actives; 1.0 = everyone active every day): per month, the
+    day count, DAU range, MAU, and the stickiness ratio. The distinct
+    counts are the only shuffles (day grain then month grain — the
+    rolling-window twin ``events_rolling_distinct_users`` handles the
+    sliding form; this is the calendar-bucket form dashboards quote).
+    Ratio = exact integer sums through one division, rounded once."""
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    dau = d.groupBy("month", "day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = d.groupBy("month").agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        dau.join(mau, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("dau").alias("min_dau"),
+            F.max("dau").alias("max_dau"),
+            F.round(
+                F.sum("dau").cast("double") / F.count("*") / F.max("mau"), 6
+            ).alias("stickiness"),
+        )
+        .select(
+            "month", "n_days", "min_dau", "max_dau", "mau", "stickiness"
+        )
+    )

@@ -2531,3 +2531,54 @@ def join_asof_forward(spark, sf_dir):
         ts_str("ts").alias("error_ts"),
         ts_str("pts").alias("purchase_ts"),
     )
+
+
+@query(
+    "orders_repeat_purchase_curve",
+    """
+    WITH c AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM c)
+    SELECT k.k,
+           CAST(count(c.o_custkey) AS BIGINT) AS n_customers_at_least_k,
+           round(CAST(count(c.o_custkey) AS DOUBLE)
+                 / (SELECT n_cust FROM tot), 6) AS share
+    FROM (SELECT unnest(generate_series(1, 8)) AS k) k
+    LEFT JOIN c ON c.n_orders >= k.k
+    GROUP BY k.k
+    """,
+)
+def orders_repeat_purchase_curve(spark, sf_dir):
+    """Repeat-purchase survival curve: for k = 1..8, how many customers
+    placed at least k orders, and their share of the base — the
+    retention-economics table behind 'second-order conversion' targets
+    (the k=1→2 drop is the number CRM lives on). One customer-grain
+    aggregation; the k-threshold fan-out joins the 8-row literal spine
+    against the |customers| counts (range predicate, broadcast spine) —
+    at scale this is a conditional-aggregate over one scan, never 8
+    scans. Integer counts; one division rounded once."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    tot = c.agg(F.count("*").cast("long").alias("n_cust"))
+    k = spark.range(1, 9).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(k)
+        .join(c, c.n_orders >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("o_custkey").alias("n_customers_at_least_k"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_customers_at_least_k",
+            F.round(
+                F.col("n_customers_at_least_k").cast("double")
+                / F.col("n_cust"),
+                6,
+            ).alias("share"),
+        )
+    )

@@ -2167,3 +2167,58 @@ def sim_ann_index_agreement(spark, sf_dir):
 ORACLES["sim_ann_index_agreement"] = ORACLES["sim_ann_index_agreement"].format(
     lsh=ORACLES["sim_ann_lsh_topk"], ivf=ORACLES["sim_ann_ivf_topk"]
 )
+
+
+@query(
+    "emb_quantization_error",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(round(abs(x - CAST(floor(x * 127 + 0.5) AS INTEGER)
+                                       / 127.0) * 1000000000000) AS BIGINT))
+               AS err_q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(CAST(list_aggregate(err_q, 'max') AS DOUBLE)
+                 / 1000000000000, 6) AS max_abs_err,
+           round(CAST(list_aggregate(err_q, 'sum') AS DOUBLE)
+                 / 1000000000000 / len(err_q), 6) AS mean_abs_err
+    FROM e
+    """,
+)
+def emb_quantization_error(spark, sf_dir):
+    """Int8 quantization error budget — the companion table
+    ``emb_quantize_int8`` needs before anyone serves from the compressed
+    index: per-vector max and mean absolute reconstruction error of
+    x̂ = q/127 against the original components. The theoretical bound is
+    1/254 ≈ 0.003937 per component for in-range values; vectors whose
+    max_abs_err exceeds it have components outside [-1, 1] (clipping
+    candidates) — exactly what the serving tier must know. Per-element
+    errors are computed in doubles from exact inputs, quantized to int64
+    at 1e12, and folded with integer max/sum (the per-cell quantize
+    idiom — a double SUM would be accumulation-order-dependent across
+    64 elements in list order vs aggregate order). Narrow map, no
+    shuffle; 2 numbers per vector out."""
+    emb = as_double("embedding")
+    err_q = F.transform(
+        emb,
+        lambda x: F.round(
+            F.abs(x - F.floor(x * 127 + 0.5).cast("int") / 127.0)
+            * 1_000_000_000_000
+        ).cast("long"),
+    )
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(
+            F.array_max(err_q).cast("double") / 1_000_000_000_000, 6
+        ).alias("max_abs_err"),
+        F.round(
+            F.aggregate(err_q, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            / 1_000_000_000_000
+            / F.size(err_q),
+            6,
+        ).alias("mean_abs_err"),
+    )
