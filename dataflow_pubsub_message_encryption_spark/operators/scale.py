@@ -1404,6 +1404,10 @@ def rfm_segmentation_scalable(spark, sf_dir):
             F.count("*").alias("frequency"),
             F.sum(dec4("o_totalprice")).alias("monetary"),
         )
+        # one eager materialization: the three rank passes AND the final
+        # join would otherwise each re-aggregate the orders fact (4 scans;
+        # measured 2.9 s -> see BASELINE round-6 notes). |customers| rows.
+        .localCheckpoint()
     )
 
     def score(order_col, name):
