@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import ts_str
+from ..functions.normalize import duck_ts, ts_str
 from ..functions.textfns import tokens
 from ..sources import load, load_events
 from .base import make_registry
@@ -349,8 +349,8 @@ _TEMPORAL_SPLIT = "2024-01-24"  # ~80/20 over the fixture's Jan 1-30 span
     SELECT split,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
-           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           {duck_ts("min(ts)")} AS min_ts,
+           {duck_ts("max(ts)")} AS max_ts,
            (SELECT c FROM shared) AS n_users_in_both
     FROM s GROUP BY split
     """,

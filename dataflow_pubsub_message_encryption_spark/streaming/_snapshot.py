@@ -19,9 +19,16 @@ Recovery rules (run before each merge):
   (pre-merge snapshot; marker untouched, so the replayed batch re-merges
   exactly once). Unreachable in the current rename order — kept as a
   defensive fallback.
-- ``cur`` present: any ``.tmp-*`` / ``.old-*`` leftovers are stale
-  (interrupted write, or a crash after the swap but before cleanup) and
-  are dropped.
+- ``cur`` present WITH a ``.old-{b}`` leftover: the swap for batch b
+  COMPLETED (old is only created by ``rename(cur, old)`` and survives
+  only if the crash hit after ``rename(tmp, cur)`` but before cleanup +
+  marker write), so the marker is journaled forward to b BEFORE the
+  leftover is dropped — otherwise the replayed batch b would re-merge
+  into a snapshot that already contains it (double-count for
+  non-idempotent merges; the code-review catch on the round-6 fix).
+- ``cur`` present with only ``.tmp-*`` leftovers: the crash hit before
+  the swap started; the merge never landed, the marker is correct, and
+  the stale tmp is simply dropped (the replay redoes the merge).
 """
 
 from __future__ import annotations
@@ -48,6 +55,17 @@ def recover_snapshot(target_dir: str, snapshot: str, marker: str) -> None:
         elif olds:
             os.rename(olds[-1], cur)
     if os.path.isdir(cur):
+        olds = _by_batch(glob.glob(os.path.join(target_dir, ".old-*")))
+        if olds:
+            done = int(olds[-1].rsplit("-", 1)[-1])
+            mpath = os.path.join(target_dir, marker)
+            prev = -1
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    prev = int(fh.read().strip() or -1)
+            if done > prev:
+                with open(mpath, "w") as fh:
+                    fh.write(str(done))
         for leftover in glob.glob(os.path.join(target_dir, ".tmp-*")) + glob.glob(
             os.path.join(target_dir, ".old-*")
         ):

@@ -282,7 +282,7 @@ def test_radius_search_has_no_sort(spark, sf_dir):
     )
 
     plan = formatted_plan(SQ["sim_radius_search"](spark, sf_dir))
-    assert "TakeOrdered" not in plan and "(\n) Sort" not in plan
+    assert "TakeOrdered" not in plan
     assert "Sort" not in plan.replace("SortMergeJoin", "")
 
 

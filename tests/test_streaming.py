@@ -1032,11 +1032,26 @@ def test_snapshot_swap_crash_recovery(tmpdir):
     assert open(f"{t2}/_last_batch_id").read() == "2", "marker must stay pre-merge"
 
     # healthy snapshot: stale leftovers from an interrupted write are dropped
+    # and the marker is untouched (the merge never landed)
     t3 = f"{tmpdir}/t3"
     mkdir_with(f"{t3}/words", "live")
     mkdir_with(f"{t3}/.tmp-9", "partial")
+    open(f"{t3}/_last_batch_id", "w").write("8")
     recover_snapshot(t3, "words", "_last_batch_id")
     assert os.path.exists(f"{t3}/words/live") and not os.path.exists(f"{t3}/.tmp-9")
+    assert open(f"{t3}/_last_batch_id").read() == "8"
+
+    # crash AFTER the swap but before marker write: cur is the post-merge
+    # snapshot, .old-{b} survives as the only evidence — the marker must be
+    # journaled to b before dropping it, or the replayed batch re-merges
+    # into a snapshot that already contains it (double-count for SUM merges)
+    t5 = f"{tmpdir}/t5"
+    mkdir_with(f"{t5}/words", "post")
+    mkdir_with(f"{t5}/.old-6", "pre")
+    open(f"{t5}/_last_batch_id", "w").write("5")
+    recover_snapshot(t5, "words", "_last_batch_id")
+    assert os.path.exists(f"{t5}/words/post") and not os.path.exists(f"{t5}/.old-6")
+    assert open(f"{t5}/_last_batch_id").read() == "6", "swap-complete marker not journaled"
 
     # first-batch crash: no old, no marker, tmp-0 complete
     t4 = f"{tmpdir}/t4"

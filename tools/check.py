@@ -81,9 +81,15 @@ def _changed_query_names() -> set[str]:
     if not files:
         files = diff("HEAD~1", "HEAD")
     pkg = "dataflow_pubsub_message_encryption_spark"
+    # the registry machinery itself (base.py / __init__.py) is shared
+    # state: a change there can affect EVERY query, same as functions/
     shared = [
         f for f in files
-        if f.startswith(f"{pkg}/") and f"{pkg}/operators/" not in f
+        if f.startswith(f"{pkg}/")
+        and (
+            f"{pkg}/operators/" not in f
+            or os.path.basename(f) in ("__init__.py", "base.py")
+        )
     ]
     if shared:
         print(f"WARNING: shared engine files changed ({shared}) — any query "
@@ -94,6 +100,9 @@ def _changed_query_names() -> set[str]:
             mod_name = os.path.basename(f)[:-3]
             if mod_name in ("__init__", "base"):
                 continue
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if not os.path.exists(os.path.join(repo, f)):
+                continue  # deleted/renamed module: its queries are gone
             mod = import_module(f"{pkg}.operators.{mod_name}")
             names |= set(getattr(mod, "QUERIES", {}))
     return names
