@@ -1,7 +1,11 @@
 """Crash-safe snapshot-swap recovery shared by the foreachBatch sinks.
 
-The cdc/bitmap sinks swap snapshots with ``rename(cur, old); rename(tmp,
-cur); rmtree(old); write(marker)``. A crash between the two renames leaves
+The cdc/bitmap/cms sinks swap snapshots with ``rename(cur, old);
+rename(tmp, cur); write(marker); rmtree(old)`` — the marker is journaled
+BEFORE ``old`` is dropped, because once ``old`` is gone the state is
+indistinguishable from 'batch never ran' and a pre-marker crash would let
+the replay double-apply (caught by the exhaustive crash-point drill in
+tests/test_streaming.py). A crash between the two renames leaves
 no live snapshot — without recovery the replayed batch reads ``snap=None``
 and silently rebuilds state from that single micro-batch, losing all prior
 state (ADVICE round 5, high-value latent bug).

@@ -88,9 +88,14 @@ def cms_sketch_sink(events: DataFrame, target_dir: str, checkpoint_dir: str):
         if os.path.isdir(cur):
             os.rename(cur, old)
         os.rename(tmp, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        # journal BEFORE dropping old: once old is gone the state is
+        # indistinguishable from "batch never ran", so a crash in between
+        # would let the replay double-apply (exhaustive crash-point drill
+        # in tests/test_streaming.py) — with the marker written first,
+        # recovery either reads it or re-derives it from the old leftover
         with open(marker, "w") as fh:
             fh.write(str(batch_id))
+        shutil.rmtree(old, ignore_errors=True)
 
     os.makedirs(target_dir, exist_ok=True)
     return (

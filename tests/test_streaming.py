@@ -1142,3 +1142,68 @@ def test_cms_sketch_stream_equals_batch_grid(spark, sf_dir, tmpdir):
     q2.awaitTermination(120)
     again = {(r.i, r.p): r.c for r in cms_grid_view(spark, target).collect()}
     assert again == want, "checkpoint restart double-counted cells"
+
+
+def test_snapshot_swap_every_crash_point_converges(tmpdir):
+    """Exhaustive crash-point drill for the swap protocol: for a crash
+    after EACH step of (write tmp, rename cur->old, rename tmp->cur,
+    write marker, rmtree old), recovery + the at-least-once replay rule
+    ('skip iff batch_id <= marker') must land every run in the same final
+    state: exactly one application of batch 7 on top of batch 6's
+    snapshot, marker = 7, no leftovers."""
+    import os
+    import shutil
+
+    from dataflow_pubsub_message_encryption_spark.streaming._snapshot import (
+        recover_snapshot,
+    )
+
+    def write_dir(path, content):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "state"), "w") as fh:
+            fh.write(content)
+
+    def read_dir(path):
+        with open(os.path.join(path, "state")) as fh:
+            return fh.read()
+
+    def apply_batch(root, batch_id, crash_after):
+        """One merge_batch for `batch_id` ('+b{id}' appended to state),
+        stopping after step `crash_after` (5 = no crash)."""
+        marker = os.path.join(root, "_m")
+        prev = -1
+        if os.path.exists(marker):
+            prev = int(open(marker).read())
+        if batch_id <= prev:
+            return  # replay skip
+        cur, tmp = os.path.join(root, "snap"), os.path.join(root, f".tmp-{batch_id}")
+        old = os.path.join(root, f".old-{batch_id}")
+        merged = (read_dir(cur) if os.path.isdir(cur) else "") + f"+b{batch_id}"
+        write_dir(tmp, merged)
+        if crash_after == 1:
+            return
+        os.rename(cur, old)
+        if crash_after == 2:
+            return
+        os.rename(tmp, cur)
+        if crash_after == 3:
+            return
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+        if crash_after == 4:
+            return
+        shutil.rmtree(old, ignore_errors=True)
+
+    for crash_after in (1, 2, 3, 4, 5):
+        root = f"{tmpdir}/crash{crash_after}"
+        write_dir(f"{root}/snap", "+b6")
+        with open(f"{root}/_m", "w") as fh:
+            fh.write("6")
+        apply_batch(root, 7, crash_after)  # crash here
+        recover_snapshot(root, "snap", "_m")
+        apply_batch(root, 7, 5)  # the replay, running to completion
+        recover_snapshot(root, "snap", "_m")
+        assert read_dir(f"{root}/snap") == "+b6+b7", f"crash@{crash_after}"
+        assert open(f"{root}/_m").read() == "7", f"crash@{crash_after}"
+        leftovers = [p for p in os.listdir(root) if p.startswith(".")]
+        assert not leftovers, f"crash@{crash_after}: {leftovers}"
