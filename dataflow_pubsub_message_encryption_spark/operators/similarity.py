@@ -2222,3 +2222,81 @@ def emb_quantization_error(spark, sf_dir):
             6,
         ).alias("mean_abs_err"),
     )
+
+
+@query(
+    "sim_ann_graph_recall_eval",
+    f"""
+    WITH g AS ({{graph}}),
+    bq AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    bp AS (SELECT qe AS pq FROM bq WHERE vec_id = {_PROBE_ID}),
+    brute AS (
+      SELECT vec_id FROM bq CROSS JOIN bp
+      WHERE vec_id != {_PROBE_ID}
+      ORDER BY {_gr_isq_sql('qe', 'pq')}, vec_id
+      LIMIT {_TOPK}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_ann,
+           (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_brute,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT vec_id FROM g) a
+            JOIN (SELECT vec_id FROM brute) b USING (vec_id)) AS n_common,
+           round((SELECT CAST(count(*) AS DOUBLE)
+                  FROM (SELECT vec_id FROM g) a
+                  JOIN (SELECT vec_id FROM brute) b USING (vec_id))
+                 / {_TOPK}, 6) AS recall_at_k
+    """,
+)
+def sim_ann_graph_recall_eval(spark, sf_dir):
+    """Driver-gated recall for the graph index: ``sim_ann_graph_topk``'s
+    result set against the brute-force integer-L2 truth over the same
+    node universe — the same self-measurement contract as
+    ``sim_ann_recall_eval`` gives the LSH family, so the graph family's
+    quality number rides the EXACT oracle gate (the pytest pin checks the
+    same law in-process; this row makes it a driver-graded artifact:
+    1.0 at the fixtures' swept M=10/beam=8 operating point at sf0.001,
+    0.9 at sf0.01). The oracle nests the COMPLETE unrolled graph-search
+    oracle as a CTE next to the brute ranking — two full pipelines, one
+    agreement row."""
+    ann = QUERIES["sim_ann_graph_topk"](spark, sf_dir).select("vec_id")
+    e = load(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
+    )
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(qe.alias("pq"))
+    brute = (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .select("vec_id", qe.alias("qe"))
+        .join(F.broadcast(probe))
+        .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(_TOPK)
+        .select("vec_id")
+    )
+    common = ann.join(brute, "vec_id").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    na = ann.agg(F.count("*").cast("long").alias("n_ann"))
+    nb = brute.agg(F.count("*").cast("long").alias("n_brute"))
+    return (
+        na.crossJoin(F.broadcast(nb))  # 1 row x 1 row
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_ann",
+            "n_brute",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / _TOPK, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+ORACLES["sim_ann_graph_recall_eval"] = ORACLES[
+    "sim_ann_graph_recall_eval"
+].format(graph=ORACLES["sim_ann_graph_topk"])
