@@ -326,3 +326,27 @@ def test_parquet_aggregate_pushdown_reaches_footer(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.parquet.aggregatePushdown")
         spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
+def test_span_dedup_aggregates_partially(spark, sf_dir):
+    """dedup_span_exact: the span census must partial-aggregate map-side
+    (HashAggregate pairs) and plan hash joins only — an accidental
+    cartesian or sort on the span column would be the scale bug."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+    )
+
+    plan = formatted_plan(DQ["dedup_span_exact"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "map-side partial agg missing"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fertility_broadcasts_vocab_dimension(spark, sf_dir):
+    """tokenizer_fertility_by_lang: the word->token-count table is the
+    broadcast dimension; the corpus side must never shuffle on words."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        QUERIES as TQ,
+    )
+
+    assert has_broadcast_join(TQ["tokenizer_fertility_by_lang"](spark, sf_dir))
