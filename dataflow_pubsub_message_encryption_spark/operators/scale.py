@@ -1268,6 +1268,17 @@ def _global_rank(df, *order_cols):
        ``_N_RANGE``-row aggregate to the driver — the same bounded-scalar
        pattern as the two-pass percentile ops).
 
+    Durability trade-off: ``localCheckpoint`` pins the partition ids across
+    the two passes by truncating lineage into EXECUTOR block storage — on a
+    real cluster an executor loss between the passes makes the ranked
+    lineage unrecoverable and fails (not corrupts) the job. The 100 TB
+    recipe swaps it for a reliable materialization with the same pinning
+    semantics — ``persist(StorageLevel.DISK_ONLY_2)`` (two replicas) or
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` on durable
+    storage — at the cost of one extra write of the ranged table. Local
+    single-JVM runs (this harness) cannot lose an executor, so the cheap
+    form is used here.
+
     Returns (ranked_df with ``rk`` column, total row count n).
     """
     ranged = (

@@ -27,12 +27,11 @@ merge); the merge computation itself is unchanged.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._snapshot import recover_snapshot
+from ._snapshot import marker_value, recover_snapshot, swap_in
 
 _SNAPSHOT = "current"
 _MARKER = "_last_batch_id"
@@ -78,29 +77,17 @@ def cdc_upsert_sink(events: DataFrame, target_dir: str, checkpoint_dir: str):
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         recover_snapshot(target_dir, _SNAPSHOT, _MARKER)
-        marker = os.path.join(target_dir, _MARKER)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip() or -1):
-                    return  # replayed batch: already folded in
+        if batch_id <= marker_value(target_dir, _MARKER):
+            return  # replayed batch: already folded in
         spark = batch_df.sparkSession
         cur = os.path.join(target_dir, _SNAPSHOT)
         snap = spark.read.parquet(cur) if os.path.isdir(cur) else None
         merged = _merge(snap, _batch_contrib(batch_df))
         tmp = os.path.join(target_dir, f".tmp-{batch_id}")
         merged.write.mode("overwrite").parquet(tmp)
-        old = os.path.join(target_dir, f".old-{batch_id}")
-        if os.path.isdir(cur):
-            os.rename(cur, old)
-        os.rename(tmp, cur)
-        # journal BEFORE dropping old: once old is gone the state is
-        # indistinguishable from "batch never ran", so a crash in between
-        # would let the replay double-apply (exhaustive crash-point drill
-        # in tests/test_streaming.py) — with the marker written first,
-        # recovery either reads it or re-derives it from the old leftover
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
-        shutil.rmtree(old, ignore_errors=True)
+        # crash-safe swap + marker journal (first-batch vs steady-state
+        # ordering differs — see streaming/_snapshot.py module docstring)
+        swap_in(target_dir, _SNAPSHOT, _MARKER, batch_id)
 
     os.makedirs(target_dir, exist_ok=True)
     return (

@@ -1053,12 +1053,37 @@ def test_snapshot_swap_crash_recovery(tmpdir):
     assert os.path.exists(f"{t5}/words/post") and not os.path.exists(f"{t5}/.old-6")
     assert open(f"{t5}/_last_batch_id").read() == "6", "swap-complete marker not journaled"
 
-    # first-batch crash: no old, no marker, tmp-0 complete
+    # first-batch crash BEFORE the marker write: no old witness and no
+    # marker proof, so the tmp may be a torn parquet write — it must be
+    # dropped (the replay redoes batch 0 from empty, exactly once); under
+    # the pre-round-7 protocol this state was restored + journaled, which
+    # silently accepted torn first-batch writes
     t4 = f"{tmpdir}/t4"
     mkdir_with(f"{t4}/.tmp-0", "post")
     recover_snapshot(t4, "words", "_last_batch_id")
-    assert os.path.exists(f"{t4}/words/post")
-    assert open(f"{t4}/_last_batch_id").read() == "0"
+    assert not os.path.exists(f"{t4}/words"), "unproven first-batch tmp restored"
+    assert not os.path.exists(f"{t4}/_last_batch_id")
+    assert not os.path.exists(f"{t4}/.tmp-0")
+
+    # first-batch crash AFTER the marker write (marker == tmp batch proves
+    # the tmp complete — swap_in journals only after the parquet write):
+    # restore and keep the marker, so the replayed batch 0 skips
+    t6 = f"{tmpdir}/t6"
+    mkdir_with(f"{t6}/.tmp-0", "post")
+    open(f"{t6}/_last_batch_id", "w").write("0")
+    recover_snapshot(t6, "words", "_last_batch_id")
+    assert os.path.exists(f"{t6}/words/post")
+    assert open(f"{t6}/_last_batch_id").read() == "0"
+
+    # torn marker journal: the write-aside file is never the source of
+    # truth and must be cleaned up
+    t7 = f"{tmpdir}/t7"
+    mkdir_with(f"{t7}/words", "live")
+    open(f"{t7}/_last_batch_id", "w").write("3")
+    open(f"{t7}/_last_batch_id.w", "w").write("4")
+    recover_snapshot(t7, "words", "_last_batch_id")
+    assert not os.path.exists(f"{t7}/_last_batch_id.w")
+    assert open(f"{t7}/_last_batch_id").read() == "3"
 
 
 def test_stateful_v2_env_boundary_is_exactly_protobuf():
@@ -1145,16 +1170,29 @@ def test_cms_sketch_stream_equals_batch_grid(spark, sf_dir, tmpdir):
 
 
 def test_snapshot_swap_every_crash_point_converges(tmpdir):
-    """Exhaustive crash-point drill for the swap protocol: for a crash
-    after EACH step of (write tmp, rename cur->old, rename tmp->cur,
-    write marker, rmtree old), recovery + the at-least-once replay rule
-    ('skip iff batch_id <= marker') must land every run in the same final
-    state: exactly one application of batch 7 on top of batch 6's
-    snapshot, marker = 7, no leftovers."""
+    """Exhaustive crash-point drill for the swap protocol, mirroring the
+    sinks' REAL merge_batch sequence (recover_snapshot preamble,
+    marker_value skip rule, the isdir guard, and swap_in's two orderings)
+    step for step. Two scenarios:
+
+    - steady state (prior snapshot + marker present): crash after each of
+      (tmp dir created/torn, tmp written, rename cur->old, rename
+      tmp->cur, journal marker, rmtree old) must converge to exactly one
+      application of batch 7 on top of batch 6, marker = 7, no leftovers;
+    - BOOTSTRAP (no snapshot, no marker — the round-6 ADVICE hole): crash
+      after each of (tmp dir created/torn, tmp written, journal marker,
+      rename tmp->cur) must converge to exactly one application of batch
+      0 ('+b0', never '+b0+b0'), marker = 0, no leftovers.
+
+    Recovery is additionally run TWICE on replay (it must be
+    re-runnable — a crash inside recovery is just another crash point).
+    """
     import os
     import shutil
 
     from dataflow_pubsub_message_encryption_spark.streaming._snapshot import (
+        _journal,
+        marker_value,
         recover_snapshot,
     )
 
@@ -1167,43 +1205,67 @@ def test_snapshot_swap_every_crash_point_converges(tmpdir):
         with open(os.path.join(path, "state")) as fh:
             return fh.read()
 
+    DONE = 99
+
     def apply_batch(root, batch_id, crash_after):
         """One merge_batch for `batch_id` ('+b{id}' appended to state),
-        stopping after step `crash_after` (5 = no crash)."""
-        marker = os.path.join(root, "_m")
-        prev = -1
-        if os.path.exists(marker):
-            prev = int(open(marker).read())
-        if batch_id <= prev:
-            return  # replay skip
-        cur, tmp = os.path.join(root, "snap"), os.path.join(root, f".tmp-{batch_id}")
-        old = os.path.join(root, f".old-{batch_id}")
+        stopping after the named step (DONE = run to completion). Steps
+        mirror merge_batch + swap_in exactly; step numbering follows the
+        branch actually taken (steady: 0-5, bootstrap: 0-3)."""
+        recover_snapshot(root, "snap", "_m")
+        if batch_id <= marker_value(root, "_m"):
+            return  # replay skip — same rule as the sinks
+        cur = os.path.join(root, "snap")
+        tmp = os.path.join(root, f".tmp-{batch_id}")
         merged = (read_dir(cur) if os.path.isdir(cur) else "") + f"+b{batch_id}"
+        os.makedirs(tmp, exist_ok=True)
+        if crash_after == 0:
+            return  # torn tmp write: dir exists, content missing
         write_dir(tmp, merged)
         if crash_after == 1:
             return
-        os.rename(cur, old)
-        if crash_after == 2:
-            return
-        os.rename(tmp, cur)
-        if crash_after == 3:
-            return
-        with open(marker, "w") as fh:
-            fh.write(str(batch_id))
-        if crash_after == 4:
-            return
-        shutil.rmtree(old, ignore_errors=True)
+        # --- mirror of swap_in ---
+        if os.path.isdir(cur):
+            old = os.path.join(root, f".old-{batch_id}")
+            os.rename(cur, old)
+            if crash_after == 2:
+                return
+            os.rename(tmp, cur)
+            if crash_after == 3:
+                return
+            _journal(root, "_m", batch_id)
+            if crash_after == 4:
+                return
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            _journal(root, "_m", batch_id)
+            if crash_after == 2:
+                return
+            os.rename(tmp, cur)
 
-    for crash_after in (1, 2, 3, 4, 5):
-        root = f"{tmpdir}/crash{crash_after}"
+    def replay_and_check(root, batch_id, want_state, tag):
+        recover_snapshot(root, "snap", "_m")
+        recover_snapshot(root, "snap", "_m")  # recovery is re-runnable
+        apply_batch(root, batch_id, DONE)
+        recover_snapshot(root, "snap", "_m")
+        assert read_dir(f"{root}/snap") == want_state, tag
+        assert open(f"{root}/_m").read() == str(batch_id), tag
+        leftovers = [p for p in os.listdir(root) if p.startswith(".")]
+        assert not leftovers, f"{tag}: {leftovers}"
+
+    # steady state: batch 7 lands on batch 6's snapshot
+    for crash_after in (0, 1, 2, 3, 4, 5, DONE):
+        root = f"{tmpdir}/steady{crash_after}"
         write_dir(f"{root}/snap", "+b6")
         with open(f"{root}/_m", "w") as fh:
             fh.write("6")
         apply_batch(root, 7, crash_after)  # crash here
-        recover_snapshot(root, "snap", "_m")
-        apply_batch(root, 7, 5)  # the replay, running to completion
-        recover_snapshot(root, "snap", "_m")
-        assert read_dir(f"{root}/snap") == "+b6+b7", f"crash@{crash_after}"
-        assert open(f"{root}/_m").read() == "7", f"crash@{crash_after}"
-        leftovers = [p for p in os.listdir(root) if p.startswith(".")]
-        assert not leftovers, f"crash@{crash_after}: {leftovers}"
+        replay_and_check(root, 7, "+b6+b7", f"steady crash@{crash_after}")
+
+    # bootstrap: batch 0 lands on NOTHING — no old witness can exist, so
+    # the marker-before-rename ordering is what prevents '+b0+b0'
+    for crash_after in (0, 1, 2, 3, DONE):
+        root = f"{tmpdir}/boot{crash_after}"
+        os.makedirs(root)
+        apply_batch(root, 0, crash_after)  # crash here
+        replay_and_check(root, 0, "+b0", f"bootstrap crash@{crash_after}")

@@ -12,11 +12,13 @@ confs pre-applied) calling ``__spark_entry__.queries()`` / ``oracle_sql()``
 instead of the internal registry.
 
 --changed: git-diff-driven selection (VERDICT r5 item 9 — the registry is
-230+ queries, a full sweep is no longer a per-commit tool): check only the
-queries registered by operator modules touched in the working tree (or, if
-the tree is clean, by the last commit). A touched shared module
-(functions/ sources/ plans/ streaming/) can affect any query, so that
-triggers a loud warning recommending the full sweep.
+260+ queries, a full sweep is no longer a per-commit tool): check only the
+queries registered by operator modules touched in the UNION of the working
+tree, the last commit, and untracked files (a dirty tree with unrelated
+edits must not mask operator changes already committed — round-6 review
+catch). A touched shared module (functions/ sources/ plans/ streaming/ or
+the registry machinery) can affect any query, so that escalates to the
+full sweep instead of under-checking.
 """
 
 from __future__ import annotations
@@ -77,9 +79,19 @@ def _changed_query_names() -> set[str]:
         ).stdout
         return [line for line in out.splitlines() if line.strip()]
 
-    files = diff("HEAD")
-    if not files:
-        files = diff("HEAD~1", "HEAD")
+    # union of working-tree changes, the last commit, and untracked files:
+    # a dirty tree with only unrelated edits (e.g. VERDICT.md) must not
+    # mask operator changes in HEAD, and brand-new operator modules are
+    # invisible to `git diff` entirely (round-6 code-review catch)
+    untracked = subprocess.run(
+        ["git", "-C", repo, "ls-files", "--others", "--exclude-standard"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    files = sorted(
+        set(diff("HEAD"))
+        | set(diff("HEAD~1", "HEAD"))
+        | {line for line in untracked.splitlines() if line.strip()}
+    )
     pkg = "dataflow_pubsub_message_encryption_spark"
     # the registry machinery itself (base.py / __init__.py) is shared
     # state: a change there can affect EVERY query, same as functions/
@@ -91,9 +103,6 @@ def _changed_query_names() -> set[str]:
             or os.path.basename(f) in ("__init__.py", "base.py")
         )
     ]
-    if shared:
-        print(f"WARNING: shared engine files changed ({shared}) — any query "
-              "may be affected; run the full sweep before shipping")
     names: set[str] = set()
     for f in files:
         if f.startswith(f"{pkg}/operators/") and f.endswith(".py"):
@@ -105,7 +114,7 @@ def _changed_query_names() -> set[str]:
                 continue  # deleted/renamed module: its queries are gone
             mod = import_module(f"{pkg}.operators.{mod_name}")
             names |= set(getattr(mod, "QUERIES", {}))
-    return names
+    return names, bool(shared)
 
 
 def main() -> int:
@@ -116,11 +125,20 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     if changed:
-        only |= _changed_query_names()
-        if not only:
+        names, shared = _changed_query_names()
+        only |= names
+        if shared:
+            # a shared engine file (functions/ sources/ streaming/ plans/
+            # or the registry machinery) can affect EVERY query — escalate
+            # to the full sweep instead of silently under-checking
+            print("--changed: shared engine files touched — escalating to "
+                  "the FULL sweep (any query may be affected)")
+            only = set()
+        elif not only:
             print("--changed: no operator-module changes detected; nothing to check")
             return 0
-        print(f"--changed: {len(only)} queries from touched modules")
+        else:
+            print(f"--changed: {len(only)} queries from touched modules")
 
     if wrapper:
         from pyspark.sql import SparkSession
