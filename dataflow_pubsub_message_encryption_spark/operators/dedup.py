@@ -1449,6 +1449,8 @@ def dedup_span_exact(spark, sf_dir):
 
 
 _WJAC_TAU = 0.5  # IDF-weighted threshold (probed: ~4.1k fixture pairs)
+_WJAC_DF_MIN = 2  # df-cap floor: terms this rare always stay indexed
+_WJAC_DF_DEN = 10  # df-cap: drop terms with df > n_docs/10 (stop-terms)
 
 
 @query(
@@ -1461,14 +1463,19 @@ _WJAC_TAU = 0.5  # IDF-weighted threshold (probed: ~4.1k fixture pairs)
     ),
     n AS (SELECT count(DISTINCT doc_id) AS nd FROM d),
     idf AS (
-      SELECT term,
+      SELECT term, count(DISTINCT doc_id) AS df,
              CAST(round(ln(CAST((SELECT nd FROM n) AS DOUBLE)
                            / count(DISTINCT doc_id)) * 1000000000) AS BIGINT)
                AS w
       FROM d GROUP BY term
     ),
-    dt AS (SELECT d.doc_id, d.source, d.term, idf.w
-           FROM d JOIN idf USING (term)),
+    kept AS (
+      SELECT term, w FROM idf
+      WHERE df <= {_WJAC_DF_MIN}
+         OR df * {_WJAC_DF_DEN} <= (SELECT nd FROM n)
+    ),
+    dt AS (SELECT d.doc_id, d.source, d.term, kept.w
+           FROM d JOIN kept USING (term)),
     sums AS (SELECT doc_id, SUM(w) AS sw FROM dt GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w) AS iw
@@ -1495,14 +1502,29 @@ def dedup_weighted_jaccard(spark, sf_dir):
     Scale shape — BETTER than the capped quadratic siblings: pairs come
     from the inverted-index token self-join (source rides along to
     mirror the family's blocking), so cost ∝ per-term collision lists,
-    never block², and a hot SOURCE costs nothing extra (a hot TERM does —
-    which the idf weight itself suppresses is not enough mechanically;
-    at 100 TB the standard df-cap drops stop-terms from the index, a
-    pure-prune since their idf ≈ 0 contributes nothing to either sum).
+    never block², and a hot SOURCE costs nothing extra. A hot TERM is the
+    residual hazard (k docs sharing a term → k² pairs; a stop-term is
+    exactly the hot blocking key _PAIR_CAP bounds elsewhere), so the
+    index carries the standard df-cap: terms with df > n_docs/_WJAC_DF_DEN
+    are dropped from BOTH the pair-generating index and the per-doc
+    weight sums (the _WJAC_DF_MIN floor keeps genuinely rare terms on
+    tiny corpora). The cap shifts wjac slightly — its idf contribution
+    was near-zero but not zero — so the oracle mirrors it term for term
+    and the EXACT gate grades the capped semantics; the hot-term
+    injection test pins the fan-out bound. The idf join is left
+    unhinted: vocabulary is unbounded at corpus scale, so AQE picks
+    broadcast only while it actually fits.
     Determinism: idf quantized to int64 at 1e9 (the ln idiom), all sums
     integer, one double division rounded once; per-doc weight sums join
     back on the pair ids."""
-    d = _parallel(spark, load(spark, sf_dir, "documents")).select(
+    return weighted_jaccard_pairs(spark, load(spark, sf_dir, "documents"))
+
+
+def weighted_jaccard_pairs(spark, docs):
+    """Core of :func:`dedup_weighted_jaccard` over an explicit documents
+    frame — split out so the hot-term injection test can pin the df-cap
+    behavior on constructed input (the _PAIR_CAP test pattern)."""
+    d = _parallel(spark, docs).select(
         "doc_id", "source", F.explode(distinct_tokens("text")).alias("term")
     )
     nd = d.agg(F.count_distinct("doc_id").alias("nd"))
@@ -1512,6 +1534,8 @@ def dedup_weighted_jaccard(spark, sf_dir):
         .crossJoin(F.broadcast(nd))
         .select(
             "term",
+            "df",
+            "nd",
             F.round(
                 F.log(F.col("nd").cast("double") / F.col("df"))
                 * 1_000_000_000
@@ -1520,7 +1544,11 @@ def dedup_weighted_jaccard(spark, sf_dir):
             .alias("w"),
         )
     )
-    dt = d.join(F.broadcast(idf), "term")
+    kept = idf.filter(
+        (F.col("df") <= _WJAC_DF_MIN)
+        | (F.col("df") * _WJAC_DF_DEN <= F.col("nd"))
+    ).select("term", "w")
+    dt = d.join(kept, "term")
     sums = dt.groupBy("doc_id").agg(F.sum("w").alias("sw"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (
