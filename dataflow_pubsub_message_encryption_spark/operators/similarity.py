@@ -1622,6 +1622,43 @@ def _gr_edges_sql(l: int) -> str:
     )"""
 
 
+# LSH-blocked graph build (VERDICT r6 item 3): two independent 4-bit
+# hyperplane hash tables over the 8 deterministic planes — candidate edges
+# come from bucket-mates in EITHER table (OR-amplified, the multiprobe
+# family's recall recovery), never from the all-pairs self-join.
+_GRB_TABLES = ((0, 4), (4, 8))
+
+
+def _lsh_slice_sql(col: str, lo: int, hi: int) -> str:
+    """DuckDB: hyperplane sign bits for planes [lo, hi) — the slice analog
+    of ``_lsh_bucket_sql`` (prefix-only) for multi-table blocking."""
+    parts = []
+    for plane in _planes()[lo:hi]:
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _grb_edges_sql(l: int) -> str:
+    """Level-l M-NN edges restricted to LSH-bucket-mates: same rank rule
+    as the naive build, candidate set pruned to pairs agreeing in table 1
+    OR table 2 (identical to the union-distinct of the two equi-joins the
+    Spark side runs)."""
+    return f"""e{l} AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {_gr_isq_sql('a.qe', 'b.qe')}, b.vec_id) AS rk
+        FROM lv a JOIN lv b
+          ON a.lvl >= {l} AND b.lvl >= {l} AND a.vec_id != b.vec_id
+         AND (a.b1 = b.b1 OR a.b2 = b.b2)
+      ) WHERE rk <= {_GR_M}
+    )"""
+
+
 def _gr_step_sql(t: int, l: int) -> str:
     return f"""c{t} AS MATERIALIZED (
       SELECT n0.vec_id FROM (
@@ -1636,27 +1673,37 @@ def _gr_step_sql(t: int, l: int) -> str:
     )"""
 
 
-def _gr_sql() -> str:
+def _gr_sql(blocked: bool = False) -> str:
     steps, t = [], 0
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
             t += 1
             steps.append(_gr_step_sql(t, l))
     final = t
+    bcols = ""
+    if blocked:
+        (lo1, hi1), (lo2, hi2) = _GRB_TABLES
+        bcols = (
+            f", {_lsh_slice_sql('embedding', lo1, hi1)} AS b1"
+            f", {_lsh_slice_sql('embedding', lo2, hi2)} AS b2"
+        )
+    bpass = ", b1, b2" if blocked else ""
+    edges_sql = _grb_edges_sql if blocked else _gr_edges_sql
     return f"""
     WITH qv AS MATERIALIZED (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+             {bcols}
       FROM embeddings
     ),
     lv AS MATERIALIZED (
-      SELECT vec_id, qe,
+      SELECT vec_id, qe{bpass},
              CASE WHEN hv % 16 = 0 THEN 2
                   WHEN hv % 4 = 0 THEN 1
                   ELSE 0 END AS lvl
       FROM (
-        SELECT vec_id, qe,
+        SELECT vec_id, qe{bpass},
                (instr('0123456789abcdef',
                       substr(sha256(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
                + (instr('0123456789abcdef',
@@ -1668,7 +1715,7 @@ def _gr_sql() -> str:
     probe AS MATERIALIZED (
       SELECT qe AS pq FROM qv WHERE vec_id = {_PROBE_ID}
     ),
-    {', '.join(_gr_edges_sql(l) for l in _GR_LEVELS)},
+    {', '.join(edges_sql(l) for l in _GR_LEVELS)},
     c0 AS MATERIALIZED (
       SELECT vec_id FROM lv ORDER BY lvl DESC, vec_id LIMIT 1
     ),
@@ -1702,10 +1749,12 @@ def _gr_isq(a, b):
     )
 
 
-def _gr_nodes(e):
+def _gr_nodes(e, blocked: bool = False):
     """Quantize + seeded level assignment (sha-nibble of the vec_id: the
     deterministic stand-in for HNSW's geometric level draw — P(lvl>=1)=1/4,
-    P(lvl=2)=1/16, the 'exponentially decaying layer population')."""
+    P(lvl=2)=1/16, the 'exponentially decaying layer population'). With
+    ``blocked``, each node also carries its two LSH table keys (the
+    blocked build's candidate-generation columns)."""
     h = F.sha2(F.col("vec_id").cast("string"), 256)
 
     def nib(i):
@@ -1715,11 +1764,20 @@ def _gr_nodes(e):
     qe = F.transform(
         as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
     )
-    return e.select(
-        "vec_id",
+    cols = [
+        F.col("vec_id"),
         qe.alias("qe"),
         F.when(hv % 16 == 0, 2).when(hv % 4 == 0, 1).otherwise(0).alias("lvl"),
-    )
+    ]
+    if blocked:
+        for i, (lo, hi) in enumerate(_GRB_TABLES, start=1):
+            bits = [
+                F.when(cosine_free_dot(as_double("embedding"), p) > 0, "1")
+                .otherwise("0")
+                for p in _planes()[lo:hi]
+            ]
+            cols.append(F.concat(*bits).alias(f"b{i}"))
+    return e.select(*cols)
 
 
 def _gr_edges(nodes, l: int):
@@ -1739,6 +1797,44 @@ def _gr_edges(nodes, l: int):
     w = Window.partitionBy("src").orderBy("d", "dst")
     return (
         pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _GR_M)
+        .select("src", "dst")
+    )
+
+
+def _grb_edges(nodes, l: int):
+    """Level-l M-NN graph with LSH-BLOCKED candidate generation — the
+    100 TB build shape `_gr_edges` documents: candidates are bucket-mates
+    in either of two 4-bit hyperplane tables (equi-joins on the bucket
+    key, union-distinct = the oracle's OR), ids only through the shuffle;
+    quantized vectors re-join by id for the distance rank. No all-pairs
+    self-join anywhere — tests/test_plans.py asserts the plan carries no
+    nested-loop/cartesian join. Cost is Σ bucket² per table instead of
+    |V|²; the bit-width is the knob (more planes → smaller buckets)."""
+    sub = nodes.filter(F.col("lvl") >= l)
+    pairs = None
+    for i in range(1, len(_GRB_TABLES) + 1):
+        a = sub.select(F.col("vec_id").alias("src"), F.col(f"b{i}").alias("k"))
+        b = sub.select(F.col("vec_id").alias("dst"), F.col(f"b{i}").alias("k"))
+        p = (
+            a.join(b, "k")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    qa = nodes.select(F.col("vec_id").alias("src"), F.col("qe").alias("qa"))
+    qb = nodes.select(F.col("vec_id").alias("dst"), F.col("qe").alias("qb"))
+    scored = (
+        pairs.distinct()
+        .join(qa, "src")
+        .join(qb, "dst")
+        .select(
+            "src", "dst", _gr_isq(F.col("qa"), F.col("qb")).alias("d")
+        )
+    )
+    w = Window.partitionBy("src").orderBy("d", "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _GR_M)
         .select("src", "dst")
     )
@@ -1805,6 +1901,12 @@ def sim_ann_graph_topk(spark, sf_dir):
         .localCheckpoint()
     )
     edges = {l: _gr_edges(nodes, l).localCheckpoint() for l in _GR_LEVELS}
+    return _gr_search(nodes, probe, edges)
+
+
+def _gr_search(nodes, probe, edges):
+    """Beam descent + 2-hop base-layer rerank, shared by the naive and
+    LSH-blocked builds (the index changes; the walk does not)."""
     cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
@@ -1821,12 +1923,46 @@ def sim_ann_graph_topk(spark, sf_dir):
     )
     cand = cur.select("vec_id").union(hop1).union(hop2).distinct()
     return (
-        cand.join(nodes, "vec_id")
+        cand.join(nodes.select("vec_id", "qe"), "vec_id")
         .crossJoin(F.broadcast(probe))
         .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("idist"))
         .orderBy("idist", "vec_id")
         .limit(_TOPK)
     )
+
+
+@query("sim_ann_graph_topk_blocked", _gr_sql(blocked=True))
+def sim_ann_graph_topk_blocked(spark, sf_dir):
+    """Graph ANN with the SCALE-SAFE index build (VERDICT r6 item 3): the
+    per-level M-NN graph is built from LSH-bucketed candidates — two
+    independent 4-bit hyperplane tables (planes 0-3 / 4-7, the same
+    deterministic ±1 planes the LSH/multiprobe ops inline), candidate
+    pairs = bucket-mates in EITHER table — instead of `_gr_edges`'s
+    all-pairs self-join. The build shuffles ids on equi bucket keys and
+    re-joins quantized vectors by id; nothing in the plan is quadratic in
+    |V| (plan-asserted nested-loop-free in tests/test_plans.py). The walk
+    (`_gr_search`), beam, hops, levels, and rerank are byte-identical to
+    `sim_ann_graph_topk`; the oracle replays the blocked build edge for
+    edge (the OR of the two table keys ≡ the union-distinct of the two
+    equi-joins), so the EXACT gate grades the blocked semantics.
+    Recall@10 vs the brute-force truth is pinned exactly in
+    tests/test_ext_ops.py alongside the naive build's."""
+    e = load(spark, sf_dir, "embeddings")
+    nodes = _gr_nodes(
+        e.filter(F.col("vec_id") != _PROBE_ID), blocked=True
+    ).localCheckpoint()
+    probe = (
+        e.filter(F.col("vec_id") == _PROBE_ID)
+        .select(
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            ).alias("pq")
+        )
+        .localCheckpoint()
+    )
+    edges = {l: _grb_edges(nodes, l).localCheckpoint() for l in _GR_LEVELS}
+    return _gr_search(nodes, probe, edges)
 
 
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the

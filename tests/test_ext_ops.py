@@ -601,3 +601,16 @@ def test_graph_ann_recall_vs_brute(spark, sf_dir):
     recall = len(ann & brute) / _TOPK
     expected = 1.0 if sf_dir.endswith("0.001") else 0.9
     assert recall == expected, f"recall drifted: {recall} != {expected}"
+
+    # the LSH-blocked build (same walk, pruned candidate edges) trades a
+    # little recall for a build that is never quadratic in |V| — also
+    # deterministic, so pinned exactly, at the measured 0.8 / 0.7 point
+    blocked = {
+        r.vec_id
+        for r in SQ["sim_ann_graph_topk_blocked"](spark, sf_dir).collect()
+    }
+    b_recall = len(blocked & brute) / _TOPK
+    b_expected = 0.8 if sf_dir.endswith("0.001") else 0.7
+    assert b_recall == b_expected, (
+        f"blocked recall drifted: {b_recall} != {b_expected}"
+    )
