@@ -529,8 +529,23 @@ def win_lag_delta(spark, sf_dir):
 )
 def win_ntile(spark, sf_dir):
     """C21 — ntile quartiles over a total order (c_custkey tie-break).
-    Single-partition window: fine for dimension-sized inputs, documented
-    anti-pattern for fact tables (use percentile buckets instead)."""
+    Delegates to the distributed global-rank machinery (VERDICT r6
+    cleanup: a user calling the legacy key must not get the
+    single-partition plan) — same oracle, same rows; the scalable twin
+    proved the equality before the legacy keys were re-pointed. The
+    anti-pattern this replaced is kept as
+    :func:`win_ntile_single_partition_demo` (unregistered)."""
+    from .scale import win_ntile_scalable
+
+    return win_ntile_scalable(spark, sf_dir)
+
+
+def win_ntile_single_partition_demo(spark, sf_dir):
+    """THE labeled single-partition-window anti-pattern demo (the one
+    VERDICT r6 item 5 allows): `Window.orderBy` with no partitionBy moves
+    every row through ONE task — WindowExec warns, and at fact-table
+    scale the stage is a straggler by construction. Kept unregistered,
+    for plan-contrast only; every registry key uses `_global_rank`."""
     w = Window.orderBy("c_acctbal", "c_custkey")
     return load(spark, sf_dir, "customer").select(
         "c_custkey", F.ntile(4).over(w).alias("quartile")
@@ -1484,55 +1499,18 @@ def agg_mode_per_user(spark, sf_dir):
 )
 def rfm_segmentation(spark, sf_dir):
     """RFM customer segmentation — the canonical warehouse scoring
-    query: per-customer recency/frequency/monetary, quintile scores via
-    ``ntile(5)`` (deterministic: every ORDER BY carries the custkey
-    tie-break, and ntile's equal-split rule is identical in both
-    engines), then a rule-based segment label. One aggregation shuffle
-    on custkey; the three ntile windows run over the CUSTOMER table
-    (not orders). Global ntile is single-partition by nature — at
-    100 TB the swap is percentile-threshold scoring (approx quantiles
-    broadcast as literals, narrow-map the scores), which avoids the
-    global sort at the cost of boundary-exactness; the rule layer is
-    identical either way."""
-    o = load(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum(dec4("o_totalprice")).alias("monetary"),
-    )
-    wr = Window.orderBy(F.desc("last_order"), "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = per_cust.select(
-        "o_custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
-    )
-    seg = (
-        F.when(
-            (F.col("r_score") == 1)
-            & (F.col("f_score") <= 2)
-            & (F.col("m_score") <= 2),
-            "champion",
-        )
-        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 3), "loyal")
-        .when((F.col("r_score") >= 4) & (F.col("m_score") <= 2),
-              "at_risk_big_spender")
-        .when(F.col("r_score") >= 4, "dormant")
-        .otherwise("regular")
-    )
-    return scored.select(
-        "o_custkey",
-        "frequency",
-        money("monetary").alias("monetary"),
-        "r_score",
-        "f_score",
-        "m_score",
-        seg.alias("segment"),
-    )
+    query: per-customer recency/frequency/monetary, quintile scores
+    (deterministic: every ORDER BY carries the custkey tie-break, and
+    ntile's equal-split rule is identical in both engines), then a
+    rule-based segment label. Delegates to the distributed rank
+    machinery (VERDICT r6 cleanup) — the three quintile windows run as
+    independent `_global_rank` passes + the integer ntile formula, no
+    single-partition window anywhere; the scalable twin proved oracle
+    equality on all three orderings before the legacy key was
+    re-pointed."""
+    from .scale import rfm_segmentation_scalable
+
+    return rfm_segmentation_scalable(spark, sf_dir)
 
 
 @query(
@@ -1835,25 +1813,15 @@ def supplier_lead_time(spark, sf_dir):
 )
 def customer_value_quartiles(spark, sf_dir):
     """Customer lifetime-value quartiles: per-customer revenue (decimal
-    sums), ntile(4) with a customer tie-break for determinism, then the
-    per-quartile census — the segmentation table CRM/BI reads first
-    ("the top quartile is X% of revenue"). The ranking window runs over
-    the CUSTOMER-level aggregate (|customers| rows, not orders); decimal
-    revenue keeps the partial-aggregated sums bit-equal to the oracle's
-    single pass, rounded to money only on output."""
-    rev = (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.sum(dec4("o_totalprice")).alias("r"))
-    )
-    w = Window.orderBy("r", "o_custkey")
-    q = rev.withColumn("quartile", F.ntile(4).over(w).cast("int"))
-    return q.groupBy("quartile").agg(
-        F.count("*").alias("n_customers"),
-        money(F.sum("r")).alias("total_revenue"),
-        money(F.min("r")).alias("min_revenue"),
-        money(F.max("r")).alias("max_revenue"),
-    )
+    sums), quartile assignment with a customer tie-break for
+    determinism, then the per-quartile census — the segmentation table
+    CRM/BI reads first ("the top quartile is X% of revenue"). Delegates
+    to the distributed rank machinery (VERDICT r6 cleanup) — identical
+    oracle, no single-partition window; the scalable twin proved the
+    equality before the legacy key was re-pointed."""
+    from .scale import customer_value_quartiles_scalable
+
+    return customer_value_quartiles_scalable(spark, sf_dir)
 
 
 @query(

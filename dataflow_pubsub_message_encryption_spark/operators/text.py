@@ -1166,26 +1166,14 @@ def corpus_perplexity_buckets(spark, sf_dir):
     computation) with a per-bucket doc/token census — the table that
     decides which tercile feeds training, which gets re-filtered, and
     which is dropped. The tercile cut uses ntile over a fully tie-broken
-    order (score, doc_id) so both engines cut identically. Scale: the
-    scoring op's shapes (vocab broadcast, integer-quantized ln sums)
-    carry over; the ntile window runs over |docs| scored rows — at
-    corpus scale the split becomes quantile thresholds from
-    ``agg_quantile_sketch_union``-style summaries rather than one
-    window, with the same downstream census."""
-    scored = QUERIES["text_unigram_logprob"](spark, sf_dir)
-    w = Window.orderBy("avg_neg_logprob", "doc_id")
-    b = scored.withColumn("bucket", F.ntile(3).over(w))
-    name = (
-        F.when(F.col("bucket") == 1, "head")
-        .when(F.col("bucket") == 2, "middle")
-        .otherwise("tail")
-    )
-    return b.groupBy(name.alias("bucket")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.round(F.min("avg_neg_logprob"), 6).alias("score_min"),
-        F.round(F.max("avg_neg_logprob"), 6).alias("score_max"),
-    )
+    order (score, doc_id) so both engines cut identically. Delegates to
+    the distributed rank machinery (VERDICT r6 cleanup) — the tercile is
+    a `_global_rank` + integer-ntile pass, no single-partition window;
+    the scalable twin proved oracle equality before the legacy key was
+    re-pointed."""
+    from .scale import corpus_perplexity_buckets_scalable
+
+    return corpus_perplexity_buckets_scalable(spark, sf_dir)
 
 
 @query(

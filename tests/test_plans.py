@@ -250,13 +250,22 @@ def test_scalable_segmentation_has_no_single_partition_window(spark, sf_dir):
         QUERIES as SCQ,
     )
 
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    Q, _ = registry()
     for key in (
         "customer_value_quartiles_scalable",
         "rfm_segmentation_scalable",
         "win_ntile_scalable",
         "corpus_perplexity_buckets_scalable",
+        # the legacy keys delegate to the same machinery since round 7 —
+        # a user calling them must get the distributed plan too
+        "customer_value_quartiles",
+        "rfm_segmentation",
+        "win_ntile",
+        "corpus_perplexity_buckets",
     ):
-        plan = formatted_plan(SCQ[key](spark, sf_dir))
+        plan = formatted_plan((SCQ.get(key) or Q[key])(spark, sf_dir))
         assert "Exchange SinglePartition" not in plan, key
         assert "Window" in plan, f"{key}: rank window missing entirely"
 
