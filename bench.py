@@ -16,9 +16,18 @@ re-run against the multi-file layout twin (32 files/table, the shape a
 single-row-group scan ceiling), so every round's artifact carries BOTH
 totals.
 
+Quiet-box guard (round 7): the run refuses to START until the 1-minute
+loadavg is below SPARK_GRAFT_MAX_LOAD (default 2.0, waiting up to
+SPARK_GRAFT_LOAD_WAIT_S, default 900), and after Spark stops it waits for
+the loadavg to settle back under the bar and records both — so a
+contaminated artifact is visible in the artifact itself instead of
+needing a BASELINE.md footnote (VERDICT r5/r6 asked three times).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_SKIP_MULTIFILE=1 to skip the layout twin.
+     SPARK_GRAFT_SKIP_MULTIFILE=1 to skip the layout twin,
+     SPARK_GRAFT_SKIP_LOADGUARD=1 to skip the quiet-box guard,
+     SPARK_GRAFT_MAX_LOAD / SPARK_GRAFT_LOAD_WAIT_S to tune it.
 """
 
 from __future__ import annotations
@@ -52,10 +61,54 @@ HEADLINE = [
     # made perf-visible (legacy subtotals stay comparable — additions only)
     ("q17_scalable_rank_rfm", "rfm_segmentation_scalable"),
     ("q18_span_dedup", "dedup_span_exact"),
+    # round-7 mix extension: graph-ANN (the localCheckpoint-per-hop walk) and
+    # the IDF-weighted inverted-index dedup. q19 benches the LSH-BLOCKED
+    # build — the naive all-pairs build measured ~53 s/pass at sf0.1 (2000
+    # vectors, 4M interpreted distance folds: the quadratic anti-pattern it
+    # exists to replace) vs ~7-9 s blocked with the identical walk/rerank.
+    ("q19_graph_ann_blocked", "sim_ann_graph_topk_blocked"),
+    ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
 ]
 
 _N_TIMED = 3
 _N_MULTIFILE = 32
+_LOAD_MAX = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+
+
+def wait_for_quiet_box(max_wait_s: float, poll_s: float = 20.0) -> dict:
+    """Block until the 1-minute loadavg drops below ``_LOAD_MAX`` (the
+    quiet-box bar VERDICT r5/r6 set for a trustworthy artifact), up to
+    ``max_wait_s``. Returns a record of what happened so the artifact
+    itself shows whether it started contaminated — a bench recorded on a
+    loud box is a number about the NEIGHBORS, not the engine.
+    SPARK_GRAFT_SKIP_LOADGUARD=1 skips (iterating, not recording)."""
+    t0 = time.time()
+    start = os.getloadavg()[0]
+    while os.getloadavg()[0] > _LOAD_MAX and time.time() - t0 < max_wait_s:
+        time.sleep(poll_s)
+    now = os.getloadavg()[0]
+    return {
+        "threshold": _LOAD_MAX,
+        "loadavg_at_invoke": round(start, 2),
+        "waited_s": round(time.time() - t0, 1),
+        "start_quiet": now <= _LOAD_MAX,
+    }
+
+
+def settle_loadavg(max_wait_s: float = 180.0, poll_s: float = 10.0) -> dict:
+    """After the run (Spark stopped), wait for the 1-minute loadavg to
+    decay below the bar and report it: the end-of-run raw loadavg always
+    includes the bench's OWN 32-thread work (the r6 artifact's 7.77 was
+    mostly self-load), so the settled value is what distinguishes
+    'we were busy' from 'the box was'. Decay is e^-1/min, so <2 from
+    ~8 takes ~85 s; 180 s covers it unless a neighbor is actually loud."""
+    t0 = time.time()
+    while os.getloadavg()[0] > _LOAD_MAX and time.time() - t0 < max_wait_s:
+        time.sleep(poll_s)
+    return {
+        "loadavg_settled": round(os.getloadavg()[0], 2),
+        "settle_waited_s": round(time.time() - t0, 1),
+    }
 
 
 def run_query(queries, spark, key: str, sf_dir: str) -> None:
@@ -118,6 +171,17 @@ def main() -> None:
     from dataflow_pubsub_message_encryption_spark.operators import registry
     from dataflow_pubsub_message_encryption_spark.session import get_session
 
+    guard = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_LOADGUARD"):
+        guard = wait_for_quiet_box(
+            float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "900"))
+        )
+        if not guard["start_quiet"]:
+            print(
+                f"WARNING: box never went quiet (loadavg > {_LOAD_MAX} "
+                f"after {guard['waited_s']}s) — artifact is contaminated",
+                file=sys.stderr,
+            )
     load_start = os.getloadavg()[0]
     queries, _ = registry()
     spark = get_session("bench")
@@ -159,8 +223,12 @@ def main() -> None:
             result["multifile"] = {"error": str(e)}
 
     result["loadavg_1m"] = [round(load_start, 2), round(os.getloadavg()[0], 2)]
-    print(json.dumps(result))
+    if guard is not None:
+        result["load_guard"] = guard
     spark.stop()
+    if guard is not None:
+        result["load_guard"].update(settle_loadavg())
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
