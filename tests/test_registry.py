@@ -101,6 +101,22 @@ def test_no_key_lost_by_reordering():
     assert set(ORACLES) <= set(KEYS)
 
 
+def test_coverage_md_is_current():
+    """COVERAGE.md (the generated driver-proven vs queued table, VERDICT
+    r6 item 8) must match the live registry + CORRECTNESS artifacts —
+    regenerating on every operator/rotation commit keeps the never-graded
+    queue visible and exact instead of hand-counted."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, f"{_REPO}/tools/coverage.py", "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 def test_survey_inventory_total_matches_registry():
     """SURVEY §2's inventory totals drifted twice in round 5 before closing
     commits fixed them (VERDICT item 10): pin the LATEST round's declared
