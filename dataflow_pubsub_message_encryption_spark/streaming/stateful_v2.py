@@ -19,16 +19,24 @@ total state ∝ distinct users, independent of stream length. TTL
 (``ttlDurationMs``) would bound abandoned keys — omitted so replays stay
 deterministic.
 
-ENVIRONMENT BOUNDARY: executing this API needs the ``protobuf`` package
-(Spark's transform-with-state Python workers speak a protobuf state
-protocol), which is not installed in this container — probed 4.1.2:
-the driver worker crashes with ``ImportError: google.protobuf``. The
-operator and its processor are real and the processor logic is
-unit-tested against a fake handle; the end-to-end stream≡batch test
-auto-skips unless protobuf is importable (same documented-stub policy
-as the media codecs in operators/multimodal.py). The production-grade
-stateful path that DOES run here is ``applyInPandasWithState``
-(stateful.py), tested end-to-end.
+ENVIRONMENT BOUNDARY (unblocked round 7): executing this API needs the
+``protobuf`` package (Spark's transform-with-state Python workers speak
+a protobuf state protocol), which is not pip-installed in this
+container. Since round 7, ``streaming/_pb_vendor.ensure_protobuf()``
+bootstraps the image's vendored pure-python protobuf runtime (Google
+Cloud SDK App Engine platform, 6.32.0) into the driver AND — via the
+``_worker_boot`` sitecustomize hook on the worker PYTHONPATH — into the
+forked Python workers, proving it with a StateMessage round-trip first.
+The end-to-end stream≡batch test runs for real under that bootstrap and
+skips only when no usable runtime exists at all; the processor logic is
+additionally unit-tested against a fake handle. Note the API also
+requires the RocksDB state store provider
+(``spark.sql.streaming.stateStore.providerClass`` →
+``RocksDBStateStoreProvider``): each state variable lives in its own
+column family, which the HDFS-backed default provider rejects outright
+(probed 4.1.2: UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+The other production stateful path here is ``applyInPandasWithState``
+(stateful.py), tested end-to-end with no bootstrap needed.
 """
 
 from __future__ import annotations

@@ -812,51 +812,84 @@ def test_transform_with_state_processor_logic():
 def test_transform_with_state_top_purchases_equals_batch(spark, sf_dir, tmpdir):
     """transformWithStateInPandas leaderboard: drained over a 2-file
     replay, each user's FINAL update (max n_seen) must equal the batch
-    top-3 purchase values and purchase count. Skips when protobuf (the
-    API's worker protocol dependency) is absent."""
-    pytest.importorskip("google.protobuf")
-    import glob
-
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
-    n = tbl.num_rows
-    idx = tbl["ts"].to_pandas().sort_values().index
-    import os as _os
-
-    src = f"{tmpdir}/src"
-    _os.makedirs(src)
-    for i in range(2):
-        pq.write_table(
-            tbl.take(sorted(idx[i * n // 2 : (i + 1) * n // 2])),
-            f"{src}/part{i}.parquet",
-        )
-
-    stream = st.running_top_purchases(
-        st.events_file_stream(spark, src, max_files_per_trigger=1)
+    top-3 purchase values and purchase count. Bootstraps the vendored
+    pure-python protobuf runtime (streaming/_pb_vendor.py — the round-7
+    unblock of the r6 env boundary) and routes it to the Python workers
+    via sc.environment PYTHONPATH + the _worker_boot sitecustomize hook;
+    skips only if no usable runtime exists at all."""
+    from dataflow_pubsub_message_encryption_spark.streaming._pb_vendor import (
+        BOOT_DIR,
+        ensure_protobuf,
     )
-    got_rows = _run_stream_to_memory(spark, stream, "twstate_top")
-    final = {}
-    for r in got_rows.collect():
-        if r.user_id not in final or r.n_seen > final[r.user_id].n_seen:
-            final[r.user_id] = r
 
-    ev = load_events(spark, sf_dir)
-    from collections import defaultdict
+    if not ensure_protobuf():
+        pytest.skip("protobuf unavailable: no real install, no vendorable runtime")
+    # workers fork from the daemon with env from sc.environment (merged
+    # into the worker PYTHONPATH by PythonWorkerFactory) — this reaches
+    # them even though the JVM predates the bootstrap
+    spark.sparkContext.environment["PYTHONPATH"] = BOOT_DIR
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the HDFS-backed
+    # default hard-errors UNSUPPORTED_FEATURE); read per-query at start
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    import glob
+    try:
 
-    purchases = defaultdict(list)
-    for r in ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "value"
-    ).collect():
-        purchases[r.user_id].append(r.value)
-    assert purchases, "fixture must contain purchases"
-    assert set(final) == set(purchases)
-    for uid, vals in purchases.items():
-        top = sorted(vals, reverse=True)[:3]
-        got = [v for v in (final[uid].top1, final[uid].top2, final[uid].top3)
-               if v is not None]
-        assert final[uid].n_seen == len(vals)
-        assert got == top, f"user {uid}: {got} != {top}"
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(glob.glob(f"{sf_dir}/events.parquet")[0])
+        n = tbl.num_rows
+        idx = tbl["ts"].to_pandas().sort_values().index
+        import os as _os
+
+        src = f"{tmpdir}/src"
+        _os.makedirs(src)
+        for i in range(2):
+            pq.write_table(
+                tbl.take(sorted(idx[i * n // 2 : (i + 1) * n // 2])),
+                f"{src}/part{i}.parquet",
+            )
+
+        stream = st.running_top_purchases(
+            st.events_file_stream(spark, src, max_files_per_trigger=1)
+        )
+        got_rows = _run_stream_to_memory(spark, stream, "twstate_top")
+        final = {}
+        for r in got_rows.collect():
+            if r.user_id not in final or r.n_seen > final[r.user_id].n_seen:
+                final[r.user_id] = r
+
+        ev = load_events(spark, sf_dir)
+        from collections import defaultdict
+
+        purchases = defaultdict(list)
+        for r in ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "value"
+        ).collect():
+            purchases[r.user_id].append(r.value)
+        assert purchases, "fixture must contain purchases"
+        assert set(final) == set(purchases)
+        for uid, vals in purchases.items():
+            top = sorted(vals, reverse=True)[:3]
+            got = [v for v in (final[uid].top1, final[uid].top2, final[uid].top3)
+                   if v is not None]
+            assert final[uid].n_seen == len(vals)
+            assert got == top, f"user {uid}: {got} != {top}"
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        spark.sparkContext.environment.pop("PYTHONPATH", None)
 
 
 def test_watermark_progress_metrics_reported(spark, tmpdir):
@@ -1087,30 +1120,36 @@ def test_snapshot_swap_crash_recovery(tmpdir):
 
 
 def test_stateful_v2_env_boundary_is_exactly_protobuf():
-    """Pin the documented env boundary (stateful_v2.py header): the ONLY
-    thing between this container and the transformWithStateInPandas e2e
-    path is the protobuf package — Spark's own state-protocol module
-    (pyspark.sql.streaming.proto.StateMessage_pb2) must import iff
-    google.protobuf does. If protobuf ever lands in the image, this test
-    forces the e2e twin (which importorskips on the same condition) to
-    start running instead of silently staying skipped."""
+    """Pin the (round-7 unblocked) env boundary: the ONLY thing between
+    this container and the transformWithStateInPandas e2e path is a
+    usable protobuf runtime. streaming/_pb_vendor bootstraps the image's
+    vendored pure-python runtime when no real install exists, so
+    ensure_protobuf() must succeed exactly when a real protobuf OR the
+    vendored SDK copy is present — if the SDK copy ever vanishes from
+    the image (reverting the e2e to skip), this assertion makes that
+    visible instead of silent."""
     import importlib
+    import os
+
+    from dataflow_pubsub_message_encryption_spark.streaming._pb_vendor import (
+        VENDOR_DIR,
+        ensure_protobuf,
+    )
 
     try:
         importlib.import_module("google.protobuf")
-        has_protobuf = True
+        has_real = True
     except ImportError:
-        has_protobuf = False
-
-    try:
-        importlib.import_module("pyspark.sql.streaming.proto.StateMessage_pb2")
-        proto_importable = True
-    except ImportError as e:
-        proto_importable = False
-        assert "google" in str(e), (
-            f"boundary drifted: state protocol failed on {e!r}, not protobuf"
+        has_real = False
+    has_vendor = os.path.isdir(os.path.join(VENDOR_DIR, "google", "protobuf"))
+    assert ensure_protobuf() == (has_real or has_vendor), (
+        "protobuf bootstrap outcome diverged from runtime availability"
+    )
+    if has_real or has_vendor:
+        # after a successful bootstrap the state protocol must import
+        importlib.import_module(
+            "pyspark.sql.streaming.proto.StateMessage_pb2"
         )
-    assert proto_importable == has_protobuf
 
 
 def test_cms_sketch_stream_equals_batch_grid(spark, sf_dir, tmpdir):
