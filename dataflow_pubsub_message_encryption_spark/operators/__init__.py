@@ -68,6 +68,7 @@ _WINDOW = [
     "corpus_perplexity_buckets",
     # --- round-7 additions land here, each displacing a filler below ---
     "sim_ann_graph_topk_blocked",
+    "dedup_span_suffix_ladder",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "emb_pca_power_iteration",
     "split_train_test",
     "decontam_ngram_overlap",
-    "text_pii_scrub",
 ]
 
 

@@ -1448,6 +1448,115 @@ def dedup_span_exact(spark, sf_dir):
     )
 
 
+_LADDER = (8, 16, 32, 64)  # doubling ladder of shared-span lengths (chars)
+
+
+def _ladder_rung_sql(l: int) -> str:
+    return f"""g{l} AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             substr(sha256(substr(text, CAST(i AS INT), {l})), 1, 16) AS g
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text) - {l} + 1))
+                    AS i) t
+      WHERE len(text) >= {l}
+    ),
+    s{l} AS MATERIALIZED (
+      SELECT g FROM g{l} GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    f{l} AS MATERIALIZED (
+      SELECT doc_id, {l} AS l, count(*) AS n
+      FROM g{l} JOIN s{l} USING (g) GROUP BY doc_id
+    )"""
+
+
+@query(
+    "dedup_span_suffix_ladder",
+    f"""
+    WITH {', '.join(_ladder_rung_sql(l) for l in _LADDER)},
+    u AS ({' UNION ALL '.join(f'SELECT * FROM f{l}' for l in _LADDER)}),
+    b AS (
+      SELECT doc_id, max(l) AS max_shared_span,
+             arg_max(n, l) AS n_shared_grams
+      FROM u GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.max_shared_span, 0) AS INT) AS max_shared_span,
+           CAST(COALESCE(b.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+    FROM documents d LEFT JOIN b USING (doc_id)
+    """,
+)
+def dedup_span_suffix_ladder(spark, sf_dir):
+    """Alignment-free shared-span detection — the bounded-round
+    approximation of `dedup_span_exact`'s documented production extreme
+    (a distributed suffix array): rung ℓ of a doubling ladder
+    (8/16/32/64 chars) answers "does this document share an ℓ-char
+    substring, at ANY alignment, with another document", by enumerating
+    every position's ℓ-gram, hashing it (sha-prefix, the house idiom —
+    the shuffle carries 16-char keys, never text), and counting distinct
+    carriers per gram. A doc's ``max_shared_span`` is the largest rung it
+    co-occurs at, with its shared-gram count at that rung — the signal
+    Lee-et-al-style substring dedup thresholds (any true shared span of
+    length L certifies every rung ≤ L, so the ladder brackets L within
+    2×).
+
+    Scale shape: each rung is ONE hash-grouped shuffle of fixed-width
+    keys (no pair join anywhere — carrier count ≥ 2 flags grams without
+    materializing doc pairs), rounds = log₂(max span); per-rung volume is
+    Σ doc_len ℓ-grams ≈ corpus chars, the same O(corpus) a suffix-array
+    construction pays per doubling round. The gram enumeration is a
+    narrow map (explode over positions before any exchange)."""
+    docs = _parallel(spark, load(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    rungs = []
+    for l in _LADDER:
+        grams = (
+            docs.filter(F.length("text") >= l)
+            .select(
+                "doc_id",
+                "text",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("text") - l + 1)
+                ).alias("i"),
+            )
+            .select(
+                "doc_id",
+                F.substring(
+                    F.sha2(F.expr(f"substring(text, i, {l})"), 256), 1, 16
+                ).alias("g"),
+            )
+            .distinct()
+        )
+        shared = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("g")
+        )
+        rungs.append(
+            grams.join(shared, "g")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .select("doc_id", F.lit(l).alias("l"), "n")
+        )
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), rungs)
+    best = u.groupBy("doc_id").agg(
+        F.max("l").alias("msp"), F.expr("max_by(n, l)").alias("nsg")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("msp", F.lit(0)).cast("int").alias("max_shared_span"),
+            F.coalesce("nsg", F.lit(0)).cast("long").alias("n_shared_grams"),
+        )
+    )
+
+
 _WJAC_TAU = 0.5  # IDF-weighted threshold (probed: ~4.1k fixture pairs)
 _WJAC_DF_MIN = 2  # df-cap floor: terms this rare always stay indexed
 _WJAC_DF_DEN = 10  # df-cap: drop terms with df > n_docs/10 (stop-terms)
