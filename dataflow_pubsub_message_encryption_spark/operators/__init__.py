@@ -69,6 +69,7 @@ _WINDOW = [
     # --- round-7 additions land here, each displacing a filler below ---
     "sim_ann_graph_topk_blocked",
     "dedup_span_suffix_ladder",
+    "sim_ivf_pq_topk",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "sim_ann_kmeans_ivf_topk",
     "emb_pca_power_iteration",
     "split_train_test",
-    "decontam_ngram_overlap",
 ]
 
 

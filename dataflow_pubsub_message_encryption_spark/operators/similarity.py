@@ -1367,6 +1367,278 @@ def sim_pq_adc_topk(spark, sf_dir):
     )
 
 
+def _il2_sql(a: str, b: str, n: int) -> str:
+    """DuckDB: integer squared-L2 between two int64 lists of length n."""
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {n}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+_IVFPQ_NPROBE = 3  # coarse cells searched (of the 10 label cells)
+
+
+@query(
+    "sim_ivf_pq_topk",
+    f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    cint AS MATERIALIZED (
+      SELECT label AS cell, list(cq ORDER BY pos) AS cq FROM (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS cq
+        FROM qv, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY label, i
+      ) GROUP BY label
+    ),
+    res AS MATERIALIZED (
+      SELECT q.vec_id, q.label AS cell,
+             list_transform(generate_series(1, 64),
+                            i -> q.qe[i] - c.cq[i]) AS re
+      FROM qv q JOIN cint c ON c.cell = q.label
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, cell, mm.m,
+             re[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+      FROM res, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+    ),
+    cb0 AS (
+      SELECT m, vec_id AS k, sv AS cw FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    a0 AS (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_il2_sql('s.sv', 'c.cw', _PQ_SUB)}, c.k) AS rn
+        FROM subs s JOIN cb0 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT m, k, list(cp ORDER BY pos) AS cw FROM (
+        SELECT a0.m, a0.k, i AS pos,
+               CAST(floor(CAST(SUM(s.sv[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cp
+        FROM a0 JOIN subs s ON s.vec_id = a0.vec_id AND s.m = a0.m,
+             (SELECT unnest(generate_series(1, {_PQ_SUB})) AS i)
+        GROUP BY a0.m, a0.k, i
+      ) GROUP BY m, k
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, cell, m, k FROM (
+        SELECT s.vec_id, s.cell, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_il2_sql('s.sv', 'c.cw', _PQ_SUB)}, c.k) AS rn
+        FROM subs s JOIN cb1 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    pv AS MATERIALIZED (SELECT qe AS pq FROM qv WHERE vec_id = {_PROBE_ID}),
+    pcell AS MATERIALIZED (
+      SELECT cell FROM cint, pv
+      ORDER BY {_il2_sql('cint.cq', 'pv.pq', 64)}, cell
+      LIMIT {_IVFPQ_NPROBE}
+    ),
+    pres AS (
+      SELECT c.cell,
+             list_transform(generate_series(1, 64),
+                            i -> pv.pq[i] - c.cq[i]) AS re
+      FROM cint c JOIN pcell USING (cell), pv
+    ),
+    psubs AS (
+      SELECT cell, mm.m,
+             re[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+      FROM pres, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+    ),
+    ptab AS (
+      SELECT ps.cell, c.m, c.k, {_il2_sql('ps.sv', 'c.cw', _PQ_SUB)} AS pd
+      FROM cb1 c JOIN psubs ps ON ps.m = c.m
+    ),
+    adc AS (
+      SELECT e.vec_id, SUM(pt.pd) AS approx_dist
+      FROM enc e JOIN ptab pt
+        ON pt.cell = e.cell AND pt.m = e.m AND pt.k = e.k
+      WHERE e.vec_id != {_PROBE_ID}
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, CAST(approx_dist AS BIGINT) AS approx_dist,
+           CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT vec_id, approx_dist,
+             row_number() OVER (ORDER BY approx_dist, vec_id) AS rk
+      FROM adc
+    ) WHERE rk <= {_TOPK}
+    """,
+)
+def sim_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ — the composed billion-scale serving index (FAISS IVFPQ)
+    the PQ op's docstring promises: coarse IVF cells (the per-label
+    integer centroids) partition the corpus; every vector PQ-encodes its
+    RESIDUAL (vector − cell centroid — residual energy is much lower
+    than raw vectors, which is why real IVFPQ quantizes residuals); the
+    probe selects its {_IVFPQ_NPROBE} nearest cells by integer L2 and
+    precomputes one distance TABLE PER PROBED CELL from its per-cell
+    residual, then scores only vectors in probed cells by {_PQ_M} table
+    lookups + an integer add. All arithmetic is fixed-point integer
+    (floor-mean centroids, integer residuals, integer squared-L2), so
+    the full train → residual-encode → per-cell table → rank chain is
+    cross-engine exact and the oracle replays it end to end.
+
+    Scale shape: the coarse centroids and codebooks are KB-scale
+    broadcasts; encoding shuffles (cell, pos) integer partials; the
+    serving scan reads {_PQ_M} one-byte codes per vector AND touches only
+    nprobe/|cells| of the corpus — IVF's pruning multiplied by PQ's
+    512× compression, which is exactly why this composition is the
+    standard billion-vector index."""
+    e_q = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            ).alias("qe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cint = (
+        e_q.select("label", F.posexplode("qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("p"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("p", lambda s: s.getField("cq")).alias("cq"),
+        )
+        .localCheckpoint(eager=True)  # 10 rows; 3 consumers below
+    )
+    res = e_q.join(F.broadcast(cint), e_q.label == cint.cell).select(
+        "vec_id",
+        "cell",
+        F.zip_with("qe", "cq", lambda a, b: a - b).alias("re"),
+    )
+    subs = res.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("re", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "cell", "ms.m", "ms.sv")
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(codebook):
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+        return (
+            subs.join(F.broadcast(codebook), "m")
+            .select(
+                "vec_id",
+                "cell",
+                "m",
+                "k",
+                il2(F.col("sv"), F.col("cw")).alias("dist"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "m", "k")
+        )
+
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    cb1 = (
+        assign(cb0)
+        .join(subs, ["vec_id", "m"])
+        .select("m", "k", F.posexplode("sv").alias("pos", "q"))
+        .groupBy("m", "k", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cp")
+        )
+        .groupBy("m", "k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cp"))).alias("p"))
+        .select(
+            "m", "k", F.transform("p", lambda s: s.getField("cp")).alias("cw")
+        )
+        .localCheckpoint(eager=True)  # M x K rows; 2 consumers below
+    )
+    enc = assign(cb1)
+    pv = e_q.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("qe").alias("pq")
+    )
+    pcell = (
+        cint.crossJoin(F.broadcast(pv))
+        .select("cell", il2(F.col("cq"), F.col("pq")).alias("d"))
+        .orderBy("d", "cell")
+        .limit(_IVFPQ_NPROBE)
+        .select("cell")
+    )
+    pres = (
+        cint.join(F.broadcast(pcell), "cell")
+        .crossJoin(F.broadcast(pv))
+        .select(
+            "cell", F.zip_with("pq", "cq", lambda a, b: a - b).alias("re")
+        )
+    )
+    psubs = pres.select(
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("re", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("cell", "ms.m", "ms.sv")
+    ptab = cb1.join(F.broadcast(psubs), "m").select(
+        "cell", "m", "k", il2(F.col("sv"), F.col("cw")).alias("pd")
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(ptab), ["cell", "m", "k"])
+        .groupBy("vec_id")
+        .agg(F.sum("pd").alias("approx_dist"))
+    )
+    w = Window.orderBy("approx_dist", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _TOPK)
+        .select(
+            "vec_id",
+            F.col("approx_dist").cast("long").alias("approx_dist"),
+            "rk",
+        )
+    )
+
+
 @query(
     "emb_pca_project",
     f"""
