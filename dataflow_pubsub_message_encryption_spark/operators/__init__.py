@@ -70,6 +70,8 @@ _WINDOW = [
     "sim_ann_graph_topk_blocked",
     "dedup_span_suffix_ladder",
     "sim_ivf_pq_topk",
+    "text_interpolated_logprob",
+    "split_kfold_assign",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "dedup_shingle_minhash_lsh",
     "dedup_simhash",
     "sim_ann_kmeans_ivf_topk",
-    "emb_pca_power_iteration",
-    "split_train_test",
 ]
 
 

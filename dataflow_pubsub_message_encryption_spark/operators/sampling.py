@@ -95,6 +95,53 @@ def split_train_test(spark, sf_dir):
     )
 
 
+_KFOLD = 5  # folds for cross-validation assignment
+
+
+@query(
+    "split_kfold_assign",
+    f"""
+    SELECT fold, lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT lang, text,
+             CAST(((instr('0123456789abcdef', substr(sha256(text), 1, 1)) - 1)
+                   * 16
+                   + (instr('0123456789abcdef', substr(sha256(text), 2, 1))
+                      - 1)) % {_KFOLD} AS INTEGER) AS fold
+      FROM documents
+    )
+    GROUP BY fold, lang
+    """,
+)
+def split_kfold_assign(spark, sf_dir):
+    """Deterministic {_KFOLD}-fold cross-validation assignment + census —
+    `split_train_test`'s k-fold sibling: fold = (first content-hash byte)
+    mod {_KFOLD}, so (a) the assignment is a pure narrow map any executor
+    recomputes identically forever (100 TB resumable, no stored fold
+    table), and (b) hashing the CONTENT puts byte-identical duplicates in
+    the SAME fold — a duplicated document can never sit in both a train
+    and a validation fold of the same split (the leakage k-fold exists to
+    prevent). The byte is decoded with the instr-nibble idiom (both
+    engines lack a common hex→int builtin). Census groupBy is the only
+    exchange and partial-aggregates map-side; the tests pin the leakage
+    law (every duplicate text group lands in exactly one fold)."""
+    nib = lambda i: (  # noqa: E731 — tiny local helper, mirrors the SQL
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.sha2("text", 256), i, 1))
+        - 1
+    )
+    fold = ((nib(1) * 16 + nib(2)) % _KFOLD).cast("int")
+    return (
+        load(spark, sf_dir, "documents")
+        .select("lang", fold.alias("fold"), F.size(tokens("text")).alias("nt"))
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 @query(
     "sample_stratified",
     f"""

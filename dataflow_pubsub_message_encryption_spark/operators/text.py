@@ -975,6 +975,113 @@ def text_bigram_logprob(spark, sf_dir):
     )
 
 
+_JM_NUM = 7  # Jelinek-Mercer bigram weight λ = 7/10 (rational, not float)
+
+
+@query(
+    "text_interpolated_logprob",
+    f"""
+    WITH pairs AS (
+      SELECT doc_id, p, q FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {{'p': t[i], 'q': t[i + 1]}})) AS pq
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+      ), LATERAL (SELECT pq['p'] AS p, pq['q'] AS q)
+    ),
+    tf AS (SELECT doc_id, p, q, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+    bc AS (SELECT p, q, count(*) AS bcnt FROM pairs GROUP BY 1, 2),
+    lm AS (SELECT p, sum(bcnt) AS lcnt FROM bc GROUP BY 1),
+    uc AS (SELECT term, count(*) AS ucnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM
+           (SELECT unnest(string_split(text, ' ')) AS term FROM documents)),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(tf.c) AS n_bigrams,
+             SUM(tf.c * CAST(round(ln(
+                   CAST({_JM_NUM} * bc.bcnt * nn.n
+                        + {10 - _JM_NUM} * uc.ucnt * lm.lcnt AS DOUBLE)
+                   / CAST(10 * lm.lcnt * nn.n AS DOUBLE))
+                 * 1000000000) AS BIGINT)) AS s
+      FROM tf JOIN bc USING (p, q) JOIN lm USING (p)
+           JOIN uc ON uc.term = tf.q, nn
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-(CAST(s AS DOUBLE) / 1000000000) / n_bigrams, 6)
+             AS avg_neg_logprob
+    FROM scored
+    """,
+)
+def text_interpolated_logprob(spark, sf_dir):
+    """Jelinek-Mercer INTERPOLATED bigram⊕unigram LM score — the form
+    real quality filters actually deploy (CCNet/KenLM smooth the sparse
+    bigram estimate toward the dense unigram, instead of the add-1 fudge
+    `text_bigram_logprob` uses): score(doc) = -(1/n) Σ ln(λ·p(w|prev) +
+    (1-λ)·p(w)). Determinism is the interesting part: the mixture of two
+    probability RATIOS is kept rational — λ = {_JM_NUM}/10 exactly, so
+    the interpolated probability is the integer fraction
+    ({_JM_NUM}·c(prev,w)·N + {10 - _JM_NUM}·c(w)·c(prev,·)) /
+    (10·c(prev,·)·N) — one exact int64 numerator and denominator (all
+    counts ≪ 2^63/eachother at any SF that fits a cluster), ONE double
+    division, one ln, int64-quantized at 1e9 before the per-doc sum so
+    accumulation commutes across partitionings. No smoothing epsilon is
+    needed: scoring the training corpus itself, every bigram/unigram has
+    count ≥ 1. Scale: identical shuffle shapes to the bigram op
+    ((prev,cur) partial-aggregated count tables, broadcast marginals +
+    corpus-size scalar); the unigram table joins on the RIGHT token —
+    one extra broadcast-sized join, no new corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS p, t[i + 1] AS q))"
+            )
+        ).alias("pq"),
+    ).select("doc_id", "pq.p", "pq.q")
+    tf = pairs.groupBy("doc_id", "p", "q").agg(F.count("*").alias("c"))
+    bc = pairs.groupBy("p", "q").agg(F.count("*").alias("bcnt"))
+    lm = bc.groupBy("p").agg(F.sum("bcnt").alias("lcnt"))
+    allt = docs.select(F.explode(tokens("text")).alias("term"))
+    uc = allt.groupBy("term").agg(F.count("*").alias("ucnt"))
+    nn = allt.agg(F.count("*").alias("n"))
+    num = (
+        F.lit(_JM_NUM) * F.col("bcnt") * F.col("n")
+        + F.lit(10 - _JM_NUM) * F.col("ucnt") * F.col("lcnt")
+    )
+    den = F.lit(10) * F.col("lcnt") * F.col("n")
+    lp_int = F.round(
+        F.log(num.cast("double") / den.cast("double")) * 1_000_000_000
+    ).cast("long")
+    scored = (
+        tf.join(bc, ["p", "q"])
+        .join(F.broadcast(lm), "p")
+        .join(F.broadcast(uc), tf.q == uc.term)
+        .join(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * lp_int).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_bigrams"),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
+
+
 _BP_W = 8  # tokens per non-overlapping pseudo-sentence chunk
 
 
