@@ -72,6 +72,8 @@ _WINDOW = [
     "sim_ivf_pq_topk",
     "text_interpolated_logprob",
     "split_kfold_assign",
+    "dq_distribution_drift_psi",
+    "text_heldout_perplexity",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "dedup_containment_blocked",
     "graph_triangle_count",
     "dedup_shingle_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_kmeans_ivf_topk",
 ]
 
 

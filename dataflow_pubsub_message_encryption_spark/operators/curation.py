@@ -836,3 +836,118 @@ def corpus_budget_waterfill(spark, sf_dir):
         alloc.cast("long").alias("alloc_tokens"),
         F.round(alloc.cast("double") / F.col("avail"), 6).alias("epochs"),
     )
+
+
+_PSI_EDGES = (0.1, 1.0, 5.0, 20.0, 50.0, 100.0, 200.0)  # 8 value bands
+_PSI_SPLIT_DAY = 15  # window A = month days 1..15, window B = 16..31
+
+
+def _psi_bucket_sql(col: str) -> str:
+    branches = "".join(
+        f"WHEN {col} < {e} THEN {i} " for i, e in enumerate(_PSI_EDGES)
+    )
+    return f"CASE {branches}ELSE {len(_PSI_EDGES)} END"
+
+
+def _psi_bucket(col):
+    out = None
+    for i, e in enumerate(_PSI_EDGES):
+        cond = F.col(col) < e
+        out = F.when(cond, i) if out is None else out.when(cond, i)
+    return out.otherwise(len(_PSI_EDGES))
+
+
+@query(
+    "dq_distribution_drift_psi",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN day(ts) <= {_PSI_SPLIT_DAY} THEN 'a' ELSE 'b' END AS w,
+             {_psi_bucket_sql('value')} AS bucket
+      FROM events
+    ),
+    grid AS (
+      SELECT event_type, bucket,
+             SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN w = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM b GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb,
+             count(*) AS k
+      FROM grid GROUP BY 1
+    ),
+    terms AS (
+      SELECT g.event_type, t.na, t.nb,
+             CAST(round(
+               (CAST((g.ca + 1) * (t.nb + t.k) - (g.cb + 1) * (t.na + t.k)
+                     AS DOUBLE)
+                / CAST((t.na + t.k) * (t.nb + t.k) AS DOUBLE))
+               * ln(CAST((g.ca + 1) * (t.nb + t.k) AS DOUBLE)
+                    / CAST((g.cb + 1) * (t.na + t.k) AS DOUBLE))
+               * 1000000000) AS BIGINT) AS ti
+      FROM grid g JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(na) AS BIGINT) AS n_first,
+           CAST(max(nb) AS BIGINT) AS n_second,
+           round(CAST(SUM(ti) AS DOUBLE) / 1000000000, 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def dq_distribution_drift_psi(spark, sf_dir):
+    """Population-stability-index drift monitor — the data-quality gate a
+    production feed runs between time windows ("did the value
+    distribution move?"): per event_type, the PSI between the first and
+    second half of the month over fixed value bands,
+    PSI = Σ_buckets (p_i − q_i)·ln(p_i / q_i), Laplace-smoothed (+1 per
+    observed bucket) so empty bands stay finite. Rule of thumb read by
+    the consumer: <0.1 stable, 0.1-0.25 moderate shift, >0.25 drifted.
+
+    Determinism: fixed LITERAL band edges (no quantile estimation —
+    drift monitors pin their bands precisely so readings are comparable
+    across runs), both smoothed shares kept as exact integer fractions,
+    the per-bucket term evaluated with one double division + one ln +
+    one product and int64-quantized at 1e9 BEFORE the per-type sum
+    (8 buckets/type, but the quantize-then-sum idiom keeps it
+    partition-order-free anyway). Scale: one pass over the fact table
+    into a (type × band × window) grid that partial-aggregates map-side
+    to ≤ |types|·|bands| rows — the monitor costs one scan regardless of
+    table size."""
+    ev = load_events(spark, sf_dir)
+    b = ev.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") <= _PSI_SPLIT_DAY, "a")
+        .otherwise("b")
+        .alias("w"),
+        _psi_bucket("value").alias("bucket"),
+    )
+    grid = b.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("w") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("w") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("k"),
+    )
+    sa = (F.col("ca") + 1) * (F.col("nb") + F.col("k"))
+    sb = (F.col("cb") + 1) * (F.col("na") + F.col("k"))
+    den = (F.col("na") + F.col("k")) * (F.col("nb") + F.col("k"))
+    ti = F.round(
+        ((sa - sb).cast("double") / den.cast("double"))
+        * F.log(sa.cast("double") / sb.cast("double"))
+        * 1_000_000_000
+    ).cast("long")
+    return (
+        grid.join(tot, "event_type")
+        .select("event_type", "na", "nb", ti.alias("ti"))
+        .groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_first"),
+            F.max("nb").cast("long").alias("n_second"),
+            F.round(F.sum("ti").cast("double") / 1_000_000_000, 6).alias(
+                "psi"
+            ),
+        )
+    )

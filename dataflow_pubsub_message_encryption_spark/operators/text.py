@@ -1082,6 +1082,174 @@ def text_interpolated_logprob(spark, sf_dir):
     )
 
 
+_HP_FOLD_SQL = (
+    "CAST(((instr('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(sha256(text), 2, 1)) - 1))"
+    " % 5 AS INTEGER)"
+)  # must mirror sampling._KFOLD's content-hash fold (asserted in tests)
+
+
+@query(
+    "text_heldout_perplexity",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, {_HP_FOLD_SQL} AS fold FROM documents
+    ),
+    trtok AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS term FROM d WHERE fold != 0
+    ),
+    uc AS (SELECT term, count(*) AS ucnt FROM trtok GROUP BY 1),
+    nv AS (SELECT count(*) AS n, count(DISTINCT term) AS v FROM trtok),
+    bc AS MATERIALIZED (
+      SELECT p, q, count(*) AS bcnt FROM (
+        SELECT p, q FROM (
+          SELECT unnest(list_transform(range(1, len(t)),
+                        i -> {{'p': t[i], 'q': t[i + 1]}})) AS pq
+          FROM (SELECT string_split(text, ' ') AS t FROM d WHERE fold != 0)
+          WHERE len(t) >= 2
+        ), LATERAL (SELECT pq['p'] AS p, pq['q'] AS q)
+      ) GROUP BY 1, 2
+    ),
+    lm AS (SELECT p, sum(bcnt) AS lcnt FROM bc GROUP BY 1),
+    hp AS (
+      SELECT doc_id, p, q, count(*) AS c FROM (
+        SELECT doc_id, p, q FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                i -> {{'p': t[i], 'q': t[i + 1]}})) AS pq
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM d
+                WHERE fold = 0)
+          WHERE len(t) >= 2
+        ), LATERAL (SELECT pq['p'] AS p, pq['q'] AS q)
+      ) GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT hp.doc_id, hp.c,
+             CASE WHEN COALESCE(bc.bcnt, 0) = 0 THEN hp.c ELSE 0 END AS unseen,
+             CASE WHEN COALESCE(lm.lcnt, 0) > 0 THEN
+               CAST(round(ln(
+                 CAST(7 * COALESCE(bc.bcnt, 0) * (nv.n + nv.v + 1)
+                      + 3 * (COALESCE(uc.ucnt, 0) + 1) * lm.lcnt AS DOUBLE)
+                 / CAST(10 * lm.lcnt * (nv.n + nv.v + 1) AS DOUBLE))
+                 * 1000000000) AS BIGINT)
+             ELSE
+               CAST(round(ln(CAST(COALESCE(uc.ucnt, 0) + 1 AS DOUBLE)
+                             / CAST(nv.n + nv.v + 1 AS DOUBLE))
+                 * 1000000000) AS BIGINT)
+             END AS lp
+      FROM hp LEFT JOIN bc USING (p, q) LEFT JOIN lm USING (p)
+           LEFT JOIN uc ON uc.term = hp.q, nv
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(unseen) AS BIGINT) AS n_unseen_bigrams,
+           round(-(CAST(SUM(c * lp) AS DOUBLE) / 1000000000) / SUM(c), 6)
+             AS avg_neg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_heldout_perplexity(spark, sf_dir):
+    """TRUE held-out perplexity — the composition `split_kfold_assign` ×
+    `text_interpolated_logprob` exists for: the interpolated LM is
+    trained on folds 1-4 ONLY and scores the fold-0 documents it has
+    never seen. Unlike the in-corpus scorers (every count ≥ 1 there),
+    held-out scoring meets genuinely unseen events, so the unigram leg
+    carries Laplace smoothing — p(w) = (c_tr(w)+1)/(N_tr+V_tr+1), the
+    +1 class standing in for UNK — and an unseen left-context backs off
+    to the pure smoothed unigram (the λ-mixture's bigram leg is defined
+    only where c(prev,·) > 0). Per-doc output adds `n_unseen_bigrams`,
+    the contamination/novelty signal itself: a held-out doc whose
+    bigrams the train folds have all seen is either leaked or
+    boilerplate. Same rational-fraction determinism as the interpolated
+    op (exact int64 numerator/denominator per case, one ln quantized at
+    1e9 pre-sum). Scale: train tables shuffle once at (prev,cur) grain;
+    the held-out side is 1/k of the corpus joining against broadcast
+    count tables; fold assignment is the narrow content-hash map."""
+    from .sampling import _KFOLD
+
+    docs = load(spark, sf_dir, "documents")
+    nib = lambda i: (  # noqa: E731 — mirrors the SQL nibble idiom
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.sha2("text", 256), i, 1)
+        )
+        - 1
+    )
+    fold = ((nib(1) * 16 + nib(2)) % _KFOLD).cast("int")
+    d = docs.select("doc_id", "text", fold.alias("fold"))
+    tr = d.filter(F.col("fold") != 0)
+    ho = d.filter(F.col("fold") == 0)
+    trtok = tr.select(F.explode(tokens("text")).alias("term"))
+    uc = trtok.groupBy("term").agg(F.count("*").alias("ucnt"))
+    nv = trtok.agg(
+        F.count("*").alias("n"), F.count_distinct("term").alias("v")
+    )
+
+    def bigrams(frame, with_doc):
+        cols = (["doc_id"] if with_doc else []) + ["pq.p", "pq.q"]
+        return (
+            frame.select(
+                *([F.col("doc_id")] if with_doc else []),
+                tokens("text").alias("t"),
+            )
+            .filter(F.size("t") >= 2)
+            .select(
+                *([F.col("doc_id")] if with_doc else []),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2),"
+                        " i -> struct(t[i] AS p, t[i + 1] AS q))"
+                    )
+                ).alias("pq"),
+            )
+            .select(*cols)
+        )
+
+    bc = bigrams(tr, False).groupBy("p", "q").agg(F.count("*").alias("bcnt"))
+    lm = bc.groupBy("p").agg(F.sum("bcnt").alias("lcnt"))
+    hp = (
+        bigrams(ho, True)
+        .groupBy("doc_id", "p", "q")
+        .agg(F.count("*").alias("c"))
+    )
+    j = (
+        hp.join(F.broadcast(bc), ["p", "q"], "left")
+        .join(F.broadcast(lm), "p", "left")
+        .join(F.broadcast(uc), hp.q == uc.term, "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    bcnt = F.coalesce(F.col("bcnt"), F.lit(0))
+    lcnt = F.coalesce(F.col("lcnt"), F.lit(0))
+    ucnt = F.coalesce(F.col("ucnt"), F.lit(0))
+    nv1 = F.col("n") + F.col("v") + 1
+    seen_lp = F.round(
+        F.log(
+            (F.lit(7) * bcnt * nv1 + F.lit(3) * (ucnt + 1) * lcnt).cast(
+                "double"
+            )
+            / (F.lit(10) * lcnt * nv1).cast("double")
+        )
+        * 1_000_000_000
+    ).cast("long")
+    oov_lp = F.round(
+        F.log((ucnt + 1).cast("double") / nv1.cast("double")) * 1_000_000_000
+    ).cast("long")
+    lp = F.when(lcnt > 0, seen_lp).otherwise(oov_lp)
+    unseen = F.when(bcnt == 0, F.col("c")).otherwise(F.lit(0))
+    return (
+        j.select("doc_id", "c", unseen.alias("unseen"), lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum("unseen").cast("long").alias("n_unseen_bigrams"),
+            F.round(
+                -(F.sum(F.col("c") * F.col("lp")).cast("double")
+                  / 1_000_000_000)
+                / F.sum("c"),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 _BP_W = 8  # tokens per non-overlapping pseudo-sentence chunk
 
 

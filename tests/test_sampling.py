@@ -120,3 +120,37 @@ def test_kfold_assignment_laws(spark, sf_dir):
         [(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["doc_id", "text"]
     ).select(fold.alias("fold")).collect()
     assert inj[0].fold == inj[1].fold
+
+
+def test_heldout_perplexity_laws(spark, sf_dir):
+    """text_heldout_perplexity: scores exactly the fold-0 documents that
+    have >= 2 tokens; its fold SQL is the same content-hash assignment
+    as split_kfold_assign (single source of truth asserted); and the
+    held-out corpus genuinely contains unseen bigrams (otherwise the
+    'held-out' claim is vacuous)."""
+    from dataflow_pubsub_message_encryption_spark.operators.sampling import _KFOLD
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        _HP_FOLD_SQL,
+        QUERIES as TQ,
+    )
+
+    assert f"% {_KFOLD} AS INTEGER" in _HP_FOLD_SQL
+
+    rows = TQ["text_heldout_perplexity"](spark, sf_dir).collect()
+    nib = lambda i: (  # noqa: E731
+        F.instr(F.lit("0123456789abcdef"),
+                F.substring(F.sha2("text", 256), i, 1)) - 1
+    )
+    fold = ((nib(1) * 16 + nib(2)) % _KFOLD).cast("int")
+    docs = load(spark, sf_dir, "documents")
+    want = {
+        r.doc_id
+        for r in docs.filter(
+            (fold == 0) & (F.size(F.split("text", " ")) >= 2)
+        ).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in rows} == want
+    for r in rows:
+        assert 0 <= r.n_unseen_bigrams <= r.n_bigrams
+        assert r.avg_neg_logprob > 0
+    assert sum(r.n_unseen_bigrams for r in rows) > 0
