@@ -74,6 +74,8 @@ _WINDOW = [
     "split_kfold_assign",
     "dq_distribution_drift_psi",
     "text_heldout_perplexity",
+    "corpus_quality_rank_fusion",
+    "events_markov_stationary",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "join_asof",
     "corpus_training_manifest",
     "dedup_containment_blocked",
-    "graph_triangle_count",
-    "dedup_shingle_minhash_lsh",
 ]
 
 

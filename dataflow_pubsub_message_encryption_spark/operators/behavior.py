@@ -1690,3 +1690,107 @@ def events_dau_mau_stickiness(spark, sf_dir):
             "month", "n_days", "min_dau", "max_dau", "mau", "stickiness"
         )
     )
+
+
+_MKV_ROUNDS = 8  # unrolled power-iteration rounds (5-state chain: ample)
+_MKV_SCALE = 1_000_000_000  # fixed-point mass per state at x0
+
+
+def _mkv_round_sql(t: int) -> str:
+    return f"""x{t} AS MATERIALIZED (
+      SELECT c.next_type AS t,
+             CAST(SUM((x.w * c.n) // r.rn) AS BIGINT) AS w
+      FROM x{t - 1} x
+      JOIN c ON c.prev_type = x.t
+      JOIN r ON r.prev_type = x.t
+      GROUP BY 1
+    )"""
+
+
+@query(
+    "events_markov_stationary",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS MATERIALIZED (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS MATERIALIZED (SELECT prev_type, SUM(n) AS rn FROM c GROUP BY 1),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    x0 AS (SELECT t, CAST({_MKV_SCALE} AS BIGINT) AS w FROM types),
+    {', '.join(_mkv_round_sql(t) for t in range(1, _MKV_ROUNDS + 1))},
+    tot AS (SELECT SUM(w) AS s FROM x{_MKV_ROUNDS})
+    SELECT types.t AS event_type,
+           CAST(COALESCE(x.w, 0) AS BIGINT) AS stationary_weight,
+           round(CAST(COALESCE(x.w, 0) AS DOUBLE) / (SELECT s FROM tot), 6)
+             AS share
+    FROM types LEFT JOIN x{_MKV_ROUNDS} x ON x.t = types.t
+    """,
+)
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain — the
+    steady-state event mix the transition matrix
+    (`events_transition_matrix`) converges to, read as "where user
+    sessions spend their time asymptotically" (the baseline against
+    which a cohort's ACTUAL mix is an anomaly signal). Power iteration
+    in exact integer fixed-point: x₀ gives every state {_MKV_SCALE}
+    mass; each of the {_MKV_ROUNDS} unrolled rounds moves mass as
+    floor(x_i·c_ij / r_i) (integer multiply + integer floor-div per
+    matrix cell — both engines agree exactly; the tiny floor leakage is
+    deterministic and identical), so the whole trajectory — not just
+    the final shape — is value-checked by the unrolled MATERIALIZED-CTE
+    oracle (the graph_pagerank_int pattern on a DENSE |types|² chain
+    instead of a sparse graph).
+
+    Scale shape: the only corpus-sized work is the one lag window the
+    transition matrix already pays (user-partitioned, shared with
+    sessionization at 100 TB); every iteration then runs on the
+    |types|²-row matrix — the Spark loop keeps it distributed (tiny
+    joins, eager localCheckpoint per round, the §5 lineage discipline)
+    with zero driver collection."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    r = c.groupBy("prev_type").agg(F.sum("n").alias("rn")).localCheckpoint()
+    types = ev.select(F.col("event_type").alias("t")).distinct().localCheckpoint()
+    x = types.select("t", F.lit(_MKV_SCALE).cast("long").alias("w"))
+    for _ in range(_MKV_ROUNDS):
+        x = (
+            x.join(c, x.t == c.prev_type)
+            .join(r, c.prev_type == r.prev_type)
+            .select(
+                F.col("next_type").alias("t"),
+                F.expr("(w * n) DIV rn").alias("dw"),
+            )
+            .groupBy("t")
+            .agg(F.sum("dw").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+    tot = x.agg(F.sum("w").alias("s"))
+    return (
+        types.join(x, "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce("w", F.lit(0)).cast("long").alias("stationary_weight"),
+            F.round(
+                F.coalesce("w", F.lit(0)).cast("double") / F.col("s"), 6
+            ).alias("share"),
+        )
+    )

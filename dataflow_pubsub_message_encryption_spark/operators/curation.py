@@ -951,3 +951,104 @@ def dq_distribution_drift_psi(spark, sf_dir):
             ),
         )
     )
+
+
+_RRF_K = 60  # reciprocal-rank-fusion damping (the standard literature value)
+_RRF_TOPN = 100  # curated shortlist size
+
+from .text import ORACLES as _TXT_O  # noqa: E402 — signal oracles, reused
+from .sampling import ORACLES as _SMP_O  # noqa: E402
+
+
+@query(
+    "corpus_quality_rank_fusion",
+    f"""
+    WITH lm AS MATERIALIZED ({_TXT_O["text_unigram_logprob"]}),
+    ent AS MATERIALIZED ({_TXT_O["text_entropy_char"]}),
+    rep AS MATERIALIZED ({_SMP_O["text_repetition_filter"]}),
+    rl AS (SELECT doc_id, row_number() OVER
+             (ORDER BY avg_neg_logprob, doc_id) AS r FROM lm),
+    re_ AS (SELECT doc_id, row_number() OVER
+             (ORDER BY char_entropy DESC, doc_id) AS r FROM ent),
+    rr AS (SELECT doc_id, row_number() OVER
+             (ORDER BY top_tok_ratio, doc_id) AS r FROM rep),
+    fused AS (
+      SELECT rl.doc_id,
+             CAST(rl.r AS BIGINT) AS r_lm,
+             CAST(re_.r AS BIGINT) AS r_entropy,
+             CAST(rr.r AS BIGINT) AS r_repetition,
+             round(CAST(1.0 AS DOUBLE) / ({_RRF_K} + rl.r)
+                   + CAST(1.0 AS DOUBLE) / ({_RRF_K} + re_.r)
+                   + CAST(1.0 AS DOUBLE) / ({_RRF_K} + rr.r), 6) AS rrf
+      FROM rl JOIN re_ USING (doc_id) JOIN rr USING (doc_id)
+    )
+    SELECT doc_id, r_lm, r_entropy, r_repetition, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPN}
+    """,
+)
+def corpus_quality_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank-fusion curation shortlist — how production corpus
+    pipelines COMBINE quality signals whose scales don't commensurate
+    (an LM logprob, a char-entropy, a repetition ratio): each signal
+    contributes only its RANK, fused as Σ 1/({_RRF_K}+rank) (the
+    standard RRF with k={_RRF_K}), and the top {_RRF_TOPN} docs form the
+    curated shortlist. Signal directions: lower neg-logprob, higher
+    entropy, lower repetition = better; each ordering carries a doc_id
+    tie-break so ranks are total cross-engine.
+
+    Scale shape: the three global ranks run on the DISTRIBUTED rank
+    machinery (`_global_rank` — range repartition, parallel
+    per-partition row_number, bounded offset fix-up; the oracle runs the
+    plain windows, so the machinery is value-proven on three more
+    orderings), then a 3-way doc-grain join and a top-N
+    TakeOrderedAndProject. Determinism of the fusion itself: 1/(k+r) is
+    one double division of exact small integers and the 3-term sum is a
+    single fixed expression tree — identical IEEE result in both
+    engines, rounded once at 6dp."""
+    from .scale import _global_rank
+    from .sampling import QUERIES as SMPQ
+    from .text import QUERIES as TXTQ
+
+    def rank_of(df, *order):
+        ranked, _ = _global_rank(df, *order)
+        return ranked.select("doc_id", F.col("rk").alias("r"))
+
+    rl = rank_of(
+        TXTQ["text_unigram_logprob"](spark, sf_dir).select(
+            "doc_id", "avg_neg_logprob"
+        ),
+        F.col("avg_neg_logprob"),
+        F.col("doc_id"),
+    )
+    re_ = rank_of(
+        TXTQ["text_entropy_char"](spark, sf_dir).select(
+            "doc_id", "char_entropy"
+        ),
+        F.desc("char_entropy"),
+        F.col("doc_id"),
+    )
+    rr = rank_of(
+        SMPQ["text_repetition_filter"](spark, sf_dir).select(
+            "doc_id", "top_tok_ratio"
+        ),
+        F.col("top_tok_ratio"),
+        F.col("doc_id"),
+    )
+    fused = (
+        rl.select("doc_id", F.col("r").alias("r_lm"))
+        .join(re_.select("doc_id", F.col("r").alias("r_entropy")), "doc_id")
+        .join(rr.select("doc_id", F.col("r").alias("r_repetition")), "doc_id")
+    )
+    rrf = F.round(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lm"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_entropy"))
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_repetition")),
+        6,
+    )
+    return (
+        fused.select(
+            "doc_id", "r_lm", "r_entropy", "r_repetition", rrf.alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
