@@ -926,10 +926,17 @@ def dq_distribution_drift_psi(spark, sf_dir):
         F.sum(F.when(F.col("w") == "a", 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("w") == "b", 1).otherwise(0)).alias("cb"),
     )
-    tot = grid.groupBy("event_type").agg(
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-        F.count("*").alias("k"),
+    # per-type totals as a window over the already-tiny grid (≤ |types|·
+    # |bands| rows) instead of a second aggregate joined back — the
+    # latter plans TWO scans of the fact table (self-referencing lineage)
+    wt = Window.partitionBy("event_type")
+    totals = grid.select(
+        "event_type",
+        "ca",
+        "cb",
+        F.sum("ca").over(wt).alias("na"),
+        F.sum("cb").over(wt).alias("nb"),
+        F.count("*").over(wt).alias("k"),
     )
     sa = (F.col("ca") + 1) * (F.col("nb") + F.col("k"))
     sb = (F.col("cb") + 1) * (F.col("na") + F.col("k"))
@@ -940,8 +947,7 @@ def dq_distribution_drift_psi(spark, sf_dir):
         * 1_000_000_000
     ).cast("long")
     return (
-        grid.join(tot, "event_type")
-        .select("event_type", "na", "nb", ti.alias("ti"))
+        totals.select("event_type", "na", "nb", ti.alias("ti"))
         .groupBy("event_type")
         .agg(
             F.max("na").cast("long").alias("n_first"),

@@ -382,3 +382,47 @@ def test_fertility_broadcasts_vocab_dimension(spark, sf_dir):
     )
 
     assert has_broadcast_join(TQ["tokenizer_fertility_by_lang"](spark, sf_dir))
+
+
+def test_rank_fusion_has_no_single_partition_window(spark, sf_dir):
+    """corpus_quality_rank_fusion: its three global ranks must run on the
+    distributed rank machinery — zero Exchange SinglePartition at doc
+    grain (the top-N at the end is TakeOrdered, not a global sort)."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CUQ,
+    )
+
+    plan = formatted_plan(CUQ["corpus_quality_rank_fusion"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrdered" in plan
+
+
+def test_span_ladder_has_no_pair_join(spark, sf_dir):
+    """dedup_span_suffix_ladder: sharedness comes from a distinct-carrier
+    census, never a doc-pair join — the plan must carry no cartesian or
+    nested-loop join, and its gram aggregation must partial-aggregate
+    (partial_count before the exchange)."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+    )
+
+    plan = formatted_plan(DQ["dedup_span_suffix_ladder"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_psi_drift_is_one_scan_partial_agg(spark, sf_dir):
+    """dq_distribution_drift_psi: the monitor must cost ONE scan of the
+    fact table (the grid partial-aggregates map-side; everything after
+    runs on <= types x bands rows) — one FileScan of events, no join of
+    fact-grain data, partial aggregation present."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CUQ,
+    )
+
+    plan = formatted_plan(CUQ["dq_distribution_drift_psi"](spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("FileScan") >= 1
+    # events is the only table; it must be scanned exactly once
+    assert plan.count("events.parquet") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
