@@ -76,6 +76,7 @@ _WINDOW = [
     "text_heldout_perplexity",
     "corpus_quality_rank_fusion",
     "events_markov_stationary",
+    "multimodal_frame_scene_match",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "sim_cosine_topk",
     "join_asof",
     "corpus_training_manifest",
-    "dedup_containment_blocked",
 ]
 
 

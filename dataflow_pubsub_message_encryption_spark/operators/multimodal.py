@@ -533,3 +533,68 @@ def multimodal_payload_near_dup(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_matching_blocks"))
     )
     return cand.filter(F.col("n_matching_blocks") >= _BLK_MIN)
+
+
+_SCENE_DF_CAP = 50  # drop frame hashes carried by more docs (junk scenes)
+
+
+@query(
+    "multimodal_frame_scene_match",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS n FROM documents
+    ),
+    f AS (
+      SELECT DISTINCT doc_id,
+             sha256(substr(hx, 2*(s.i-1) + 1, 32)) AS fh
+      FROM h, UNNEST(generate_series(1, h.n, 64)) AS s(i)
+    ),
+    c AS (SELECT fh, count(DISTINCT doc_id) AS nd FROM f GROUP BY fh),
+    keep AS (SELECT fh FROM c WHERE nd BETWEEN 2 AND {_SCENE_DF_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_frames
+      FROM f a JOIN f b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      JOIN keep k ON k.fh = a.fh
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(n_shared_frames AS BIGINT) AS n_shared_frames
+    FROM pairs
+    """,
+)
+def multimodal_frame_scene_match(spark, sf_dir):
+    """Cross-payload SCENE matching — the alignment-free complement of
+    `multimodal_payload_near_dup` (whose positional block hashes break
+    under any byte insertion): two media payloads match when they share
+    sampled-frame fingerprints at ANY position, the "same scene re-used
+    in different videos" signal (intro/outro detection, clip-lineage
+    tracing). Candidate pairs come from an inverted index on the frame
+    hash — the same emit-once blocking family as the minhash band join —
+    with a carrier cap (`_SCENE_DF_CAP`): a frame carried by more docs
+    than the cap is junk-scene boilerplate (black frames, test cards)
+    whose k² pair fan-out is exactly the hot blocking key the dedup
+    family bounds everywhere; the cap is mirrored in the oracle so the
+    EXACT gate grades the capped semantics. Scale shape: frames shuffle
+    as 64-char hashes (never payload bytes), the carrier census is one
+    partial-aggregating groupBy, and pair volume is Σ min(nd, cap)² over
+    hashes. Frame extraction is the JVM-side slice machinery of
+    `multimodal_frame_sample` (no Python in the hot path)."""
+    frames = (
+        QUERIES["multimodal_frame_sample"](spark, sf_dir)
+        .select("doc_id", F.col("frame_hash").alias("fh"))
+        .distinct()
+    )
+    keep = (
+        frames.groupBy("fh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _SCENE_DF_CAP))
+        .select("fh")
+    )
+    a = frames.join(keep, "fh").select("fh", F.col("doc_id").alias("doc_a"))
+    b = frames.join(keep, "fh").select("fh", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_frames"))
+    )
