@@ -77,6 +77,7 @@ _WINDOW = [
     "corpus_quality_rank_fusion",
     "events_markov_stationary",
     "multimodal_frame_scene_match",
+    "events_attribution_last_touch",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "sim_ann_ivf_topk",
     "sim_cosine_topk",
     "join_asof",
-    "corpus_training_manifest",
 ]
 
 

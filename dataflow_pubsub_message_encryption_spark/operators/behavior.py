@@ -1794,3 +1794,73 @@ def events_markov_stationary(spark, sf_dir):
             ).alias("share"),
         )
     )
+
+
+_ATTR_TOL_US = 30 * 60 * 1_000_000  # last-touch attribution window: 30 min
+
+
+@query(
+    "events_attribution_last_touch",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    m AS (
+      SELECT p.event_id AS purchase_id, p.value,
+             c.event_id AS click_id,
+             date_diff('microseconds', c.ts, p.ts) AS gap_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT purchase_id, click_id, CAST(gap_us AS BIGINT) AS gap_us,
+           CAST(round(CAST(value AS DECIMAL(18,4)), 2) AS DOUBLE) AS value
+    FROM m WHERE rn = 1 AND gap_us <= {_ATTR_TOL_US}
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """LAST-TOUCH attribution — the marketing-analytics model the
+    streaming interval join (streaming/pipeline.py's attribution twin)
+    deliberately does NOT implement: where the interval join credits
+    EVERY click in the window (multi-touch), last-touch resolves each
+    purchase to its single most recent prior click and only then applies
+    the 30-minute window — so a purchase whose nearest click is too old
+    is UNattributed rather than sliding credit to an older click
+    (identical resolve-then-tolerance discipline as `join_asof_tolerance`,
+    here with INNER output: the attribution report lists attributed
+    conversions). Purchase value rides through in the decimal-money
+    discipline. Shape: user-keyed equi-join carrying only ids+timestamps,
+    per-purchase rank window at user-session cardinality, tolerance as a
+    projection; at 100 TB both sides come pre-partitioned by the same
+    user-keyed shuffle sessionization already pays. Gap math in integer
+    microseconds keeps the match set cross-engine exact."""
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("click_id")
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, c_ts, ts)")
+    return (
+        p.join(c, (p.user_id == c.c_user_id) & (F.col("c_ts") <= p.ts))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("gap_us", gap)
+        .filter(F.col("gap_us") <= _ATTR_TOL_US)
+        .select(
+            "purchase_id",
+            "click_id",
+            F.col("gap_us").cast("long").alias("gap_us"),
+            money(dec4("value")).alias("value"),
+        )
+    )
