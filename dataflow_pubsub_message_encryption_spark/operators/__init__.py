@@ -78,6 +78,7 @@ _WINDOW = [
     "events_markov_stationary",
     "multimodal_frame_scene_match",
     "events_attribution_last_touch",
+    "corpus_ngram_novelty_curve",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "dedup_minhash_signature",
     "sim_ann_ivf_topk",
     "sim_cosine_topk",
-    "join_asof",
 ]
 
 

