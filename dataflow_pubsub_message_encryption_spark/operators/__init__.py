@@ -79,6 +79,8 @@ _WINDOW = [
     "multimodal_frame_scene_match",
     "events_attribution_last_touch",
     "corpus_ngram_novelty_curve",
+    "dedup_cross_source_matrix",
+    "emb_label_separation_report",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "dedup_embedding_lsh",
     "text_bpe_merges",
     "dedup_minhash_signature",
-    "sim_ann_ivf_topk",
-    "sim_cosine_topk",
 ]
 
 

@@ -1684,3 +1684,71 @@ def weighted_jaccard_pairs(spark, docs):
         .filter(wj >= _WJAC_TAU)
         .select("doc_a", "doc_b", F.round(wj, 6).alias("wjac"))
     )
+
+
+@query(
+    "dedup_cross_source_matrix",
+    f"""
+    WITH pairs AS MATERIALIZED ({{minhash_pairs}}),
+    s AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b,
+             p.jac
+      FROM pairs p
+      JOIN s sa ON sa.doc_id = p.doc_a
+      JOIN s sb ON sb.doc_id = p.doc_b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           round(CAST(SUM(CAST(round(jac * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000, 6) AS avg_jac
+    FROM m GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """WHO-copies-WHOM matrix: the MinHash-LSH near-dup pairs rolled up
+    to (source, source) cells — the provenance table a curation review
+    reads first ("is the duplication within one crawl, or is source X a
+    mirror of source Y?"). Off-diagonal mass means cross-source
+    syndication (dedup priority: keep the canonical source); diagonal
+    mass means within-source boilerplate (fix the extractor instead).
+    Cells are unordered pairs (least/greatest normalization, identical
+    both engines); avg_jac is avg over 6dp-rounded pair similarities,
+    an integer-count division of already-quantized values. Scale shape:
+    adds two id→source hash joins (source rides as a small dimension)
+    and a |sources|²-bounded aggregate on top of the LSH pair
+    machinery, which remains the only corpus-sized work. The oracle
+    embeds the full pair-op oracle as a MATERIALIZED CTE, so the
+    composition — not just this rollup — is value-checked."""
+    pairs = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    s = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            # jac is already 6dp-quantized: recover the exact integer,
+            # sum integers (order-free), ONE division — a plain avg() of
+            # doubles differed at the 6th dp between engines (summation
+            # order), caught by the sf0.001 gate
+            F.round(
+                F.sum(F.round(F.col("jac") * 1_000_000).cast("long"))
+                .cast("double")
+                / F.count("*")
+                / 1_000_000,
+                6,
+            ).alias("avg_jac"),
+        )
+    )
+
+
+ORACLES["dedup_cross_source_matrix"] = ORACLES[
+    "dedup_cross_source_matrix"
+].format(minhash_pairs=ORACLES["dedup_minhash_lsh_pairs"])

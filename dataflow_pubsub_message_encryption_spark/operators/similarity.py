@@ -2767,3 +2767,119 @@ def sim_ann_graph_recall_eval(spark, sf_dir):
 ORACLES["sim_ann_graph_recall_eval"] = ORACLES[
     "sim_ann_graph_recall_eval"
 ].format(graph=ORACLES["sim_ann_graph_topk"])
+
+
+@query(
+    "emb_label_separation_report",
+    f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    cint AS MATERIALIZED (
+      SELECT label AS cell, list(cq ORDER BY pos) AS cq FROM (
+        SELECT label, i AS pos,
+               CAST(floor(CAST(SUM(qe[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS cq
+        FROM qv, (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY label, i
+      ) GROUP BY label
+    ),
+    wd AS (
+      SELECT q.label, count(*) AS n,
+             CAST(SUM({_il2_sql('q.qe', 'c.cq', 64)}) AS BIGINT) AS sw
+      FROM qv q JOIN cint c ON c.cell = q.label GROUP BY q.label
+    ),
+    cd AS (
+      SELECT a.cell AS label, b.cell AS other,
+             {_il2_sql('a.cq', 'b.cq', 64)} AS d
+      FROM cint a JOIN cint b ON a.cell != b.cell
+    ),
+    nn AS (
+      SELECT label, other, d FROM (
+        SELECT label, other, d,
+               row_number() OVER (PARTITION BY label ORDER BY d, other) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    )
+    SELECT wd.label,
+           CAST(wd.n AS BIGINT) AS n_vectors,
+           CAST(wd.sw // wd.n AS BIGINT) AS mean_within_isq,
+           CAST(nn.other AS INTEGER) AS nearest_label,
+           CAST(nn.d AS BIGINT) AS nearest_centroid_isq,
+           round(CAST(nn.d AS DOUBLE) / (wd.sw // wd.n), 6)
+             AS separation_ratio
+    FROM wd JOIN nn USING (label)
+    """,
+)
+def emb_label_separation_report(spark, sf_dir):
+    """Cluster-separation QA for the labeled embedding space — the
+    silhouette-flavored report an index designer reads before trusting
+    labels as IVF cells (the IVF ops' docstrings assume "labels cluster
+    weakly"; this op MEASURES it): per label, the mean integer
+    squared-L2 from members to their centroid (cohesion), the nearest
+    OTHER centroid with its distance (separation), and their ratio — a
+    ratio ≲ 1 means the nearest foreign centroid sits inside the
+    cluster's own radius, i.e. label cells will leak neighbors and
+    nprobe must rise. All arithmetic integer until one final division
+    (floor-mean centroids, int64 distance sums, floor mean-within; ties
+    on the nearest centroid broken by label), so the full report is
+    cross-engine exact. Scale: one narrow pass scores each vector
+    against its own (broadcast) centroid; the centroid-pair table is
+    |labels|² — trivial at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
+    )
+    qv = e.select("vec_id", "label", qe.alias("qe"))
+    cint = (
+        qv.select("label", F.posexplode("qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("p"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("p", lambda s: s.getField("cq")).alias("cq"),
+        )
+        .localCheckpoint(eager=True)  # |labels| rows; 3 consumers
+    )
+    wd = (
+        qv.join(F.broadcast(cint), qv.label == cint.cell)
+        .select("label", _gr_isq(F.col("qe"), F.col("cq")).alias("d"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.sum("d").alias("sw"))
+    )
+    a = cint.select(F.col("cell").alias("label"), F.col("cq").alias("ca"))
+    b = cint.select(F.col("cell").alias("other"), F.col("cq").alias("cb"))
+    w = Window.partitionBy("label").orderBy("d", "other")
+    nn = (
+        a.join(b, F.col("label") != F.col("other"))
+        .select(
+            "label", "other", _gr_isq(F.col("ca"), F.col("cb")).alias("d")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "other", "d")
+    )
+    mean_within = F.expr("sw DIV n")
+    return (
+        wd.join(nn, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n_vectors"),
+            mean_within.cast("long").alias("mean_within_isq"),
+            F.col("other").cast("int").alias("nearest_label"),
+            F.col("d").cast("long").alias("nearest_centroid_isq"),
+            F.round(F.col("d").cast("double") / mean_within, 6).alias(
+                "separation_ratio"
+            ),
+        )
+    )
