@@ -81,6 +81,8 @@ _WINDOW = [
     "corpus_ngram_novelty_curve",
     "dedup_cross_source_matrix",
     "emb_label_separation_report",
+    "emb_random_projection_distortion",
+    "events_session_bounce_rate",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "udf_surface",
     "sim_ann_graph_topk",
     "dedup_embedding_lsh",
-    "text_bpe_merges",
-    "dedup_minhash_signature",
 ]
 
 

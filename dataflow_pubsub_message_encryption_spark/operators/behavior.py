@@ -1864,3 +1864,80 @@ def events_attribution_last_touch(spark, sf_dir):
             money(dec4("value")).alias("value"),
         )
     )
+
+
+@query(
+    "events_session_bounce_rate",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, session_idx,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS d,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, session_idx
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY d
+    """,
+)
+def events_session_bounce_rate(spark, sf_dir):
+    """Daily bounce rate — the product-analytics KPI sessionization
+    exists to feed: share of sessions (30-min inactivity gap, the
+    `sessionize_gap_sql` rule verbatim) containing exactly ONE event,
+    bucketed by session start day. A rising bounce rate is the first
+    sign of a broken funnel step or bot inflow (cross-check:
+    `events_bot_score_flags`). Shape: the same user-partitioned lag +
+    running-sum windows sessionization pays (one user-keyed shuffle at
+    100 TB, shared with every other session op), a session-grain
+    aggregate, then a |days|-sized census; the bounce ratio is an
+    integer-count division, exact cross-engine."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    s = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    )
+    t = s.withColumn(
+        "session_idx",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = t.groupBy("user_id", "session_idx").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("d"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return sess.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(F.sum(bounce).cast("double") / F.count("*"), 6).alias(
+            "bounce_rate"
+        ),
+    )

@@ -2883,3 +2883,129 @@ def emb_label_separation_report(spark, sf_dir):
             ),
         )
     )
+
+
+_JL_K = 16  # projected dimensions (64 -> 16, 4x reduction)
+
+
+def _jl_planes() -> list[list[int]]:
+    """Deterministic ±1 projection matrix (sha-parity seeded, the
+    `_planes()` recipe with its own namespace so the LSH planes and the
+    JL planes stay independent)."""
+    planes = []
+    for p in range(_JL_K):
+        row = []
+        for i in range(64):
+            h = hashlib.sha256(f"jl{p}|{i}".encode()).digest()[0]
+            row.append(1 if h % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def _jl_proj_sql() -> str:
+    """DuckDB: the 16-long list of integer plane dot products."""
+    exprs = []
+    for plane in _jl_planes():
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        exprs.append(
+            f"CAST(list_aggregate(list_transform(generate_series(1, 64),"
+            f" i -> qe[i] * ({lit}[i])), 'sum') AS BIGINT)"
+        )
+    return "[" + ", ".join(exprs) + "]"
+
+
+@query(
+    "emb_random_projection_distortion",
+    f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    pr AS MATERIALIZED (
+      SELECT vec_id, qe, {_jl_proj_sql()} AS pe FROM qv
+    ),
+    pairs AS (
+      SELECT a.vec_id,
+             {_il2_sql('a.qe', 'b.qe', 64)} AS od,
+             {_il2_sql('a.pe', 'b.pe', _JL_K)} AS pd
+      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+    ),
+    rt AS (
+      SELECT CAST(round(CAST(pd AS DOUBLE) / ({_JL_K} * CAST(od AS DOUBLE))
+                        * 1000000000) AS BIGINT) AS r
+      FROM pairs WHERE od > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(r) AS DOUBLE) / count(*) / 1000000000, 6)
+             AS mean_ratio,
+           round(CAST(min(r) AS DOUBLE) / 1000000000, 6) AS min_ratio,
+           round(CAST(max(r) AS DOUBLE) / 1000000000, 6) AS max_ratio
+    FROM rt
+    """,
+)
+def emb_random_projection_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss dimension reduction WITH its acceptance
+    test: project 64-dim embeddings to {_JL_K} dims through a
+    deterministic ±1 matrix (the database-friendly JL construction —
+    Achlioptas: random signs do as well as Gaussians) and report the
+    pairwise-distance distortion over the deterministic consecutive-id
+    pair sample: ratio = ||Ra−Rb||² / ({_JL_K}·||a−b||²), whose
+    expectation is 1 under JL. The report (mean/min/max ratio) is what
+    decides whether the reduced space is safe to run the ANN family on
+    at a quarter of the vector bytes. Determinism: integer projections
+    (±1 dots of int64 components), integer distances in BOTH spaces, one
+    double division per pair quantized at 1e9 before the aggregate
+    (order-free mean; min/max exact); zero-distance pairs (exact
+    duplicate embeddings exist in the fixture) are excluded in both
+    engines. Scale: the projection is a narrow 16-fold map (matrix
+    broadcast as literals, the LSH-plane discipline); the pair sample
+    joins on an id shift — O(n), no quadratic anywhere."""
+    pl = _jl_planes()
+    qe = F.transform(
+        as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
+    )
+
+    def dotp(plane):
+        lit = F.array(*[F.lit(x).cast("long") for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col("qe"), lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pr = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", qe.alias("qe"))
+        .select("vec_id", "qe", F.array(*[dotp(p) for p in pl]).alias("pe"))
+    )
+    a = pr.alias("a")
+    b = pr.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("qe").alias("qb"),
+        F.col("pe").alias("pb"),
+    ).alias("b")
+    pairs = a.join(b, "vec_id").select(
+        _gr_isq(F.col("a.qe"), F.col("qb")).alias("od"),
+        _gr_isq(F.col("a.pe"), F.col("pb")).alias("pd"),
+    )
+    r = F.round(
+        F.col("pd").cast("double")
+        / (F.lit(_JL_K) * F.col("od").cast("double"))
+        * 1_000_000_000
+    ).cast("long")
+    rt = pairs.filter(F.col("od") > 0).select(r.alias("r"))
+    return rt.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(
+            F.sum("r").cast("double") / F.count("*") / 1_000_000_000, 6
+        ).alias("mean_ratio"),
+        F.round(F.min("r").cast("double") / 1_000_000_000, 6).alias(
+            "min_ratio"
+        ),
+        F.round(F.max("r").cast("double") / 1_000_000_000, 6).alias(
+            "max_ratio"
+        ),
+    )
