@@ -83,6 +83,7 @@ _WINDOW = [
     "emb_label_separation_report",
     "emb_random_projection_distortion",
     "events_session_bounce_rate",
+    "orders_pareto_class",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",

@@ -1301,6 +1301,56 @@ def _global_rank(df, *order_cols):
     return ranked, acc
 
 
+def _global_cumsum(df, value_col, *order_cols):
+    """Distributed EXACT global running sum of ``value_col`` over the
+    total order ``order_cols`` — the prefix-sum sibling of
+    :func:`_global_rank` (a bare ``SUM(...) OVER (ORDER BY ...)`` is the
+    same single-partition WindowExec trap the rank machinery replaces):
+
+    1. ``repartitionByRange`` on the order columns,
+    2. per-partition running sum (window partitioned by partition id),
+    3. add each partition's preceding-partitions total (one bounded
+       ``_N_RANGE``-row aggregate to the driver — the shared
+       bounded-scalar pattern; totals are summed driver-side in
+       partition order, so use an EXACT value type: decimal/integer, not
+       float).
+
+    Same localCheckpoint durability trade-off as `_global_rank` (see its
+    docstring for the reliable-materialization recipe at cluster scale).
+    Returns the frame with a ``cum`` column added."""
+    ranged = (
+        df.repartitionByRange(_N_RANGE, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition ids across the two passes
+    )
+    totals = (
+        ranged.groupBy("pid")
+        .agg(F.sum(value_col).alias("t"))
+        .orderBy("pid")
+        .collect()  # driver-scalar (bounded: _N_RANGE rows)
+    )
+    offsets, acc = {}, None
+    for r in totals:
+        offsets[r["pid"]] = acc
+        acc = r["t"] if acc is None else acc + r["t"]
+    off = F.create_map(
+        *[
+            x
+            for p, o in offsets.items()
+            for x in (F.lit(p), F.lit(o if o is not None else 0))
+        ]
+    )[F.col("pid")]
+    wlocal = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.withColumn("cum", F.sum(value_col).over(wlocal) + off)
+        .drop("pid")
+    )
+
+
 def _ntile_from_rank(rk, n: int, k: int):
     """Exact ntile(k) bucket from a 1-based unique global rank — all-integer
     (ceil(a/b) as (a+b-1) DIV b), bit-equal to SQL ntile: the first
@@ -1759,3 +1809,73 @@ def scan_agg_pushdown_stats(spark, sf_dir):
             else:
                 spark.conf.set(k, old)
     return out
+
+
+@query(
+    "orders_pareto_class",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey) AS cum
+      FROM rev
+    ),
+    t AS (SELECT SUM(r) AS tot FROM rev),
+    cls AS (
+      SELECT o_custkey, r,
+             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM c, t
+    )
+    SELECT cls AS pareto_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(SUM(r), 2) AS DOUBLE) AS revenue,
+           round(CAST(SUM(r) AS DOUBLE)
+                 / CAST((SELECT tot FROM t) AS DOUBLE), 6) AS revenue_share
+    FROM cls GROUP BY cls
+    """,
+)
+def orders_pareto_class(spark, sf_dir):
+    """ABC / Pareto classification — "which customers are the 80%": rank
+    customers by revenue descending and classify by CUMULATIVE revenue
+    share (A ≤ 80%, B ≤ 95%, C the tail), the inventory-management
+    cousin of the quartile segmentations. The interesting machinery is
+    the global running sum: the oracle's bare ``SUM() OVER (ORDER BY)``
+    is the same single-partition WindowExec trap the ntile family had,
+    so the Spark side runs :func:`_global_cumsum` — range repartition,
+    per-partition decimal prefix sums in parallel, bounded per-partition
+    offset fix-up — proven equal to the plain window form by this very
+    oracle. Class boundaries compare ``cum·100 ≤ total·80`` in exact
+    DECIMAL arithmetic (no share-rounding at the boundary); the output
+    share is one double division per class row."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec4("o_totalprice")).alias("r"))
+    )
+    c = _global_cumsum(rev, "r", F.desc("r"), F.col("o_custkey"))
+    tot = rev.agg(F.sum("r").alias("tot"))
+    cls = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.when(
+                F.col("cum") * 100 <= F.col("tot") * 80, "A"
+            )
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C")
+            .alias("cls"),
+            "tot",
+        )
+    )
+    return cls.groupBy(F.col("cls").alias("pareto_class")).agg(
+        F.count("*").alias("n_customers"),
+        money(F.sum("r")).alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.max("tot").cast("double"), 6
+        ).alias("revenue_share"),
+    )

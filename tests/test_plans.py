@@ -426,3 +426,27 @@ def test_psi_drift_is_one_scan_partial_agg(spark, sf_dir):
     # events is the only table; it must be scanned exactly once
     assert plan.count("events.parquet") == 1
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_global_cumsum_has_no_single_partition_window(spark, sf_dir):
+    """_global_cumsum (orders_pareto_class's machinery): the distributed
+    prefix sum must never plan the bare SUM() OVER (ORDER BY) single
+    partition exchange — its window is partitioned by the pinned range
+    partition id."""
+    from dataflow_pubsub_message_encryption_spark.functions.normalize import dec4
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES as SCQ,
+        _global_cumsum,
+    )
+
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec4("o_totalprice")).alias("r"))
+    )
+    df = _global_cumsum(rev, "r", F.desc("r"), F.col("o_custkey"))
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+    full = formatted_plan(SCQ["orders_pareto_class"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in full
