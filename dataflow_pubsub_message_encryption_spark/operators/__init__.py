@@ -98,7 +98,6 @@ _WINDOW = [
     "agg_approx_distinct",
     "udf_surface",
     "sim_ann_graph_topk",
-    "dedup_embedding_lsh",
 ]
 
 
