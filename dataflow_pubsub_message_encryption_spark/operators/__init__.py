@@ -84,6 +84,7 @@ _WINDOW = [
     "emb_random_projection_distortion",
     "events_session_bounce_rate",
     "orders_pareto_class",
+    "sim_mmr_diversified_topk",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "tpch_q22_dormant_customers",
     "agg_approx_distinct",
     "udf_surface",
-    "sim_ann_graph_topk",
 ]
 
 

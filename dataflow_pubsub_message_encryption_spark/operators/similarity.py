@@ -3009,3 +3009,130 @@ def emb_random_projection_distortion(spark, sf_dir):
             "max_ratio"
         ),
     )
+
+
+_MMR_C = 30  # relevance-ranked candidate pool fed to the greedy stage
+_MMR_K = 5  # diversified results returned
+_MMR_NUM = 7  # λ = 7/10 (rational: score = 7·rel_dist − 3·min_dist_to_S)
+
+
+def _mmr_sql() -> str:
+    steps = []
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""sc{t} AS MATERIALIZED (
+      SELECT vec_id, odp,
+             {_MMR_NUM} * odp - {10 - _MMR_NUM} * mind AS score
+      FROM (
+        SELECT c.vec_id, c.odp,
+               min({_il2_sql('c.qe', 'p.qe', 64)}) AS mind
+        FROM cand c
+        JOIN cand p ON p.vec_id IN (SELECT vec_id FROM sel{t - 1})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+        GROUP BY c.vec_id, c.odp
+      )
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT vec_id FROM sel{t - 1}
+      UNION ALL
+      SELECT vec_id FROM (
+        SELECT vec_id FROM sc{t} ORDER BY score, vec_id LIMIT 1
+      )
+    )""")
+    return f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    pv AS (SELECT qe AS pq FROM qv WHERE vec_id = {_PROBE_ID}),
+    cand AS MATERIALIZED (
+      SELECT vec_id, qe, odp FROM (
+        SELECT q.vec_id, q.qe, {_il2_sql('q.qe', 'pv.pq', 64)} AS odp
+        FROM qv q, pv WHERE q.vec_id != {_PROBE_ID}
+      ) ORDER BY odp, vec_id LIMIT {_MMR_C}
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id FROM cand ORDER BY odp, vec_id LIMIT 1
+    ),
+    {', '.join(steps)}
+    SELECT CAST(row_number() OVER (ORDER BY sel_order) AS INTEGER) AS rk,
+           vec_id, CAST(odp AS BIGINT) AS rel_dist
+    FROM (
+      SELECT s.vec_id, c.odp,
+             row_number() OVER (ORDER BY c.odp, s.vec_id) AS sel_order
+      FROM sel{_MMR_K} s JOIN cand c ON c.vec_id = s.vec_id
+    )
+    """
+
+
+@query("sim_mmr_diversified_topk", _mmr_sql())
+def sim_mmr_diversified_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diversified retrieval — the re-rank a
+    search/RAG stack runs so the top-k isn't five copies of the same
+    near-duplicate passage: from the {_MMR_C} most relevant candidates,
+    greedily pick {_MMR_K} results minimizing λ·dist(probe) −
+    (1−λ)·min_dist(already-picked) with λ = {_MMR_NUM}/10 kept RATIONAL,
+    so each step's score is the exact integer 7·d_rel − 3·d_div and
+    every greedy choice (ties by id) replays identically in the unrolled
+    MATERIALIZED-CTE oracle. NB the ORDER of selection is itself the
+    diversity signal; the output ranks by relevance among the selected
+    set (deterministic either way).
+
+    Scale shape: the candidate pool is a TakeOrdered top-{_MMR_C} over
+    the corpus (or any ANN op in this family feeding it); the greedy
+    stage then touches only {_MMR_C} rows per step — {_MMR_K − 1} tiny
+    joins, eager localCheckpoint per step (the iterative-lineage
+    discipline), never a corpus-sized operation. MMR's sequential
+    dependency is irreducible (each pick conditions the next), which is
+    why bounding it to a small candidate pool is the standard production
+    shape."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long")
+    )
+    qv = e.select("vec_id", qe.alias("qe"))
+    pv = qv.filter(F.col("vec_id") == _PROBE_ID).select(
+        F.col("qe").alias("pq")
+    )
+    cand = (
+        qv.filter(F.col("vec_id") != _PROBE_ID)
+        .crossJoin(F.broadcast(pv))
+        .select("vec_id", "qe", _gr_isq(F.col("qe"), F.col("pq")).alias("odp"))
+        .orderBy("odp", "vec_id")
+        .limit(_MMR_C)
+        .localCheckpoint()
+    )
+    sel = cand.orderBy("odp", "vec_id").limit(1).select("vec_id").localCheckpoint()
+    for _ in range(_MMR_K - 1):
+        picked = cand.join(sel, "vec_id").select(
+            F.col("vec_id").alias("p_id"), F.col("qe").alias("pqe")
+        )
+        remaining = cand.join(sel, "vec_id", "left_anti")
+        scored = (
+            remaining.crossJoin(F.broadcast(picked))
+            .select(
+                "vec_id",
+                "odp",
+                _gr_isq(F.col("qe"), F.col("pqe")).alias("dd"),
+            )
+            .groupBy("vec_id", "odp")
+            .agg(F.min("dd").alias("mind"))
+            .select(
+                "vec_id",
+                (
+                    F.lit(_MMR_NUM) * F.col("odp")
+                    - F.lit(10 - _MMR_NUM) * F.col("mind")
+                ).alias("score"),
+            )
+        )
+        pick = scored.orderBy("score", "vec_id").limit(1).select("vec_id")
+        sel = sel.union(pick).localCheckpoint()
+    w = Window.orderBy("odp", "vec_id")
+    return (
+        sel.join(cand, "vec_id")
+        .select("vec_id", "odp")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("rk", "vec_id", F.col("odp").cast("long").alias("rel_dist"))
+    )
