@@ -85,6 +85,7 @@ _WINDOW = [
     "events_session_bounce_rate",
     "orders_pareto_class",
     "sim_mmr_diversified_topk",
+    "text_tfidf_keywords_topk",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "tpch_q4_order_priority",
     "tpch_q22_dormant_customers",
     "agg_approx_distinct",
-    "udf_surface",
 ]
 
 

@@ -1696,3 +1696,77 @@ def text_js_divergence_sources(spark, sf_dir):
             ),
         )
     )
+
+
+_KW_K = 3  # keywords extracted per document
+
+
+@query(
+    "text_tfidf_keywords_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+    idf AS (
+      SELECT term,
+             CAST(round(ln(CAST((SELECT nd FROM n) AS DOUBLE)
+                           / count(DISTINCT doc_id)) * 1000000000) AS BIGINT)
+               AS w
+      FROM tok GROUP BY term
+    )
+    SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+           CAST(score AS BIGINT) AS score
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.w AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.w DESC, tf.term) AS rk
+      FROM tf JOIN idf USING (term)
+    ) WHERE rk <= {_KW_K}
+    """,
+)
+def text_tfidf_keywords_topk(spark, sf_dir):
+    """Per-document keyword extraction — top-{_KW_K} terms by TF-IDF, the
+    summarization/tagging primitive (and the feature a sparse retriever
+    indexes): score = tf · idf with idf int64-quantized at 1e9 (the
+    weighted-jaccard idiom), so the score is an exact integer and the
+    per-doc ranking (desc score, term tie-break) is total cross-engine.
+    Scale shape: term frequencies partial-aggregate map-side on
+    (doc, term); the idf table joins on term (AQE broadcasts while the
+    vocabulary fits, shuffles when it doesn't — deliberately unhinted,
+    the wjac lesson); the ranking window is PARTITIONED by doc — every
+    document ranks in parallel, nothing global anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    nd = d.agg(F.count_distinct("doc_id").alias("nd"))
+    idf = (
+        d.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("df"))
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("tf") * F.col("w")), "term"
+    )
+    return (
+        tf.join(idf, "term")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _KW_K)
+        .select(
+            "doc_id",
+            "rk",
+            "term",
+            (F.col("tf") * F.col("w")).cast("long").alias("score"),
+        )
+    )
