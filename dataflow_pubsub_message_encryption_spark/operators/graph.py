@@ -710,3 +710,108 @@ def label_propagation(pairs: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+@query(
+    "graph_partition_modularity",
+    """
+    WITH lsh_pairs AS MATERIALIZED ({pairs}),
+    comp AS ({components}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM lsh_pairs),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    l AS (SELECT count(*) AS m FROM e),
+    intra AS (
+      SELECT ca.cluster_id, count(*) AS lc
+      FROM e JOIN comp ca ON ca.doc_id = e.a
+             JOIN comp cb ON cb.doc_id = e.b
+      WHERE ca.cluster_id = cb.cluster_id
+      GROUP BY ca.cluster_id
+    ),
+    dsum AS (
+      SELECT comp.cluster_id, CAST(SUM(deg.d) AS BIGINT) AS dc
+      FROM comp JOIN deg ON deg.v = comp.doc_id
+      GROUP BY comp.cluster_id
+    ),
+    terms AS (
+      SELECT d.cluster_id,
+             4 * (SELECT m FROM l) * COALESCE(i.lc, 0) - d.dc * d.dc AS t
+      FROM dsum d LEFT JOIN intra i USING (cluster_id)
+    )
+    SELECT CAST((SELECT count(*) FROM dsum) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM l) AS BIGINT) AS n_edges,
+           round(CAST(SUM(t) AS DOUBLE)
+                 / (4.0 * (SELECT m FROM l) * (SELECT m FROM l)), 6)
+             AS modularity
+    FROM terms
+    """,
+)
+def graph_partition_modularity(spark, sf_dir):
+    """Newman modularity of the duplicate-cluster partition — the ONE
+    number that says whether the connected-components clustering carves
+    the near-dup graph at its joints (Q near the 0.3-0.7 'strong
+    community structure' band) or merely chains everything together
+    through weak links (Q → 0, the transitive-closure over-merge
+    failure mode every MinHash-dedup pipeline must watch for).
+    Q = Σ_c [L_c/L − (d_c/2L)²] is computed as the exact integer
+    Σ_c (4·L·L_c − d_c²) over 4L² — one double division at the end —
+    so the score is cross-engine exact; for a components partition every
+    edge is intra-cluster by construction (L_c sums to L), which the
+    oracle verifies implicitly by value. Scale shape: degrees and
+    intra-edge counts are hash-grouped aggregates on the id-only edge
+    list; the cluster chain (LSH pairs → star-contraction components)
+    remains the only corpus-sized work. The oracle embeds BOTH upstream
+    oracles as MATERIALIZED CTEs — the full composed lineage is
+    value-checked."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = QUERIES["dedup_cluster_components"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    e = pairs.localCheckpoint()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    m = e.count()  # driver-scalar (bounded: one aggregate count)
+    ca = comp.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("cida"))
+    cb = comp.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("cidb"))
+    intra = (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("cida") == F.col("cidb"))
+        .groupBy(F.col("cida").alias("cluster_id"))
+        .agg(F.count("*").alias("lc"))
+    )
+    dsum = (
+        comp.join(deg, comp.doc_id == deg.v)
+        .groupBy("cluster_id")
+        .agg(F.sum("d").cast("long").alias("dc"))
+    )
+    terms = dsum.join(intra, "cluster_id", "left").select(
+        (
+            F.lit(4 * m) * F.coalesce("lc", F.lit(0))
+            - F.col("dc") * F.col("dc")
+        ).alias("t")
+    )
+    return terms.agg(
+        F.lit(dsum.count()).cast("long").alias("n_communities"),  # driver-scalar (bounded: one aggregate count)
+        F.lit(m).cast("long").alias("n_edges"),
+        F.round(
+            F.sum("t").cast("double") / (4.0 * m * m), 6
+        ).alias("modularity"),
+    )
+
+
+ORACLES["graph_partition_modularity"] = ORACLES[
+    "graph_partition_modularity"
+].format(
+    pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"],
+    components=ORACLES["dedup_cluster_components"],
+)
