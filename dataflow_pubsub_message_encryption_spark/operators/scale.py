@@ -1323,12 +1323,7 @@ def _global_cumsum(df, value_col, *order_cols):
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()  # pin partition ids across the two passes
     )
-    totals = (
-        ranged.groupBy("pid")
-        .agg(F.sum(value_col).alias("t"))
-        .orderBy("pid")
-        .collect()  # driver-scalar (bounded: _N_RANGE rows)
-    )
+    totals = ranged.groupBy("pid").agg(F.sum(value_col).alias("t")).orderBy("pid").collect()  # driver-scalar (bounded: _N_RANGE rows)
     offsets, acc = {}, None
     for r in totals:
         offsets[r["pid"]] = acc
