@@ -87,6 +87,7 @@ _WINDOW = [
     "sim_mmr_diversified_topk",
     "text_tfidf_keywords_topk",
     "graph_partition_modularity",
+    "events_cusum_changepoint",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -97,7 +98,6 @@ _WINDOW = [
     "cdc_upsert_latest",
     "cdc_scd2_intervals",
     "tpch_q4_order_priority",
-    "tpch_q22_dormant_customers",
 ]
 
 

@@ -1941,3 +1941,92 @@ def events_session_bounce_rate(spark, sf_dir):
             "bounce_rate"
         ),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS INTEGER) AS d,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ),
+    cusum AS (
+      SELECT d.event_type, d.d,
+             SUM(t.n * d.x - t.total)
+               OVER (PARTITION BY d.event_type ORDER BY d.d) AS s
+      FROM daily d JOIN tot t USING (event_type)
+    ),
+    peak AS (
+      SELECT event_type, d, s FROM (
+        SELECT event_type, d, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s) DESC, d) AS rn
+        FROM cusum
+      ) WHERE rn = 1
+    )
+    SELECT p.event_type,
+           t.n AS n_days,
+           CAST(p.d AS INTEGER) AS peak_day,
+           CAST(p.s AS BIGINT) AS peak_cusum,
+           round(CAST(abs(p.s) AS DOUBLE) / (t.n * t.total), 6)
+             AS peak_magnitude
+    FROM peak p JOIN tot t USING (event_type)
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over the daily event-count series —
+    the classical sequential drift detector (Page's cumulative sum), per
+    event type: S_k = Σ_{d≤k}(n·x_d − total) is the running cumulative
+    deviation from the period mean kept in EXACT integer form (scaling
+    each term by n avoids dividing by it — the decimal-free CUSUM), the
+    day with the largest |S| is the most likely change point, and its
+    sign says whether the rate stepped down (negative: early days below
+    mean) or up. peak_magnitude = |S|/(n·total) normalizes to a
+    comparable [0,½] scale across types; a flat series reads ≈ 0.
+    Complements the MAD outliers (single-day spikes) and the seasonal
+    anomaly op (recurring patterns) with the LEVEL-SHIFT failure mode.
+    Shape: one partial-aggregating pass to |types|·|days| rows, then
+    running-sum and argmax windows PARTITIONED by type — parallel, tiny,
+    nothing global; the division happens once per output row."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.dayofmonth("ts").cast("int").alias("d")
+    ).agg(F.count("*").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "s", F.sum(F.col("n") * F.col("x") - F.col("total")).over(w)
+        )
+    )
+    wp = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs("s")), "d"
+    )
+    peak = (
+        cusum.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "d", "s", "n", "total")
+    )
+    return peak.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("d").cast("int").alias("peak_day"),
+        F.col("s").cast("long").alias("peak_cusum"),
+        F.round(
+            F.abs("s").cast("double") / (F.col("n") * F.col("total")), 6
+        ).alias("peak_magnitude"),
+    )
