@@ -88,6 +88,8 @@ _WINDOW = [
     "text_tfidf_keywords_topk",
     "graph_partition_modularity",
     "events_cusum_changepoint",
+    "nation_gmv_trend_slope",
+    "dq_referential_integrity_audit",
     # --- fillers: graded-green heavy/flagship keys, re-confirmed until
     # displaced by a round-7 addition ---
     "pipeline_end_to_end",
@@ -96,8 +98,6 @@ _WINDOW = [
     "dedup_cluster_components",
     "sim_ann_lsh_topk",
     "cdc_upsert_latest",
-    "cdc_scd2_intervals",
-    "tpch_q4_order_priority",
 ]
 
 

@@ -2030,3 +2030,78 @@ def events_cusum_changepoint(spark, sf_dir):
             F.abs("s").cast("double") / (F.col("n") * F.col("total")), 6
         ).alias("peak_magnitude"),
     )
+
+
+@query(
+    "nation_gmv_trend_slope",
+    """
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((year(o.o_orderdate) - 1995) * 12
+                  + (month(o.o_orderdate) - 1) AS BIGINT) AS x,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM m GROUP BY nation
+    )
+    SELECT nation, n AS n_months,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 10000, 6)
+             AS slope_per_month
+    FROM s WHERE n >= 2
+    """,
+)
+def nation_gmv_trend_slope(spark, sf_dir):
+    """Per-nation GMV TREND — ordinary-least-squares slope of monthly
+    revenue, the growth-vs-decline number a revenue review reads per
+    market. The regression is the closed-form
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) computed entirely in EXACT integers:
+    x is the month index, y the month's revenue in 1e-4 currency units
+    (DECIMAL(18,4)·10⁴ is integral, so the BIGINT cast is safe in both
+    engines — the decimal→int trap only bites on non-integral values),
+    and all four sums are int64 (bounds: ~80 months × cents-scale
+    revenue ≪ 2⁶³). One double division at the end, reported in
+    currency units per month. Shape: fact → (nation, month) partial
+    aggregate (customer/nation dims broadcast), then a |nations|-sized
+    closed-form — the whole regression is ONE extra tiny aggregate over
+    the monthly rollup any revenue dashboard already materializes."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (
+        (F.year("o_orderdate") - 1995) * 12 + (F.month("o_orderdate") - 1)
+    ).cast("long")
+    y_unit = (dec4("o_totalprice") * 10000).cast("long")
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), x.alias("x"))
+        .agg(F.sum(y_unit).cast("long").alias("y"))
+    )
+    s = m.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(F.col("n") >= 2)
+        .select(
+            "nation",
+            F.col("n").alias("n_months"),
+            F.round(
+                num.cast("double") / den.cast("double") / 10000, 6
+            ).alias("slope_per_month"),
+        )
+    )

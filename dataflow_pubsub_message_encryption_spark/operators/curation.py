@@ -1146,3 +1146,96 @@ def corpus_ngram_novelty_curve(spark, sf_dir):
             ).alias("novelty_rate"),
         )
     )
+
+
+@query(
+    "dq_referential_integrity_audit",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey -> nation',
+             (SELECT count(*) FROM supplier),
+             (SELECT count(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey -> supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+    )
+    SELECT relationship,
+           CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+    FROM checks
+    """,
+)
+def dq_referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema — the DQ gate
+    an ingestion pipeline runs before promoting a snapshot: per declared
+    FK relationship, how many child rows reference a missing parent.
+    Each check is a LEFT-ANTI join (the Spark decorrelation of NOT
+    EXISTS): the parent side is the KEY DOMAIN only (dims broadcast;
+    the orders-key domain for the lineitem check shuffles ids, nothing
+    wider), so at 100 TB every audit row costs one semi-structured pass
+    of the child's key column — column pruning means the scans read one
+    column each. A healthy snapshot reads all-zeros; the op exists so a
+    broken one is a diff in THIS table, not a silent join fan-in
+    downstream."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+
+    def check(name, child, key, parent, pkey, broadcast_parent=True):
+        pk = parent.select(pkey).distinct()
+        if broadcast_parent:
+            pk = F.broadcast(pk)
+        orphans = child.select(key).join(
+            pk, child[key] == pk[pkey], "left_anti"
+        )
+        return (
+            child.select(F.lit(1))
+            .agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relationship"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphans").cast("long"),
+                F.round(
+                    F.col("n_orphans").cast("double") / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+
+    rows = [
+        check("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+        check("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        check("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        check("supplier.s_nationkey -> nation", s, "s_nationkey", n, "n_nationkey"),
+        check("lineitem.l_suppkey -> supplier", li, "l_suppkey", s, "s_suppkey"),
+    ]
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows)
