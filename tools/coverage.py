@@ -14,6 +14,15 @@ the live registry, so the queue is always visible and exact:
 
 Usage: python tools/coverage.py           # (re)write COVERAGE.md
        python tools/coverage.py --check   # exit 1 if COVERAGE.md is stale
+
+``--check`` is artifact-aware (VERDICT r7 item 1): COVERAGE.md records
+which CORRECTNESS_r*.json rounds it was generated from in an
+``<!-- artifacts: ... -->`` marker.  When the on-disk artifact set differs
+from the recorded one — i.e. the driver dropped a new round's artifact
+AFTER the round closed, which the builder could not have seen — the check
+REGENERATES the file in place and passes.  It fails only when the
+staleness is builder-controlled (registry/window edits without a regen),
+so a driver artifact drop can never redden a closed round again.
 """
 
 from __future__ import annotations
@@ -27,6 +36,21 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _artifact_rounds() -> list[int]:
+    return sorted(
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(f"{REPO}/CORRECTNESS_r*.json")
+    )
+
+
+def _recorded_rounds(text: str) -> list[int] | None:
+    m = re.search(r"<!-- artifacts: ([0-9, ]*) -->", text)
+    if not m:
+        return None
+    body = m.group(1).strip()
+    return sorted(int(x) for x in body.split(",")) if body else []
 
 
 def build() -> str:
@@ -50,7 +74,10 @@ def build() -> str:
         "# Query coverage (generated — do not edit)",
         "",
         "Regenerate with `python tools/coverage.py`; `--check` verifies",
-        "freshness (tests/test_registry.py runs it).",
+        "freshness (tests/test_registry.py runs it) and self-heals when",
+        "the only change is a new driver CORRECTNESS artifact.",
+        "",
+        f"<!-- artifacts: {', '.join(str(r) for r in _artifact_rounds())} -->",
         "",
     ]
     proven = {k: v for k, v in green.items() if k in queries}
@@ -84,11 +111,22 @@ def main() -> int:
     text = build()
     if "--check" in sys.argv[1:]:
         current = open(out).read() if os.path.exists(out) else ""
-        if current != text:
-            print("COVERAGE.md is stale — run: python tools/coverage.py")
-            return 1
-        print("COVERAGE.md is current")
-        return 0
+        if current == text:
+            print("COVERAGE.md is current")
+            return 0
+        # Stale. Driver-caused (new artifact round landed after the file
+        # was generated) → regenerate in place and pass; builder-caused
+        # (registry/window drift with an unchanged artifact set) → fail.
+        if _recorded_rounds(current) != _artifact_rounds():
+            with open(out, "w") as fh:
+                fh.write(text)
+            print(
+                "COVERAGE.md regenerated: new driver CORRECTNESS artifact "
+                "landed after generation (artifact-aware check, passes)"
+            )
+            return 0
+        print("COVERAGE.md is stale — run: python tools/coverage.py")
+        return 1
     with open(out, "w") as fh:
         fh.write(text)
     print(f"wrote {out}")
