@@ -1,4 +1,6 @@
-"""Benchmark: headline queries at sf0.1 (driver contract: one JSON line).
+"""Benchmark: headline queries at sf0.1 (driver contract: JSON on stdout —
+full detail first, then a compact summary as the LAST line so a bounded
+tail capture always parses).
 
 Runs the representative query mix — reference pipeline, heavy relational,
 and LLM-pipeline operators — with AQE on, and reports per-query wall time.
@@ -68,7 +70,19 @@ HEADLINE = [
     # exists to replace) vs ~7-9 s blocked with the identical walk/rerank.
     ("q19_graph_ann_blocked", "sim_ann_graph_topk_blocked"),
     ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
+    # round-8 mix extension: the composed IVF-PQ serving index (nprobe-pruned
+    # 4-byte-code ADC scan — the 100 TB serving story) and the heaviest text
+    # DAG (true held-out bigram perplexity: fold split, fold-1..4 LM train,
+    # fold-0 scoring). Legacy subtotals stay comparable — additions only.
+    ("q21_ivf_pq_topk", "sim_ivf_pq_topk"),
+    ("q22_heldout_perplexity", "text_heldout_perplexity"),
 ]
+
+# Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,
+# q1-q12 the round-4..6 mix. Subtotals are computed in-artifact so the
+# gate check never needs to re-add per-query numbers by hand.
+_LEGACY10 = [label for label, _ in HEADLINE[:10]]
+_LEGACY12 = [label for label, _ in HEADLINE[:12]]
 
 _N_TIMED = 3
 _N_MULTIFILE = 32
@@ -84,18 +98,18 @@ def wait_for_quiet_box(max_wait_s: float, poll_s: float = 20.0) -> dict:
     SPARK_GRAFT_SKIP_LOADGUARD=1 skips (iterating, not recording)."""
     t0 = time.time()
     start = os.getloadavg()[0]
-    while os.getloadavg()[0] > _LOAD_MAX and time.time() - t0 < max_wait_s:
+    while os.getloadavg()[0] >= _LOAD_MAX and time.time() - t0 < max_wait_s:
         time.sleep(poll_s)
     now = os.getloadavg()[0]
     return {
         "threshold": _LOAD_MAX,
         "loadavg_at_invoke": round(start, 2),
         "waited_s": round(time.time() - t0, 1),
-        "start_quiet": now <= _LOAD_MAX,
+        "start_quiet": now < _LOAD_MAX,  # strictly below the bar (r7 verdict)
     }
 
 
-def settle_loadavg(max_wait_s: float = 180.0, poll_s: float = 10.0) -> dict:
+def settle_loadavg(max_wait_s: float = 240.0, poll_s: float = 10.0) -> dict:
     """After the run (Spark stopped), wait for the 1-minute loadavg to
     decay below the bar and report it: the end-of-run raw loadavg always
     includes the bench's OWN 32-thread work (the r6 artifact's 7.77 was
@@ -103,7 +117,7 @@ def settle_loadavg(max_wait_s: float = 180.0, poll_s: float = 10.0) -> dict:
     'we were busy' from 'the box was'. Decay is e^-1/min, so <2 from
     ~8 takes ~85 s; 180 s covers it unless a neighbor is actually loud."""
     t0 = time.time()
-    while os.getloadavg()[0] > _LOAD_MAX and time.time() - t0 < max_wait_s:
+    while os.getloadavg()[0] >= _LOAD_MAX and time.time() - t0 < max_wait_s:
         time.sleep(poll_s)
     return {
         "loadavg_settled": round(os.getloadavg()[0], 2),
@@ -196,6 +210,8 @@ def main() -> None:
         "queries": times,
         "value_min": round(sum(times_min.values()), 3),
         "queries_min": times_min,
+        "legacy10_min": round(sum(times_min[q] for q in _LEGACY10), 3),
+        "legacy12_min": round(sum(times_min[q] for q in _LEGACY12), 3),
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "methodology": (
             f"median of {_N_TIMED} timed passes after 2 untimed warm-up "
@@ -228,7 +244,30 @@ def main() -> None:
     spark.stop()
     if guard is not None:
         result["load_guard"].update(settle_loadavg())
+
+    # The harvester keeps only a bounded TAIL of this script's stdout, and
+    # the full-detail record overflows it (the r7 artifact lost its headline
+    # median that way). Print the full detail FIRST, then a compact summary
+    # as the LAST line so the tail always contains one parseable JSON line
+    # with the headline numbers.
     print(json.dumps(result))
+    summary = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": times,
+        "value_min": result["value_min"],
+        "legacy10_min": result["legacy10_min"],
+        "legacy12_min": result["legacy12_min"],
+        "sf": result["sf"],
+    }
+    mf = result.get("multifile")
+    if isinstance(mf, dict) and "value" in mf:
+        summary["multifile_value"] = mf["value"]
+        summary["multifile_value_min"] = mf["value_min"]
+    if guard is not None:
+        summary["load_guard"] = result["load_guard"]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
