@@ -1179,10 +1179,13 @@ def events_peak_concurrency(spark, sf_dir):
     the per-day MAX is permutation-invariant (the +1 block's maximum is
     its end), so the result is deterministic — the remaining (user, sid)
     tie-break keys just pin both engines to one order. Shape: the
-    boundary table is 2×|sessions| rows (events reduce per user first);
-    the global running sum is merge-stage-only over that summary — the
-    ``orders_backlog_daily`` O(n) interval-counting shape at session
-    grain."""
+    boundary table is 2×|sessions| rows (events reduce per user first),
+    but session grain is UNBOUNDED at 100 TB, so the running sum is
+    delegated to :func:`~..scale._global_cumsum` (range repartition on
+    the boundary order, per-partition integer prefix sums in parallel,
+    bounded offset fix-up) — no single-partition WindowExec anywhere;
+    the oracle keeps the plain ``SUM() OVER (ORDER BY)`` form so
+    equality with the windowed semantics is proven."""
     ev = load_events(spark, sf_dir)
     wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.expr(
@@ -1215,13 +1218,14 @@ def events_peak_concurrency(spark, sf_dir):
             F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id", "sid"
         )
     )
-    wr = Window.orderBy(
-        "t", F.desc("d"), "user_id", "sid"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r = bounds.withColumn("conc", F.sum("d").over(wr))
+    from .scale import _global_cumsum
+
+    r = _global_cumsum(
+        bounds, "d", F.col("t"), F.desc("d"), F.col("user_id"), F.col("sid")
+    )
     return r.groupBy(
         F.expr("t DIV 86400000000").cast("int").alias("day")
-    ).agg(F.max("conc").cast("int").alias("peak_concurrent"))
+    ).agg(F.max("cum").cast("int").alias("peak_concurrent"))
 
 
 @query(

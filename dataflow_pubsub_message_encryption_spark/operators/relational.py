@@ -1929,20 +1929,23 @@ def orders_pareto_abc(spark, sf_dir):
     compare as integer-scaled decimals (cum*100 <= total*80), so both
     engines cut A/B/C on the same customer — no float drift at the
     boundary. Shape: one partial-aggregating groupBy to customer grain,
-    then a ranked cumulative window over |customers| rows (merge-stage
-    only — the fact table never sees the window); the grand total rides
-    in as a broadcast 1-row aggregate. At 100 TB the window input is the
-    customer aggregate, which is what keeps a global ORDER BY honest."""
+    then a DISTRIBUTED global prefix sum over the |customers|-grain
+    aggregate — delegated to :func:`~..scale._global_cumsum` (range
+    repartition, per-partition decimal prefix sums in parallel, bounded
+    per-partition offset fix-up) exactly as the legacy ntile keys
+    delegate to ``_global_rank``: the oracle keeps the plain
+    ``SUM() OVER (ORDER BY)`` form so equality with the windowed
+    semantics is proven, while the plan carries no single-partition
+    WindowExec (customer grain is unbounded at 100 TB); the grand total
+    rides in as a broadcast 1-row aggregate."""
+    from .scale import _global_cumsum
+
     rev = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(dec4("o_totalprice")).alias("r"))
     )
-    w = (
-        Window.orderBy(F.desc("r"), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.withColumn("cum", F.sum("r").over(w))
+    ranked = _global_cumsum(rev, "r", F.desc("r"), F.col("o_custkey"))
     tot = rev.agg(F.sum("r").alias("total"))
     cls = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
@@ -2181,12 +2184,16 @@ def part_name_trigram_search(spark, sf_dir):
         / F.size(F.array_distinct(F.concat("pt", "qt"))),
         6,
     )
-    w = Window.orderBy(F.desc("sim"), "p_partkey")
-    return (
+    from .scale import _topk_ranked
+
+    scored = (
         p.crossJoin(F.broadcast(q))  # |part| x 1 row
         .select("p_partkey", "p_name", sim.alias("sim"))
-        .withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 10)
+    )
+    # top-10 via TakeOrderedAndProject + K-row rerank — never a global
+    # row_number window over all |part| scored rows (VERDICT r7 item 4)
+    return _topk_ranked(scored, 10, F.desc("sim"), F.col("p_partkey")).withColumn(
+        "rk", F.col("rk").cast("int")
     )
 
 

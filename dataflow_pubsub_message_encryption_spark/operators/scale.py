@@ -594,18 +594,19 @@ def profile_key_skew(spark, sf_dir):
     skew-vs-average factor (cnt x n_keys / n_rows; 1.0 = perfectly
     uniform). Shape: one partial-aggregating groupBy on the key (shuffle
     ∝ distinct keys), a 1-row totals aggregate joined back by broadcast
-    cross join, and a top-10 over the key-count table. At 100 TB this is
-    the cheap pre-pass that tells you whether dedup_minhash's band join
-    or a fact-dim join needs the join_skew_salted treatment."""
+    cross join, and a top-10 via TakeOrderedAndProject + K-row rerank
+    (`_topk_ranked` — key grain is unbounded, so no global ranking
+    window). At 100 TB this is the cheap pre-pass that tells you whether
+    dedup_minhash's band join or a fact-dim join needs the
+    join_skew_salted treatment."""
     ev = load_events(spark, sf_dir)
     c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
     tot = c.agg(
         F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
     )
-    w = Window.orderBy(F.desc("cnt"), "user_id")
     return (
-        c.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 10)
+        _topk_ranked(c, 10, F.desc("cnt"), F.col("user_id"))
+        .withColumn("rk", F.col("rk").cast("int"))
         .crossJoin(F.broadcast(tot))  # 10 rows x 1 row
         .select(
             F.col("user_id").alias("key"),
@@ -909,11 +910,11 @@ def agg_heavy_hitters_cms(spark, sf_dir):
         .agg(F.count("*").alias("c"))
     )
     exact = ev.groupBy("key").agg(F.count("*").alias("exact_cnt"))
-    w = Window.orderBy(F.desc("exact_cnt"), "key")
-    top10 = (
-        exact.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 10)
-    )
+    # top-10 hot keys: TakeOrderedAndProject + K-row rerank, never a
+    # global ranking window over the unbounded key census
+    top10 = _topk_ranked(
+        exact, 10, F.desc("exact_cnt"), F.col("key")
+    ).withColumn("rk", F.col("rk").cast("int"))
     keypos = cells.select("key", "ip.i", "ip.p").distinct()
     est = (
         F.broadcast(top10)
@@ -1299,6 +1300,29 @@ def _global_rank(df, *order_cols):
         "rk", (F.row_number().over(wlocal) + off).cast("long")
     ).drop("pid")
     return ranked, acc
+
+
+def _topk_ranked(df, k: int, *order_cols):
+    """Exact global top-``k`` rows with a 1-based ``rk`` rank column and NO
+    single-partition window anywhere in the plan — the scale-safe
+    replacement for the ``row_number() OVER (ORDER BY ...)  WHERE rk <= K``
+    idiom (VERDICT r7 item 4): that form sorts the ENTIRE input through
+    one WindowExec task just to keep K rows.
+
+    1. ``orderBy(order_cols).limit(k)`` — Spark plans this as
+       TakeOrderedAndProject: each partition keeps its local top-k, the
+       driver merges K·p candidate rows — no global sort, no shuffle of
+       the full input;
+    2. re-rank the K survivors with :func:`_global_rank` (range
+       repartition + per-partition row_number + bounded offset fix-up),
+       so even the K-row rerank carries no ``Exchange SinglePartition``
+       and the global sweep plan-assertion holds uniformly.
+
+    ``order_cols`` must form a unique total order (same contract as
+    ``_global_rank``). Returns the K-row frame with ``rk`` (long)."""
+    top = df.orderBy(*order_cols).limit(k)
+    ranked, _ = _global_rank(top, *order_cols)
+    return ranked
 
 
 def _global_cumsum(df, value_col, *order_cols):

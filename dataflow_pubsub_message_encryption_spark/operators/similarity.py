@@ -2185,11 +2185,31 @@ def _gr_step(cur, edges, nodes, probe):
     return scored.orderBy("d", "vec_id").limit(_GR_BEAM).select("vec_id")
 
 
-@query("sim_ann_graph_topk", _gr_sql())
+@query("sim_ann_graph_topk", _gr_sql(blocked=True))
 def sim_ann_graph_topk(spark, sf_dir):
-    """Graph-index ANN (HNSW/NSW class) — the family member the r5 verdict
-    called missing: a multi-level navigable small-world graph, fully
-    deterministic so the unrolled oracle replays it move for move.
+    """Graph-index ANN (HNSW/NSW class), primary key. Delegates to the
+    LSH-blocked build (VERDICT r7 item 6 — the same re-pointing the ntile
+    family got): a user calling the family's primary key must never get
+    the all-pairs self-join index build, so the registered semantics ARE
+    the blocked semantics (oracle = the blocked SQL, edge-for-edge). The
+    quadratic build survives only as the unregistered plan-contrast demo
+    :func:`sim_ann_graph_topk_naive_demo` (this family's one allowed
+    anti-pattern demo)."""
+    return sim_ann_graph_topk_blocked(spark, sf_dir)
+
+
+def sim_ann_graph_topk_naive_demo(spark, sf_dir):
+    """Graph-index ANN (HNSW/NSW class) with the NAIVE all-pairs index
+    build — UNREGISTERED plan-contrast demo (measured ~53 s/pass at sf0.1
+    vs ~5.6 s blocked; the quadratic self-join is the anti-pattern the
+    blocked build exists to replace). Kept because its recall pin
+    (1.0/0.9 — above the blocked 0.8/0.7) documents what the candidate
+    pruning trades away, and because the walk (`_gr_search`) is shared
+    byte-identical with the registered key.
+
+    Original design notes: a multi-level navigable small-world graph,
+    fully deterministic so an unrolled oracle can replay it move for
+    move.
 
     Build: fixed-point vectors (round(x·1e6) int64 — integer squared-L2 is
     exact cross-engine); each node draws its level from sha-nibbles of its
@@ -2725,11 +2745,13 @@ def sim_ann_graph_recall_eval(spark, sf_dir):
     node universe — the same self-measurement contract as
     ``sim_ann_recall_eval`` gives the LSH family, so the graph family's
     quality number rides the EXACT oracle gate (the pytest pin checks the
-    same law in-process; this row makes it a driver-graded artifact:
-    1.0 at the fixtures' swept M=10/beam=8 operating point at sf0.001,
-    0.9 at sf0.01). The oracle nests the COMPLETE unrolled graph-search
-    oracle as a CTE next to the brute ranking — two full pipelines, one
-    agreement row."""
+    same law in-process; this row makes it a driver-graded artifact).
+    Since the primary key's r8 re-pointing to the LSH-blocked build, the
+    measured index is the blocked one: 0.8 at sf0.001, 0.7 at sf0.01
+    (the naive build's 1.0/0.9 pin lives on the unregistered demo in
+    tests/test_ext_ops.py). The oracle nests the COMPLETE unrolled
+    graph-search oracle as a CTE next to the brute ranking — two full
+    pipelines, one agreement row."""
     ann = QUERIES["sim_ann_graph_topk"](spark, sf_dir).select("vec_id")
     e = load(spark, sf_dir, "embeddings")
     qe = F.transform(

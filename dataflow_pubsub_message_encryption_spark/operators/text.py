@@ -299,22 +299,22 @@ def text_vocab_build(spark, sf_dir):
     """Vocabulary construction — the tokenizer-training primitive: count
     every token, rank by (frequency desc, token asc), assign contiguous
     ids to the top 200. Two-stage count (map-side combine, shuffle ∝
-    vocabulary not corpus) then a single-partition ranking window over
-    the vocab-sized aggregate — the standard shape: at 100 TB the count
-    table is still only |vocab| rows, so the final rank is trivially
-    cheap; only the id-assignment window is serial and it runs over
-    thousands of rows, not documents."""
+    vocabulary not corpus), then top-200 via TakeOrderedAndProject (local
+    per-partition top-k, driver merge of K·p candidates) + a K-row
+    distributed rerank (`_topk_ranked`) — the |vocab|-row aggregate never
+    funnels through a single ranking-window task (VERDICT r7 item 4):
+    vocab is small at fixture scale but unbounded in principle, and the
+    TakeOrdered form costs nothing to be safe."""
+    from .scale import _topk_ranked
+
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), "token")
-    return (
-        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("token_id") <= 200)
-        .select("token", "cnt", "token_id")
+    return _topk_ranked(counts, 200, F.desc("cnt"), F.col("token")).select(
+        "token", "cnt", F.col("rk").cast("int").alias("token_id")
     )
 
 
@@ -341,7 +341,11 @@ def text_bigram_colloc(spark, sf_dir):
     of intermediate pairs until the count), count global bigrams, rank
     the top 30 with a deterministic (count desc, bigram asc) tie-break.
     Same scale shape as vocab build: shuffle ∝ distinct bigrams with
-    map-side partial counts; documents never leave their partitions."""
+    map-side partial counts, TakeOrderedAndProject + K-row rerank for
+    the top-30 (no global ranking window); documents never leave their
+    partitions."""
+    from .scale import _topk_ranked
+
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
     bigrams = toks.select(
@@ -353,11 +357,8 @@ def text_bigram_colloc(spark, sf_dir):
         ).alias("bigram")
     )
     counts = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), "bigram")
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 30)
-        .select("bigram", "cnt", "rk")
+    return _topk_ranked(counts, 30, F.desc("cnt"), F.col("bigram")).select(
+        "bigram", "cnt", F.col("rk").cast("int").alias("rk")
     )
 
 
@@ -1376,8 +1377,14 @@ def text_zipf_fit(spark, sf_dir):
     IDENTICAL double-op sequence in both engines (the n·Σxy − Σx·Σy
     numerator would overflow int64, so it is computed in doubles FROM
     exact integer sums — the window_rolling_zscore pattern). Shape: one
-    token count (shuffle ∝ vocab), one vocab-sized ranking window, one
-    1-row aggregate."""
+    token count (shuffle ∝ vocab), then a FULL-vocab global rank — which
+    is exactly what `_global_rank` exists for (range repartition,
+    per-partition row_number in parallel, bounded offset fix-up): unlike
+    the top-K ops there is no K-row escape hatch here, every term needs
+    its rank, so the distributed rank machinery is load-bearing, not
+    hygiene. One 1-row aggregate closes the fit."""
+    from .scale import _global_rank
+
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(tokens("text")).alias("term"))
@@ -1385,8 +1392,8 @@ def text_zipf_fit(spark, sf_dir):
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), "term")
-    pts = counts.withColumn("rnk", F.row_number().over(w)).select(
+    ranked, _ = _global_rank(counts, F.desc("c"), F.col("term"))
+    pts = ranked.withColumnRenamed("rk", "rnk").select(
         "term",
         "c",
         "rnk",

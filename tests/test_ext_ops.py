@@ -616,10 +616,14 @@ def test_wjac_df_cap_drops_hot_term_fanout(spark):
 
 
 def test_graph_ann_recall_vs_brute(spark, sf_dir):
-    """sim_ann_graph_topk recall@10 against the brute-force integer-L2
-    truth — everything is deterministic (seeded levels, integer
-    distances, id tie-breaks), so recall is pinned EXACTLY, not bounded:
-    1.0 at sf0.001, 0.9 at sf0.01 (the swept M=10/beam=8/hops=3 point)."""
+    """Graph-ANN recall@10 against the brute-force integer-L2 truth —
+    everything is deterministic (seeded levels, integer distances, id
+    tie-breaks), so recall is pinned EXACTLY, not bounded. The NAIVE
+    all-pairs build (unregistered demo since the r8 re-pointing) pins
+    1.0 at sf0.001 / 0.9 at sf0.01 (the swept M=10/beam=8/hops=3 point);
+    the blocked build — which the registered keys now serve — pins
+    0.8 / 0.7, documenting exactly what the LSH candidate pruning trades
+    away."""
     from pyspark.sql import functions as F
 
     from dataflow_pubsub_message_encryption_spark.operators.similarity import (
@@ -627,12 +631,13 @@ def test_graph_ann_recall_vs_brute(spark, sf_dir):
         _PROBE_ID,
         _TOPK,
         _gr_isq,
+        sim_ann_graph_topk_naive_demo,
         QUERIES as SQ,
     )
     from dataflow_pubsub_message_encryption_spark.functions.vectors import as_double
     from dataflow_pubsub_message_encryption_spark.sources import load
 
-    ann = {r.vec_id for r in SQ["sim_ann_graph_topk"](spark, sf_dir).collect()}
+    ann = {r.vec_id for r in sim_ann_graph_topk_naive_demo(spark, sf_dir).collect()}
     e = load(spark, sf_dir, "embeddings")
     qe = F.transform(as_double("embedding"), lambda x: F.round(x * _CENT_SCALE).cast("long"))
     probe = e.filter(F.col("vec_id") == _PROBE_ID).select(qe.alias("pq"))
@@ -654,7 +659,8 @@ def test_graph_ann_recall_vs_brute(spark, sf_dir):
 
     # the LSH-blocked build (same walk, pruned candidate edges) trades a
     # little recall for a build that is never quadratic in |V| — also
-    # deterministic, so pinned exactly, at the measured 0.8 / 0.7 point
+    # deterministic, so pinned exactly, at the measured 0.8 / 0.7 point.
+    # The primary key delegates to it, so both registered keys must agree.
     blocked = {
         r.vec_id
         for r in SQ["sim_ann_graph_topk_blocked"](spark, sf_dir).collect()
@@ -664,3 +670,7 @@ def test_graph_ann_recall_vs_brute(spark, sf_dir):
     assert b_recall == b_expected, (
         f"blocked recall drifted: {b_recall} != {b_expected}"
     )
+    primary = {
+        r.vec_id for r in SQ["sim_ann_graph_topk"](spark, sf_dir).collect()
+    }
+    assert primary == blocked, "primary key no longer serves the blocked build"

@@ -19,7 +19,18 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
-    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+
+    qdf = QUERIES[name](spark, sf_dir)
+    # Global sweep invariant (VERDICT r7 item 4): NO registered query may
+    # plan a single-partition exchange — every global rank/cumsum/top-K
+    # routes through _global_rank/_global_cumsum/_topk_ranked, and 1-row
+    # aggregates ride broadcasts. Checked on the already-built frame, so
+    # the sweep costs one explain per query, not a second build.
+    assert "Exchange SinglePartition" not in formatted_plan(qdf), (
+        f"{name}: single-partition exchange in plan"
+    )
+    sdf = qdf.toPandas()
     if name not in ORACLES:
         assert len(sdf) >= 0  # rows-only contract: must at least execute
         return
