@@ -1771,13 +1771,23 @@ def events_markov_stationary(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .localCheckpoint()
     )
-    r = c.groupBy("prev_type").agg(F.sum("n").alias("rn")).localCheckpoint()
+    # alias the row-sum's key: r derives from c, so joining on
+    # c.prev_type == r.prev_type would pit two Columns with the SAME
+    # expression ID against each other and lean on Spark's ambiguous-
+    # self-join disambiguation (logs "trivially true equals predicate";
+    # fragile across versions) — a distinct name makes the equi-join
+    # unambiguous by construction
+    r = (
+        c.groupBy(F.col("prev_type").alias("r_prev"))
+        .agg(F.sum("n").alias("rn"))
+        .localCheckpoint()
+    )
     types = ev.select(F.col("event_type").alias("t")).distinct().localCheckpoint()
     x = types.select("t", F.lit(_MKV_SCALE).cast("long").alias("w"))
     for _ in range(_MKV_ROUNDS):
         x = (
             x.join(c, x.t == c.prev_type)
-            .join(r, c.prev_type == r.prev_type)
+            .join(r, c.prev_type == r.r_prev)
             .select(
                 F.col("next_type").alias("t"),
                 F.expr("(w * n) DIV rn").alias("dw"),

@@ -769,8 +769,14 @@ def graph_partition_modularity(spark, sf_dir):
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    comp = QUERIES["dedup_cluster_components"](spark, sf_dir).select(
-        "doc_id", "cluster_id"
+    # materialize BOTH shared inputs once: the components chain feeds two
+    # consumers (intra-edge count and degree sum) and would re-execute its
+    # whole star-contraction lineage per consumer otherwise (the round-7
+    # advisory — this op was the slowest new query purely from recompute)
+    comp = (
+        QUERIES["dedup_cluster_components"](spark, sf_dir)
+        .select("doc_id", "cluster_id")
+        .localCheckpoint()
     )
     e = pairs.localCheckpoint()
     deg = (
@@ -800,8 +806,11 @@ def graph_partition_modularity(spark, sf_dir):
             - F.col("dc") * F.col("dc")
         ).alias("t")
     )
+    # n_communities = |terms| (one row per cluster): counting inside the
+    # single final aggregate replaces the extra dsum.count() driver action
+    # that re-ran the degree-sum lineage
     return terms.agg(
-        F.lit(dsum.count()).cast("long").alias("n_communities"),  # driver-scalar (bounded: one aggregate count)
+        F.count("*").cast("long").alias("n_communities"),
         F.lit(m).cast("long").alias("n_edges"),
         F.round(
             F.sum("t").cast("double") / (4.0 * m * m), 6

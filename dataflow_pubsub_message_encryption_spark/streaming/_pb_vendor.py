@@ -35,9 +35,25 @@ BOOT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_worker_boo
 
 
 def _patch_runtime_check() -> None:
-    from google.protobuf import runtime_version
+    """Scope the version-guard bypass to the ONE known-good skew (gencode
+    one minor ahead of this vendored runtime, same major — the pair the
+    round-trip probe below proves). Everything else still goes through
+    the real validator and fails loudly: a blanket no-op would silently
+    admit a future larger skew for every protobuf gencode in the
+    interpreter, not just pyspark's StateMessage."""
+    from google.protobuf import runtime_version as rv
 
-    runtime_version.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    if getattr(rv.ValidateProtobufRuntimeVersion, "_spark_graft_scoped", False):
+        return
+    orig = rv.ValidateProtobufRuntimeVersion
+
+    def scoped(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location):
+        if gen_major == rv.MAJOR and rv.MINOR <= gen_minor <= rv.MINOR + 1:
+            return None
+        return orig(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location)
+
+    scoped._spark_graft_scoped = True
+    rv.ValidateProtobufRuntimeVersion = scoped
 
 
 def ensure_protobuf() -> bool:

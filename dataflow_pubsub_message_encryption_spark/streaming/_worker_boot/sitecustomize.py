@@ -36,9 +36,23 @@ if not _usable() and os.path.isdir(os.path.join(_VENDOR, "google", "protobuf")):
     if _VENDOR not in sys.path:
         sys.path.append(_VENDOR)  # append: never shadow real packages
     try:
-        from google.protobuf import runtime_version
+        from google.protobuf import runtime_version as _rv
 
-        runtime_version.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        # scoped bypass (mirrors _pb_vendor._patch_runtime_check): admit
+        # ONLY gencode at most one minor ahead of this runtime, same
+        # major; any larger skew still raises through the real validator
+        if not getattr(_rv.ValidateProtobufRuntimeVersion, "_spark_graft_scoped", False):
+            _orig = _rv.ValidateProtobufRuntimeVersion
+
+            def _scoped(gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location):
+                if gen_major == _rv.MAJOR and _rv.MINOR <= gen_minor <= _rv.MINOR + 1:
+                    return None
+                return _orig(
+                    gen_domain, gen_major, gen_minor, gen_patch, gen_suffix, location
+                )
+
+            _scoped._spark_graft_scoped = True
+            _rv.ValidateProtobufRuntimeVersion = _scoped
     except Exception:  # noqa: BLE001 — never break interpreter startup
         pass
 

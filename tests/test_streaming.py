@@ -1152,6 +1152,41 @@ def test_stateful_v2_env_boundary_is_exactly_protobuf():
         )
 
 
+def test_protobuf_version_bypass_is_scoped():
+    """The bootstrap's validator patch must admit ONLY the proven
+    one-minor gencode/runtime skew — a gencode a full major (or two
+    minors) ahead must still raise through the real validator. A blanket
+    no-op here would silently accept any future skew for every protobuf
+    user in the interpreter (the round-7 advisory)."""
+    import pytest
+
+    from dataflow_pubsub_message_encryption_spark.streaming._pb_vendor import (
+        ensure_protobuf,
+    )
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime in this environment")
+    from google.protobuf import runtime_version as rv
+
+    v = rv.ValidateProtobufRuntimeVersion
+    if not getattr(v, "_spark_graft_scoped", False):
+        # a real protobuf install needs no patch — nothing to scope-check,
+        # but the validator must then be the genuine article (a bare
+        # lambda bypass would be the bug this test exists to catch)
+        assert v.__module__ == "google.protobuf.runtime_version", (
+            "validator replaced by an unscoped bypass"
+        )
+        pytest.skip("real protobuf runtime: validator unpatched")
+    # the known-good skew passes...
+    assert v(rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 1, 0, "", "t.proto") is None
+    # ...a larger skew still fails loudly (VersionError subclasses vary;
+    # any raise is the contract)
+    with pytest.raises(Exception):
+        v(rv.Domain.PUBLIC, rv.MAJOR + 1, 0, 0, "", "t.proto")
+    with pytest.raises(Exception):
+        v(rv.Domain.PUBLIC, rv.MAJOR, rv.MINOR + 2, 0, "", "t.proto")
+
+
 def test_cms_sketch_stream_equals_batch_grid(spark, sf_dir, tmpdir):
     """The streaming CMS counter grid, folded over a 4-file replay, must
     be BIT-IDENTICAL to the batch-built sketch (cell sums are associative
