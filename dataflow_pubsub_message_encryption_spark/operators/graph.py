@@ -31,9 +31,11 @@ Scale notes (100 TB):
 - Each round is two shuffle join+groupBy-min pairs — partial-aggregating,
   ids-only payloads (16 bytes/row). No step materializes anything wider
   than an edge.
-- Lineage is truncated with an eager ``localCheckpoint`` per round —
-  without it the plan doubles every iteration and Catalyst re-optimizes
-  the whole history. On a cluster use ``checkpoint`` to HDFS instead.
+- Lineage is truncated with an eager pin (``materialize.pin``) per
+  round — without it the plan doubles every iteration and Catalyst
+  re-optimizes the whole history. The pin defaults to ``localCheckpoint``;
+  ``SPARK_GRAFT_RELIABLE_PIN=1`` (or a session checkpoint dir) flips every
+  round to the durable cluster form — the recipe is code, not prose.
 - The ONLY driver-side data transfer is the 1-scalar star-forest
   violation count per round (from the per-node census the large-star
   step computes anyway). The edge table itself never leaves the
@@ -44,6 +46,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..materialize import pin
 from ..sources import load
 from .base import make_registry
 from .dedup import ORACLES as _DEDUP_ORACLES
@@ -64,18 +67,16 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
     """
     a, b = pairs.columns[0], pairs.columns[1]
     # canonical big→small orientation, self-loops dropped
-    edges = (
+    edges = pin(
         pairs.select(F.col(a).cast("long").alias("x"), F.col(b).cast("long").alias("y"))
         .filter(F.col("x") != F.col("y"))
         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    nodes = (
+    nodes = pin(
         edges.select(F.col("u").alias("node"))
         .union(edges.select("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     rounds = 0
     for _ in range(max_rounds):
@@ -103,11 +104,13 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
                 F.lit(1).alias("t"),
             )
         )
-        stats = sym.groupBy("u").agg(
-            F.min("v").alias("mn"),
-            F.sum("s").alias("sc"),
-            F.sum("t").alias("tc"),
-        ).localCheckpoint(eager=True)
+        stats = pin(
+            sym.groupBy("u").agg(
+                F.min("v").alias("mn"),
+                F.sum("s").alias("sc"),
+                F.sum("t").alias("tc"),
+            )
+        )
         violations = stats.filter(
             (F.col("sc") > 1) | ((F.col("sc") >= 1) & (F.col("tc") >= 1))
         ).agg(F.count("*")).collect()[0][0]  # driver-scalar
@@ -139,11 +142,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
             .select(F.col("v").alias("n"), "m")
             .unionByName(mins2.select(F.col("u").alias("n"), "m"))
         )
-        edges = (
+        edges = pin(
             small.filter(F.col("n") != F.col("m"))
             .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
     # fixed point = star forest rooted at component minima
     labels = nodes.join(
@@ -274,8 +276,8 @@ def graph_pagerank_int(spark, sf_dir):
     deg = edges.groupBy("s").agg(F.count("*").alias("deg")).withColumnRenamed(
         "s", "node"
     )
-    edges = edges.localCheckpoint(eager=True)
-    deg = deg.localCheckpoint(eager=True)
+    edges = pin(edges)
+    deg = pin(deg)
     rank = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -340,14 +342,13 @@ def graph_triangle_count(spark, sf_dir):
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    und = (
+    und = pin(
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.least("doc_a", "doc_b").alias("a"),
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("n"))
@@ -367,7 +368,8 @@ def graph_triangle_count(spark, sf_dir):
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lower_first, F.col("da")).otherwise(F.col("db")).alias("rs"),
         F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("rd"),
-    ).localCheckpoint(eager=True)
+    )
+    oriented = pin(oriented)
     # wedges at each (low-rank) source: unordered dst pair, canonically
     # oriented by (deg, id) so the closing edge lookup is a single probe
     e1 = oriented.select(
@@ -571,14 +573,13 @@ def graph_kcore_membership(spark, sf_dir):
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    edges = (
+    edges = pin(
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def degrees(e):
@@ -591,11 +592,10 @@ def graph_kcore_membership(spark, sf_dir):
 
     for _ in range(_KCORE_ROUNDS):
         keep = degrees(edges).filter(F.col("d") >= _KCORE_K).select("node")
-        edges = (
+        edges = pin(
             edges.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.withColumnRenamed("node", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
     fdeg = degrees(edges)
     conv = fdeg.agg(
@@ -685,10 +685,9 @@ def label_propagation(pairs: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
     e1 = pairs.filter(F.col("doc_a") != F.col("doc_b")).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    bedges = (
+    bedges = pin(
         e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
     labels = bedges.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")
@@ -703,11 +702,10 @@ def label_propagation(pairs: DataFrame, rounds: int = _LPA_ROUNDS) -> DataFrame:
             .agg(F.count("*").alias("c"))
         )
         w = Window.partitionBy("dst").orderBy(F.desc("c"), "lab")
-        labels = (
+        labels = pin(
             counted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("node"), "lab")
-            .localCheckpoint()
         )
     return labels
 
@@ -773,12 +771,11 @@ def graph_partition_modularity(spark, sf_dir):
     # consumers (intra-edge count and degree sum) and would re-execute its
     # whole star-contraction lineage per consumer otherwise (the round-7
     # advisory — this op was the slowest new query purely from recompute)
-    comp = (
+    comp = pin(
         QUERIES["dedup_cluster_components"](spark, sf_dir)
         .select("doc_id", "cluster_id")
-        .localCheckpoint()
     )
-    e = pairs.localCheckpoint()
+    e = pin(pairs)
     deg = (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))

@@ -43,6 +43,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.normalize import dec4, money, sim, ts_str
+from ..materialize import pin
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -1269,24 +1270,22 @@ def _global_rank(df, *order_cols):
        ``_N_RANGE``-row aggregate to the driver — the same bounded-scalar
        pattern as the two-pass percentile ops).
 
-    Durability trade-off: ``localCheckpoint`` pins the partition ids across
-    the two passes by truncating lineage into EXECUTOR block storage — on a
-    real cluster an executor loss between the passes makes the ranked
-    lineage unrecoverable and fails (not corrupts) the job. The 100 TB
-    recipe swaps it for a reliable materialization with the same pinning
-    semantics — ``persist(StorageLevel.DISK_ONLY_2)`` (two replicas) or
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` on durable
-    storage — at the cost of one extra write of the ranged table. Local
-    single-JVM runs (this harness) cannot lose an executor, so the cheap
-    form is used here.
+    Durability: the pin (``materialize.pin``) defaults to
+    ``localCheckpoint`` — executor block storage, so on a real cluster an
+    executor loss between the passes FAILS (not corrupts) the job. The
+    100 TB recipe is now code, not prose: ``reliable=True`` (or env
+    ``SPARK_GRAFT_RELIABLE_PIN=1``) swaps in Spark's durable
+    ``checkpoint()`` when a checkpoint dir is set, else
+    ``persist(DISK_ONLY_2)``, at the cost of one extra write of the
+    ranged table — exercised by tests/test_scale_ops.py. Local single-JVM
+    runs (this harness) cannot lose an executor, so cheap is the default.
 
     Returns (ranked_df with ``rk`` column, total row count n).
     """
-    ranged = (
+    ranged = pin(
         df.repartitionByRange(_N_RANGE, *order_cols)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition ids across the two passes
-    )
+    )  # pin partition ids across the two passes
     rows = ranged.groupBy("pid").agg(F.count("*").alias("c")).orderBy("pid").collect()  # driver-scalar (bounded: _N_RANGE rows)
     offsets, acc = {}, 0
     for r in rows:
@@ -1339,14 +1338,13 @@ def _global_cumsum(df, value_col, *order_cols):
        partition order, so use an EXACT value type: decimal/integer, not
        float).
 
-    Same localCheckpoint durability trade-off as `_global_rank` (see its
-    docstring for the reliable-materialization recipe at cluster scale).
-    Returns the frame with a ``cum`` column added."""
-    ranged = (
+    Same pin-durability switch as `_global_rank` (see its docstring —
+    ``materialize.pin``'s reliable path is the cluster recipe, executable
+    and tested). Returns the frame with a ``cum`` column added."""
+    ranged = pin(
         df.repartitionByRange(_N_RANGE, *order_cols)
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()  # pin partition ids across the two passes
-    )
+    )  # pin partition ids across the two passes
     totals = ranged.groupBy("pid").agg(F.sum(value_col).alias("t")).orderBy("pid").collect()  # driver-scalar (bounded: _N_RANGE rows)
     offsets, acc = {}, None
     for r in totals:
