@@ -38,66 +38,63 @@ _MODULES = [
 # query follows in module order; oracle-less (ROWS-class) queries always sort
 # last so no graded slot is burned on a `no_oracle` row.
 _WINDOW = [
-    # --- round-6 late additions, never driver-graded (absent from every
-    # CORRECTNESS_r1..r6 artifact) ---
-    "join_asof_forward",
-    "orders_repeat_purchase_curve",
-    "text_js_divergence_sources",
-    "dedup_weighted_jaccard",
-    "sim_ann_index_agreement",
-    "emb_quantization_error",
+    # --- round-8 additions (never driver-graded) ---
+    "text_bm25_topk",
+    "sim_hybrid_rrf_retrieval",
+    "text_kneser_ney_logprob",
+    "dq_table_fingerprint",
+    "emb_hard_negative_mining",
+    "multimodal_phash_hamming",
+    # --- re-gate: implementation changed since the green row (top-K
+    # idiom / _global_cumsum delegation / graph-ANN re-pointing /
+    # self-join disambiguation / modularity caching) ---
+    "orders_pareto_abc",
+    "events_peak_concurrency",
+    "part_name_trigram_search",
+    "text_vocab_build",
+    "text_bigram_colloc",
+    "profile_key_skew",
+    "agg_heavy_hitters_cms",
+    "text_zipf_fit",
+    "sim_ann_graph_topk",
     "sim_ann_graph_recall_eval",
-    "multimodal_payload_near_dup",
-    "pack_efficiency_report",
-    "scd2_as_of_snapshot",
-    "events_seasonal_anomaly",
-    "events_user_gini",
-    "events_dau_mau_stickiness",
-    "scan_agg_pushdown_stats",
-    # --- re-gate: _PAIR_CAP landed in r6 (impl + oracle changed; green
-    # history predates the cap) ---
-    "dedup_near_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    # --- re-gate: legacy ntile ops re-pointed at _global_rank this round
-    # (oracles unchanged; implementation swaps single-partition window for
-    # the distributed rank machinery) ---
-    "win_ntile",
-    "rfm_segmentation",
-    "customer_value_quartiles",
-    "corpus_perplexity_buckets",
-    # --- round-7 additions land here, each displacing a filler below ---
-    "sim_ann_graph_topk_blocked",
-    "dedup_span_suffix_ladder",
-    "sim_ivf_pq_topk",
-    "text_interpolated_logprob",
-    "split_kfold_assign",
-    "dq_distribution_drift_psi",
-    "text_heldout_perplexity",
-    "corpus_quality_rank_fusion",
     "events_markov_stationary",
-    "multimodal_frame_scene_match",
-    "events_attribution_last_touch",
-    "corpus_ngram_novelty_curve",
-    "dedup_cross_source_matrix",
-    "emb_label_separation_report",
-    "emb_random_projection_distortion",
-    "events_session_bounce_rate",
-    "orders_pareto_class",
-    "sim_mmr_diversified_topk",
-    "text_tfidf_keywords_topk",
     "graph_partition_modularity",
-    "events_cusum_changepoint",
-    "nation_gmv_trend_slope",
-    "dq_referential_integrity_audit",
-    # --- fillers: graded-green heavy/flagship keys, re-confirmed until
-    # displaced by a round-7 addition ---
-    "pipeline_end_to_end",
-    "dedup_minhash_lsh_pairs",
-    "corpus_clean_pipeline",
-    "dedup_cluster_components",
-    "sim_ann_lsh_topk",
-    "cdc_upsert_latest",
+    # --- stalest-green re-proofs (VERDICT r7 item 9): every key below
+    # last graded green in round 1 — re-proven so no key's latest green
+    # is more than a few rounds old ---
+    "src_scan_events",
+    "proj_attrs",
+    "filt_type",
+    "json_parse_props",
+    "envelope_roundtrip",
+    "mac_verify_filter",
+    "dek_cache",
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    "window_session_stats",
+    "envelope_map_attrs",
+    "scan_parquet",
+    "proj_expr",
+    "filt_pred",
+    "case_when",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_asof",
+    "join_cross",
+    "agg_hash_groupby",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "win_rank_topk",
+    "win_running_sum",
+    "win_lag_delta",
+    "sort_limit_topk",
+    "set_union_all",
 ]
 
 

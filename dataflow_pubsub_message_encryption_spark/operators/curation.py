@@ -1239,3 +1239,142 @@ def dq_referential_integrity_audit(spark, sf_dir):
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+# --- table integrity fingerprints (round 8) --------------------------------
+
+# (table, canonical-row-string SQL, Spark column builder name) — the row
+# canonicalization must be INTEGER-exact in both engines: doubles go
+# through DECIMAL(18,4)·10⁴ (no fractional part survives the cast, so
+# Spark's truncating vs DuckDB's rounding decimal→int semantics can't
+# diverge), timestamps become epoch-day integers, strings pass through.
+_FP_MOD = 1 << 60
+
+
+def _fp_nibbles(h):
+    """First 15 hex nibbles of a sha256 hex digest as one int64 — the
+    portable hash→integer bridge (no conv() in DuckDB, no xxhash64 in
+    DuckDB; instr-nibble arithmetic exists in both)."""
+    out = None
+    for j in range(1, 16):
+        nib = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, j, 1)) - 1
+        ).cast("long")  # widen BEFORE the fold — 15 nibbles overflow int32
+        out = nib if out is None else out * 16 + nib
+    return out
+
+
+def _fp_nibbles_sql(h: str) -> str:
+    out = "0"
+    for j in range(1, 16):
+        out = f"({out}) * 16 + (instr('0123456789abcdef', substr({h}, {j}, 1)) - 1)"
+    return f"CAST({out} AS BIGINT)"
+
+
+_FP_TABLES = {
+    "orders": (
+        "concat(o_orderkey, '|', o_custkey, '|', "
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT), '|', "
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))"
+    ),
+    "customer": (
+        "concat(c_custkey, '|', c_name, '|', c_nationkey, '|', "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT), '|', "
+        "c_mktsegment)"
+    ),
+    "lineitem": (
+        "concat(l_orderkey, '|', l_partkey, '|', l_suppkey, '|', "
+        "l_linenumber, '|', "
+        "CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT), '|', "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT), '|', "
+        "l_returnflag, '|', l_linestatus)"
+    ),
+}
+
+
+@query(
+    "dq_table_fingerprint",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+           CAST(CAST(SUM(CAST(fp AS DECIMAL(38,0))) % {_FP_MOD} AS BIGINT)
+                AS BIGINT) AS sum_fp_mod
+    FROM (SELECT {_fp_nibbles_sql(f"sha256({expr})")} AS fp FROM {t})
+    """
+        for t, expr in _FP_TABLES.items()
+    ),
+)
+def dq_table_fingerprint(spark, sf_dir):
+    """Order-insensitive table fingerprints — the ingest-integrity /
+    replication-audit primitive: after copying 100 TB between stores (or
+    re-partitioning, or a lossless engine migration) you want ONE number
+    per table that says 'byte-for-byte the same rows', computable by
+    both sides independently without sorting anything. Per row: a
+    canonical integer-exact string (doubles via DECIMAL·10⁴, dates as
+    epoch days — see `_FP_TABLES`), sha256, first 15 hex nibbles as an
+    int64. Per table: XOR-fold (order-insensitive, but pairwise
+    duplicate rows cancel) PLUS a mod-2⁶⁰ additive fold (catches what
+    XOR cancels) and the row count — three independent lanes an
+    accidental mutation would have to conspire past. Scale shape: one
+    narrow full scan per table, partial-aggregating to a 1-row result —
+    no shuffle wider than the partial aggregates; the folds are
+    commutative so shards/partitions combine freely (the HLL/CMS
+    mergeable-summary property, here for exactness)."""
+    parts = []
+    for t in _FP_TABLES:
+        # Spark side mirrors each table's canonical string from
+        # _FP_TABLES (datediff argument order differs from DuckDB's
+        # date_diff, hence the explicit builders)
+        src = load(spark, sf_dir, t)
+        if t == "orders":
+            row = F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                (F.col("o_totalprice").cast("decimal(18,4)") * 10000).cast(
+                    "long"
+                ),
+                F.datediff(
+                    F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+                ),
+            )
+        elif t == "customer":
+            row = F.concat_ws(
+                "|",
+                F.col("c_custkey"),
+                F.col("c_name"),
+                F.col("c_nationkey"),
+                (F.col("c_acctbal").cast("decimal(18,4)") * 10000).cast("long"),
+                F.col("c_mktsegment"),
+            )
+        else:
+            row = F.concat_ws(
+                "|",
+                F.col("l_orderkey"),
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_linenumber"),
+                (F.col("l_quantity").cast("decimal(18,4)") * 10000).cast("long"),
+                (F.col("l_extendedprice").cast("decimal(18,4)") * 10000).cast(
+                    "long"
+                ),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+            )
+        fp = src.select(_fp_nibbles(F.sha2(row, 256)).alias("fp"))
+        parts.append(
+            fp.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(fp)").cast("long").alias("xor_fp"),
+                (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+                .cast("long")
+                .alias("sum_fp_mod"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

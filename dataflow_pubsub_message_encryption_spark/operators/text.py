@@ -1777,3 +1777,258 @@ def text_tfidf_keywords_topk(spark, sf_dir):
             (F.col("tf") * F.col("w")).cast("long").alias("score"),
         )
     )
+
+
+# --- BM25 lexical retrieval (round 8) --------------------------------------
+
+_BM25_TERMS = ["spark", "query", "window"]  # fixture-probed: all present
+_BM25_K = 10
+
+# Shared BM25 per-document aggregate (Okapi BM25, Lucene's nonnegative
+# +1 idf form), as a DuckDB CTE chain ending in ``bm(doc_id, n_terms_hit,
+# s)`` with ``s`` the 1e6-quantized integer score. Kept as a fragment so
+# the hybrid-retrieval oracle can nest the SAME lexical pipeline.
+# Determinism: k1=1.2 and b=0.75 are rationals, so the classic form
+#   idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))      (avgdl = T/N)
+# clears to the all-integer ratio
+#   idf · 22·tf·T / (10·tf·T + 3·T + 9·dl·N)
+# with idf pre-quantized to int64 at 1e9 (the quantized-ln idiom); the
+# one double division runs over exact integers with an IDENTICAL
+# expression tree in both engines, then quantizes to 1e6 per (doc, term)
+# before the commutative integer per-doc sum.
+_BM25_AGG_SQL = """
+    q AS (SELECT * FROM (VALUES ('spark'), ('query'), ('window')) v(term)),
+    btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+    bdl AS (SELECT doc_id, count(*) AS dl FROM btok GROUP BY doc_id),
+    btot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS n
+             FROM bdl),
+    btf AS (SELECT b.doc_id, b.term, count(*) AS tf
+            FROM btok b JOIN q USING (term) GROUP BY 1, 2),
+    bdf AS (SELECT term, count(DISTINCT doc_id) AS df
+            FROM btok JOIN q USING (term) GROUP BY 1),
+    bidf AS (SELECT term,
+                    CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5)
+                                     / (df + 0.5)) * 1000000000) AS BIGINT)
+                      AS idf
+             FROM bdf, btot),
+    bsc AS (
+      SELECT tf.doc_id,
+             CAST(round(CAST(idf.idf AS DOUBLE) * tf.tf * 22.0 * btot.t
+                        / (CAST(10 * tf.tf * btot.t + 3 * btot.t
+                                + 9 * bdl.dl * btot.n AS DOUBLE) * 1000.0))
+                  AS BIGINT) AS si
+      FROM btf tf
+      JOIN bidf idf USING (term)
+      JOIN bdl USING (doc_id), btot
+    ),
+    bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                  CAST(SUM(si) AS BIGINT) AS s
+           FROM bsc GROUP BY doc_id)
+"""
+
+
+def _bm25_doc_scores(spark, sf_dir):
+    """Spark twin of ``_BM25_AGG_SQL``: (doc_id, n_terms_hit, s) with s the
+    1e6-quantized integer BM25 score for the fixed ``_BM25_TERMS`` query.
+    Scale shape: tokenize partial-aggregates to doc grain (shuffle ∝
+    matched doc-terms after the broadcast term-filter join); df/idf and
+    corpus totals are ≤|query|-row and 1-row broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    qt = (
+        docs.limit(1)
+        .select(F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"))
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(
+        F.sum("dl").cast("long").alias("t"), F.count("*").cast("long").alias("n")
+    )
+    hit = tok.join(F.broadcast(qt), "term")
+    tf = hit.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = hit.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (
+        df.crossJoin(F.broadcast(tot))  # |query terms| x 1 row
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("idf"),
+        )
+    )
+    si = (
+        F.round(
+            F.col("idf").cast("double") * F.col("tf") * 22.0 * F.col("t")
+            / (
+                (
+                    10 * F.col("tf") * F.col("t")
+                    + 3 * F.col("t")
+                    + 9 * F.col("dl") * F.col("n")
+                ).cast("double")
+                * 1000.0
+            )
+        )
+        .cast("long")
+        .alias("si")
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", si)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("si").cast("long").alias("s"),
+    )
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH {_BM25_AGG_SQL}
+    SELECT doc_id, n_terms_hit,
+           round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+          FROM bm)
+    WHERE rk <= {_BM25_K}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 ranked retrieval — the lexical relevance baseline every
+    search / RAG stack starts from (and the half the hybrid-retrieval op
+    fuses with vectors): score all documents for a fixed 3-term query,
+    return the top 10 with ranks. Uses Lucene's nonnegative ``ln(1 +
+    (N − df + ½)/(df + ½))`` idf (the classic Robertson form goes
+    NEGATIVE for df > N/2, which this tiny synthetic vocab would hit on
+    every term). All determinism lives in the integer clearing of the
+    k1/b rationals (see ``_BM25_AGG_SQL``); ties break on exact integer
+    scores then doc_id. Top-10 via TakeOrderedAndProject + K-row rerank
+    (`_topk_ranked`) — no global ranking window. At 100 TB the tf/df
+    tables are the standard inverted-index aggregates (shuffle ∝ postings
+    of the query terms after a broadcast term filter, never the corpus)."""
+    from .scale import _topk_ranked
+
+    bm = _bm25_doc_scores(spark, sf_dir)
+    return _topk_ranked(bm, _BM25_K, F.desc("s"), F.col("doc_id")).select(
+        "doc_id",
+        "n_terms_hit",
+        F.round(F.col("s").cast("double") / 1_000_000.0, 6).alias("bm25"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+
+
+@query(
+    "text_kneser_ney_logprob",
+    """
+    WITH kpairs AS (
+      SELECT doc_id, p, q FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> {'p': t[i], 'q': t[i + 1]})) AS pq
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 2
+      ), LATERAL (SELECT pq['p'] AS p, pq['q'] AS q)
+    ),
+    ktf AS (SELECT doc_id, p, q, count(*) AS c FROM kpairs GROUP BY 1, 2, 3),
+    kbc AS (SELECT p, q, count(*) AS bcnt FROM kpairs GROUP BY 1, 2),
+    kctx AS (SELECT p, sum(bcnt) AS c1, count(*) AS n1p FROM kbc GROUP BY 1),
+    kcont AS (SELECT q, count(*) AS nc FROM kbc GROUP BY 1),
+    knb AS (SELECT count(*) AS nb FROM kbc),
+    kscored AS (
+      SELECT ktf.doc_id,
+             SUM(ktf.c) AS n_bigrams,
+             SUM(ktf.c * CAST(round(ln(
+                   CAST((4 * kbc.bcnt - 3) * knb.nb
+                        + 3 * kctx.n1p * kcont.nc AS DOUBLE)
+                   / CAST(4 * kctx.c1 * knb.nb AS DOUBLE))
+                 * 1000000000) AS BIGINT)) AS s
+      FROM ktf JOIN kbc USING (p, q) JOIN kctx USING (p)
+      JOIN kcont USING (q), knb
+      GROUP BY ktf.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-(CAST(s AS DOUBLE) / 1000000000) / n_bigrams, 6)
+             AS kn_neg_logprob
+    FROM kscored
+    """,
+)
+def text_kneser_ney_logprob(spark, sf_dir):
+    """Kneser-Ney-smoothed bigram scoring — the production LM smoothing
+    (Chen & Goodman's winner, what KenLM ships) completing the add-one /
+    Jelinek-Mercer family: absolute discount D=¾ on the bigram ML
+    estimate, with the stolen mass backed off to the CONTINUATION
+    unigram ("how many contexts does w complete") instead of raw
+    frequency — the fix for 'Francisco is frequent but only follows
+    San'. Interpolated form, scored on the training corpus itself (every
+    scored bigram has c ≥ 1, so the max(c−D, 0) branch never activates):
+
+        P(w2|w1) = (c − ¾)/c1 + (¾/c1)·N1+(w1·)·(N1+(·w2)/N1+(··))
+                 = ((4c−3)·nb + 3·n1p(w1)·nc(w2)) / (4·c1·nb)
+
+    — D=¾ clears to an ALL-INTEGER rational, so each bigram's ln runs on
+    exact int64 numerator/denominator (quantized at 1e9, the house
+    idiom), the per-doc sum is commutative integers, and the score is
+    cross-engine exact. Scale shape: identical to the other LM scorers —
+    bigram counts partial-aggregate (shuffle ∝ bigram types), the
+    context/continuation tables are |vocab|-row broadcasts, nb is a
+    1-row broadcast; the corpus streams past once."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS p, t[i + 1] AS q))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.p", "b.q")
+    tf = bg.groupBy("doc_id", "p", "q").agg(F.count("*").alias("c"))
+    bc = bg.groupBy("p", "q").agg(F.count("*").alias("bcnt"))
+    ctx = bc.groupBy("p").agg(
+        F.sum("bcnt").alias("c1"), F.count("*").alias("n1p")
+    )
+    cont = bc.groupBy("q").agg(F.count("*").alias("nc"))
+    nb = bc.agg(F.count("*").alias("nb"))
+    lp = (
+        F.round(
+            F.log(
+                ((4 * F.col("bcnt") - 3) * F.col("nb")
+                 + 3 * F.col("n1p") * F.col("nc")).cast("double")
+                / (4 * F.col("c1") * F.col("nb")).cast("double")
+            )
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("lp")
+    )
+    scored = (
+        tf.join(bc, ["p", "q"])  # bigram-TYPE grain: shuffle join, never
+        # broadcast — types grow ~vocab² at corpus scale
+        .join(F.broadcast(ctx), "p")
+        .join(F.broadcast(cont), "q")
+        .crossJoin(F.broadcast(nb))
+        .select("doc_id", "c", lp)
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.sum(F.col("c") * F.col("lp")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_bigrams"), 6
+        ).alias("kn_neg_logprob"),
+    )
