@@ -45,6 +45,7 @@ _WINDOW = [
     "dq_table_fingerprint",
     "emb_hard_negative_mining",
     "multimodal_phash_hamming",
+    "dedup_span_suffix_array",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,7 +95,6 @@ _WINDOW = [
     "win_running_sum",
     "win_lag_delta",
     "sort_limit_topk",
-    "set_union_all",
 ]
 
 

@@ -1404,8 +1404,9 @@ def dedup_span_exact(spark, sf_dir):
     is |spans| hashes ≈ |tokens|/W); the census is one partial-aggregating
     groupBy; the rollup joins ids+hashes back on the span key. The
     production extreme of this family is a suffix-array pass (exact
-    substrings of ANY length); fixed-window spans are the standard
-    shuffle-friendly approximation with one-pass cost. Trailing <W-token
+    substrings of ANY length) — implemented as `dedup_span_suffix_array`
+    since round 8; fixed-window spans are the standard shuffle-friendly
+    approximation with one-pass cost. Trailing <W-token
     remainders are dropped deterministically on both engines (floor-div
     span count)."""
     toks = F.split(F.col("text"), " ")
@@ -1487,8 +1488,8 @@ def _ladder_rung_sql(l: int) -> str:
 )
 def dedup_span_suffix_ladder(spark, sf_dir):
     """Alignment-free shared-span detection — the bounded-round
-    approximation of `dedup_span_exact`'s documented production extreme
-    (a distributed suffix array): rung ℓ of a doubling ladder
+    approximation of the distributed suffix array (now implemented
+    exactly as `dedup_span_suffix_array`): rung ℓ of a doubling ladder
     (8/16/32/64 chars) answers "does this document share an ℓ-char
     substring, at ANY alignment, with another document", by enumerating
     every position's ℓ-gram, hashing it (sha-prefix, the house idiom —
@@ -1752,3 +1753,141 @@ def dedup_cross_source_matrix(spark, sf_dir):
 ORACLES["dedup_cross_source_matrix"] = ORACLES[
     "dedup_cross_source_matrix"
 ].format(minhash_pairs=ORACLES["dedup_minhash_lsh_pairs"])
+
+
+# --- suffix-array span dedup (round 8) --------------------------------------
+
+_SFX_CAP = 64  # max reported span length — the production match-cap knob
+
+
+def _lcp_sql(a: str, b: str, engine: str) -> str:
+    """Exact length of the common prefix of two strings (each ≤ _SFX_CAP
+    chars): first mismatching position − 1, else min length. substr
+    beyond a string's end yields '' in BOTH engines, so a length
+    difference registers as a mismatch at position len+1 and the
+    COALESCE arm only fires when the shorter string is a full prefix."""
+    if engine == "duck":
+        return (
+            f"COALESCE(list_min(list_filter(list_transform("
+            f"range(1, {_SFX_CAP} + 1), i -> CASE WHEN substr({a}, i, 1)"
+            f" != substr({b}, i, 1) THEN i END), x -> x IS NOT NULL)) - 1,"
+            f" least(len({a}), len({b})))"
+        )
+    return (
+        f"COALESCE(array_min(filter(transform("
+        f"sequence(1, {_SFX_CAP}), i -> CASE WHEN substr({a}, i, 1)"
+        f" != substr({b}, i, 1) THEN i END), x -> x IS NOT NULL)) - 1,"
+        f" least(length({a}), length({b})))"
+    )
+
+
+@query(
+    "dedup_span_suffix_array",
+    f"""
+    WITH sfx AS MATERIALIZED (
+      SELECT doc_id, i AS pos, substr(text, i, {_SFX_CAP}) AS suf
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) s
+    ),
+    sa AS MATERIALIZED (
+      SELECT doc_id, pos, suf,
+             row_number() OVER (ORDER BY suf, doc_id, pos) AS rn
+      FROM sfx
+    ),
+    adj AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_lcp_sql('a.suf', 'b.suf', 'duck')} AS lcp
+      FROM sa a JOIN sa b ON b.rn = a.rn + 1
+      WHERE a.doc_id != b.doc_id
+    ),
+    contrib AS (
+      SELECT doc_a AS doc_id, lcp FROM adj
+      UNION ALL
+      SELECT doc_b, lcp FROM adj
+    ),
+    best AS (
+      SELECT doc_id, max(lcp) AS max_shared_span,
+             count(*) AS n_cross_adjacencies
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(b.max_shared_span, 0) AS INTEGER)
+             AS max_shared_span,
+           CAST(COALESCE(b.n_cross_adjacencies, 0) AS BIGINT)
+             AS n_cross_adjacencies
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN best b USING (doc_id)
+    """,
+)
+def dedup_span_suffix_array(spark, sf_dir):
+    """Suffix-ARRAY span dedup — the production extreme that
+    `dedup_span_exact` documents and `dedup_span_suffix_ladder`
+    approximates, now exact: per document, the length of the LONGEST
+    substring (capped at 64 chars — the standard match-cap bucket) that
+    also occurs in ANY other document, at ARBITRARY length (not the
+    ladder's power-of-two rungs).
+
+    Construction: every suffix (capped to 64 chars) of every document is
+    globally ranked — a true (capped) suffix array, built with the
+    distributed `_global_rank` machinery (range repartition on the
+    suffix string, parallel per-partition ranking, bounded offset
+    fix-up; NO single-partition sort). Correctness rests on the
+    SA-adjacency theorem: for any suffix s of doc d whose longest
+    cross-doc match is ℓ, every suffix between s and its match in SA
+    order shares that ℓ-prefix, and the first adjacent pair where the
+    doc changes away from d is cross-doc with LCP ≥ ℓ — so scanning
+    ONLY adjacent cross-doc pairs (|corpus| rows, not |corpus|²) and
+    crediting both sides yields each doc's exact maximum. The LCP of an
+    adjacent pair is an exact character-compare fold over ≤64 positions
+    (`_lcp_sql`, same expression both engines).
+
+    Scale shape: suffix explode is a narrow map (rows ∝ corpus chars —
+    at 100 TB you shard by the doc-hash the loader already carries and
+    cap suffix length, exactly as here); the only wide ops are the rank's
+    range shuffle and one rk↔rk+1 self-join (both on the ranked table);
+    per-doc max is a partial aggregate. Prefix-doubling extends the cap
+    in log rounds with the same rank machinery if ever needed; the
+    64-char cap is the documented production knob."""
+    from .scale import _global_rank
+
+    docs = load(spark, sf_dir, "documents")
+    sfx = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.expr("sequence(1, length(text))")).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"substr(text, pos, {_SFX_CAP})").alias("suf"),
+    )
+    ranked, _ = _global_rank(sfx, "suf", "doc_id", "pos")
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("suf").alias("sa"), "rk"
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("suf").alias("sb"),
+        (F.col("rk") - 1).alias("rk"),
+    )
+    adj = (
+        a.join(b, "rk")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr(_lcp_sql("sa", "sb", "spark")).alias("lcp")
+        )
+    )
+    contrib = adj.select(F.col("doc_a").alias("doc_id"), "lcp").unionByName(
+        adj.select(F.col("doc_b").alias("doc_id"), "lcp")
+    )
+    best = contrib.groupBy("doc_id").agg(
+        F.max("lcp").alias("mx"), F.count("*").alias("nx")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("mx", F.lit(0)).cast("int").alias("max_shared_span"),
+            F.coalesce("nx", F.lit(0)).cast("long").alias("n_cross_adjacencies"),
+        )
+    )
