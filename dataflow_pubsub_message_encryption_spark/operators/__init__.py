@@ -46,6 +46,11 @@ _WINDOW = [
     "emb_hard_negative_mining",
     "multimodal_phash_hamming",
     "dedup_span_suffix_array",
+    "emb_ivf_cell_balance",
+    "dedup_semantic_lexical_agreement",
+    "events_anomaly_mad",
+    "dq_column_profile",
+    "dq_partition_fingerprint_drill",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -90,11 +95,6 @@ _WINDOW = [
     "agg_hash_groupby",
     "agg_distinct",
     "agg_rollup",
-    "agg_grouping_sets",
-    "win_rank_topk",
-    "win_running_sum",
-    "win_lag_delta",
-    "sort_limit_topk",
 ]
 
 

@@ -2119,3 +2119,92 @@ def nation_gmv_trend_slope(spark, sf_dir):
             ).alias("slope_per_month"),
         )
     )
+
+
+@query(
+    "events_anomaly_mad",
+    """
+    WITH mcells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mmed AS (
+      SELECT event_type, cnt AS med FROM (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY cnt) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM mcells
+      ) WHERE rn = (n + 1) // 2
+    ),
+    mdev AS (
+      SELECT c.event_type, c.day, c.cnt, m.med, abs(c.cnt - m.med) AS ad
+      FROM mcells c JOIN mmed m USING (event_type)
+    ),
+    mmad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM mdev
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, d.day, d.cnt, d.med, m.mad,
+           CASE WHEN m.mad = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(d.ad AS DOUBLE) / (1.4826 * m.mad), 6)
+           END AS robust_z
+    FROM mdev d JOIN mmad m USING (event_type)
+    WHERE d.ad * 10000 > 29652 * m.mad
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust anomaly detection on daily per-type volumes —
+    the outlier screen that survives the outliers themselves (a traffic
+    spike inflates a mean/stddev z-score's OWN baseline; median and MAD
+    barely move — Hampel's insight, the standard robust alternative to
+    `window_rolling_zscore`). Per event type: exact median of daily
+    counts, exact median absolute deviation, flag days beyond 2 robust
+    sigmas. Exactness: counts and deviations are integers, both medians
+    are the deterministic lower-median (rank (n+1)//2 over a tie-broken
+    order), and the flag compares ad·10⁴ > 29652·MAD in integers (2 ×
+    1.4826 scaled — no float threshold); the reported robust z is one
+    guarded double division. Scale shape: the fact table reduces to
+    |types|×|days| cells in one partial-aggregating pass; both median
+    ranks are windows PARTITIONED by type over that tiny summary —
+    the two-pass exact-median pattern at cell grain."""
+    ev = load_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    wmed = Window.partitionBy("event_type").orderBy("cnt")
+    wcnt = Window.partitionBy("event_type")
+    med = (
+        cells.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("n", F.count("*").over(wcnt))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("cnt").alias("med"))
+    )
+    dev = cells.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("cnt") - F.col("med"))
+    )
+    wmad = Window.partitionBy("event_type").orderBy("ad")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wmad))
+        .withColumn("n", F.count("*").over(wcnt))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("ad") * 10000 > 29652 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "med",
+            "mad",
+            F.when(F.col("mad") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("ad").cast("double") / (1.4826 * F.col("mad")), 6))
+            .alias("robust_z"),
+        )
+    )

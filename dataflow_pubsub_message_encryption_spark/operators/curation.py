@@ -1378,3 +1378,157 @@ def dq_table_fingerprint(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_PROFILE_COLS = [
+    # (name, kind) — kind drives the exact canonical min/max lane:
+    # ints straight through, doubles via DECIMAL(18,4)·10⁴, dates as epoch
+    # days, strings lexicographic (binary collation in both engines)
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "date"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_branch_sql(name: str, kind: str) -> str:
+    if kind == "int":
+        val, mn, mx = name, f"min({name})", f"max({name})"
+    elif kind == "money":
+        val = f"CAST(CAST({name} AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+        mn, mx = f"min({val})", f"max({val})"
+    elif kind == "date":
+        val = f"date_diff('day', DATE '1970-01-01', CAST({name} AS DATE))"
+        mn, mx = f"min({val})", f"max({val})"
+    else:
+        val, mn, mx = name, "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+    smin = f"min({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    smax = f"max({name})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    return f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           CAST({mn} AS BIGINT) AS min_int, CAST({mx} AS BIGINT) AS max_int,
+           {smin} AS min_str, {smax} AS max_str
+    FROM orders"""
+
+
+@query(
+    "dq_column_profile",
+    " UNION ALL ".join(
+        _profile_branch_sql(n, k) for n, k in _PROFILE_COLS
+    ),
+)
+def dq_column_profile(spark, sf_dir):
+    """Column-level data profile of the orders table — the first report
+    any ingest/contract check runs: per column, row count, null count,
+    EXACT distinct cardinality, and typed min/max (integer lane for
+    keys/money/dates — doubles canonicalized through DECIMAL·10⁴, dates
+    as epoch days, so the numbers are cross-engine exact; string lane
+    lexicographic). The profile is what feeds null-rate SLAs, key
+    uniqueness checks (n_distinct = n_rows on o_orderkey), and stats
+    drift alarms between loads. Scale shape: one pass per column of
+    partial-aggregating COUNT/MIN/MAX plus an exact distinct (shuffle ∝
+    distinct values — swap in the HLL op's sketch when approximate is
+    acceptable); at 100 TB this is the job you run once per load, not
+    per query."""
+    src = load(spark, sf_dir, "orders")
+    parts = []
+    for name, kind in _PROFILE_COLS:
+        if kind == "int":
+            val = F.col(name)
+        elif kind == "money":
+            val = (F.col(name).cast("decimal(18,4)") * 10000).cast("long")
+        elif kind == "date":
+            val = F.datediff(
+                F.to_date(name), F.lit("1970-01-01").cast("date")
+            )
+        else:
+            val = None
+        mn = F.min(val).cast("long") if val is not None else F.lit(None).cast("long")
+        mx = F.max(val).cast("long") if val is not None else F.lit(None).cast("long")
+        smin = (
+            F.min(name) if kind == "str" else F.lit(None).cast("string")
+        )
+        smax = (
+            F.max(name) if kind == "str" else F.lit(None).cast("string")
+        )
+        parts.append(
+            src.agg(
+                F.lit(name).alias("column_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                (F.count("*") - F.count(name)).cast("long").alias("n_nulls"),
+                F.countDistinct(name).cast("long").alias("n_distinct"),
+                mn.alias("min_int"),
+                mx.alias("max_int"),
+                smin.alias("min_str"),
+                smax.alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "dq_partition_fingerprint_drill",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(fp) AS BIGINT) AS xor_fp,
+           CAST(CAST(SUM(CAST(fp AS DECIMAL(38,0))) % {_FP_MOD} AS BIGINT)
+                AS BIGINT) AS sum_fp_mod
+    FROM (
+      SELECT ts, {_fp_nibbles_sql(
+          "sha256(concat(event_id, '|', user_id, '|', event_type, '|', "
+          "CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT), '|', "
+          "date_diff('microsecond', TIMESTAMP '1970-01-01', ts), '|', props))"
+      )} AS fp
+      FROM events
+    ) GROUP BY 1
+    """,
+)
+def dq_partition_fingerprint_drill(spark, sf_dir):
+    """Partition-level fingerprint drill-down — when
+    `dq_table_fingerprint`'s whole-table lanes diverge after a copy, this
+    is the second query you run: the same three-lane fingerprint
+    (count, XOR fold, mod-2⁶⁰ additive fold) PER DAY PARTITION of the
+    events stream, so the diff localizes to the partitions that actually
+    changed instead of re-scanning the world. Canonical row includes the
+    timestamp at microsecond precision and the raw props string; doubles
+    go through DECIMAL·10⁴ as everywhere. Scale shape: one narrow scan,
+    hash-grouped by the partition key the data is already laid out on
+    (partition-pruned when you drill a suspect range); folds are
+    commutative so the day rows ARE the mergeable summaries — diffing
+    two stores is a |days|-row anti-join."""
+    ev = load_events(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long"),
+        micros,
+        F.col("props"),
+    )
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            _fp_nibbles(F.sha2(row, 256)).alias("fp"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(fp)").cast("long").alias("xor_fp"),
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD))
+            .cast("long")
+            .alias("sum_fp_mod"),
+        )
+    )

@@ -1891,3 +1891,96 @@ def dedup_span_suffix_array(spark, sf_dir):
             F.coalesce("nx", F.lit(0)).cast("long").alias("n_cross_adjacencies"),
         )
     )
+
+
+@query(
+    "dedup_semantic_lexical_agreement",
+    """
+    WITH sl_sem AS MATERIALIZED (
+      SELECT least(vec_a, vec_b) AS a, greatest(vec_a, vec_b) AS b
+      FROM ({semantic}) GROUP BY 1, 2
+    ),
+    sl_ids AS (SELECT vec_id FROM embeddings),
+    sl_lex AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM ({lexical}) p
+      WHERE EXISTS (SELECT 1 FROM sl_ids i WHERE i.vec_id = p.doc_a)
+        AND EXISTS (SELECT 1 FROM sl_ids i WHERE i.vec_id = p.doc_b)
+      GROUP BY 1, 2
+    ),
+    sl_join AS (
+      SELECT COALESCE(s.a, l.a) AS a,
+             (s.a IS NOT NULL) AS in_sem, (l.a IS NOT NULL) AS in_lex
+      FROM sl_sem s FULL OUTER JOIN sl_lex l ON s.a = l.a AND s.b = l.b
+    )
+    SELECT CAST(count(*) FILTER (in_sem) AS BIGINT) AS n_semantic,
+           CAST(count(*) FILTER (in_lex) AS BIGINT) AS n_lexical,
+           CAST(count(*) FILTER (in_sem AND in_lex) AS BIGINT) AS n_both,
+           round(CAST(count(*) FILTER (in_sem AND in_lex) AS DOUBLE)
+                 / count(*), 6) AS agreement_jaccard
+    FROM sl_join
+    """,
+)
+def dedup_semantic_lexical_agreement(spark, sf_dir):
+    """Semantic-vs-lexical dedup shadow agreement — the cutover question
+    for an embedding-based dedup pass: how much of what MinHash (token
+    overlap) flags does embedding-cosine LSH also flag, and what does
+    each see alone? Near-identical text with different vocab (translated
+    boilerplate, paraphrase spam) is semantic-only; shared templates with
+    divergent meaning are lexical-only. Composition op in the
+    `sim_ann_index_agreement` contract: BOTH upstream pipelines run in
+    full (the oracle embeds BOTH their oracles as MATERIALIZED CTEs, so
+    the composed lineage is value-checked), pairs are canonicalized
+    (least, greatest) and compared by a full outer join; the lexical side
+    is restricted to ids the embedding table covers so the universes
+    match at every sf. One row out: set sizes, intersection, Jaccard.
+    Scale shape: both pair generators are the bucketed/blocked paths;
+    the agreement join is pair-grain (ids only)."""
+    from .similarity import QUERIES as _SIM_Q
+
+    sem = (
+        _SIM_Q["dedup_embedding_lsh"](spark, sf_dir)
+        .select(
+            F.least("vec_a", "vec_b").alias("a"),
+            F.greatest("vec_a", "vec_b").alias("b"),
+        )
+        .distinct()
+    )
+    ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    lexp = QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir)
+    lex = (
+        lexp.join(
+            F.broadcast(ids), lexp.doc_a == ids.vec_id, "left_semi"
+        )
+        .join(F.broadcast(ids), F.col("doc_b") == ids.vec_id, "left_semi")
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    j = sem.withColumn("in_sem", F.lit(True)).join(
+        lex.withColumn("in_lex", F.lit(True)), ["a", "b"], "full"
+    )
+    return j.agg(
+        F.count(F.when(F.col("in_sem"), 1)).cast("long").alias("n_semantic"),
+        F.count(F.when(F.col("in_lex"), 1)).cast("long").alias("n_lexical"),
+        F.count(F.when(F.col("in_sem") & F.col("in_lex"), 1))
+        .cast("long")
+        .alias("n_both"),
+        F.round(
+            F.count(F.when(F.col("in_sem") & F.col("in_lex"), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("agreement_jaccard"),
+    )
+
+
+from .similarity import ORACLES as _SIM_ORACLES  # noqa: E402 — pair-op oracle reuse
+
+ORACLES["dedup_semantic_lexical_agreement"] = ORACLES[
+    "dedup_semantic_lexical_agreement"
+].format(
+    semantic=_SIM_ORACLES["dedup_embedding_lsh"],
+    lexical=ORACLES["dedup_minhash_lsh_pairs"],
+)

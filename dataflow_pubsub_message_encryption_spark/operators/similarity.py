@@ -3378,3 +3378,117 @@ ORACLES["emb_hard_negative_mining"] = ORACLES["emb_hard_negative_mining"].format
     b1=_lsh_slice_sql("embedding", *_GRB_TABLES[0]),
     b2=_lsh_slice_sql("embedding", *_GRB_TABLES[1]),
 )
+
+
+@query(
+    "emb_ivf_cell_balance",
+    f"""
+    WITH qv AS (
+      SELECT vec_id, label,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    seeds AS (SELECT label AS cell, min(vec_id) AS sid
+              FROM embeddings GROUP BY label),
+    c0 AS (SELECT s.cell, qv.qe AS cq
+           FROM seeds s JOIN qv ON qv.vec_id = s.sid),
+    {_km_iter_sql("c0", "a1", "c1")},
+    {_km_iter_sql("c1", "a2", "c2")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT cell) AS BIGINT) AS k
+            FROM afin),
+    dom AS (
+      SELECT cell, label AS dom_label, c AS dom_c FROM (
+        SELECT a.cell, qv.label, count(*) AS c,
+               row_number() OVER (PARTITION BY a.cell
+                 ORDER BY count(*) DESC, qv.label) AS rn
+        FROM afin a JOIN qv USING (vec_id)
+        GROUP BY a.cell, qv.label
+      ) WHERE rn = 1
+    )
+    SELECT s.cell, s.n_vectors,
+           round(CAST(s.n_vectors AS DOUBLE) * tot.k / tot.n, 6)
+             AS balance_factor,
+           CAST(dom.dom_label AS INTEGER) AS dominant_label,
+           round(CAST(dom.dom_c AS DOUBLE) / s.n_vectors, 6) AS label_purity
+    FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM afin GROUP BY cell) s
+    JOIN dom USING (cell), tot
+    """,
+)
+def emb_ivf_cell_balance(spark, sf_dir):
+    """IVF index-health census — the go/no-go a serving index gets before
+    cutover: per learned cell (the same 2-round fixed-point Lloyd
+    training `sim_ann_kmeans_ivf_topk` runs, trajectory value-checked by
+    the unrolled oracle), its population, balance factor (n·K/total:
+    1.0 = perfectly balanced; a hot cell means nprobe scans blow their
+    latency budget — the IVF analog of `profile_key_skew`), and the
+    dominant data label with its purity (do learned cells recover the
+    metadata structure the label-defined IVF assumes). Scale shape:
+    training as documented on the kmeans op (K-row broadcast centroids,
+    partial-aggregating update shuffles); the census itself is two
+    hash-grouped aggregates over the |V|-row assignment plus a
+    per-cell argmax window PARTITIONED by cell."""
+    e = load(spark, sf_dir, "embeddings")
+    e_q = e.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    seeds = e.groupBy("label").agg(F.min("vec_id").alias("sid"))
+    cents = (
+        seeds.alias("s")
+        .join(e_q.alias("v"), F.col("s.sid") == F.col("v.vec_id"))
+        .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
+    )
+    for _ in range(_KM_ITERS):
+        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
+            eager=True
+        )
+    afin = _km_assign(e_q, cents).localCheckpoint()  # shared by 3 consumers
+    tot = afin.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("cell").cast("long").alias("k"),
+    )
+    sizes = afin.groupBy("cell").agg(F.count("*").cast("long").alias("n_vectors"))
+    wdom = Window.partitionBy("cell").orderBy(F.desc("c"), "label")
+    dom = (
+        afin.join(e_q.select("vec_id", "label"), "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wdom))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("dom_label"), F.col("c").alias("dom_c"))
+    )
+    return (
+        sizes.join(dom, "cell")
+        .crossJoin(F.broadcast(tot))  # |cells| x 1 row
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(
+                F.col("n_vectors").cast("double") * F.col("k") / F.col("n"), 6
+            ).alias("balance_factor"),
+            F.col("dom_label").cast("int").alias("dominant_label"),
+            F.round(
+                F.col("dom_c").cast("double") / F.col("n_vectors"), 6
+            ).alias("label_purity"),
+        )
+    )
