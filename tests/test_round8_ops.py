@@ -1,0 +1,279 @@
+"""Law tests for the round-8 operators — fixture-level invariants the
+EXACT oracle gate cannot express (cross-operator consistency, structural
+guarantees, documented-weakness demonstrations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_suffix_array_brackets_the_ladder(spark, sf_dir):
+    """`dedup_span_suffix_array` is exact at arbitrary lengths; the
+    ladder reports the largest power-of-two rung. Consistency law, per
+    doc: rung <= exact_span, and while the exact span is under the cap,
+    exact_span < 2*rung (else the next rung would have fired). The zero
+    cases must agree exactly: no rung <=> exact span < 8."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import QUERIES as DQ
+
+    sa = {
+        r.doc_id: r.max_shared_span
+        for r in DQ["dedup_span_suffix_array"](spark, sf_dir).collect()
+    }
+    lad = {
+        r.doc_id: r.max_shared_span
+        for r in DQ["dedup_span_suffix_ladder"](spark, sf_dir).collect()
+    }
+    assert set(sa) == set(lad)
+    for d, exact in sa.items():
+        rung = lad[d]
+        if rung == 0:
+            assert exact < 8, f"doc {d}: ladder missed an {exact}-char span"
+        else:
+            assert rung <= exact, f"doc {d}: rung {rung} > exact {exact}"
+            if exact < 64:
+                assert exact < 2 * rung, (
+                    f"doc {d}: exact {exact} implies rung >= {rung * 2}"
+                )
+
+
+def test_fingerprint_lanes_cover_each_other(spark):
+    """The XOR lane cancels on pairwise-duplicated rows (documented
+    weakness); the additive lane does not — together with the count they
+    cover each other. Built directly on the _fp_nibbles helper."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        _FP_MOD,
+        _fp_nibbles,
+    )
+
+    rows = [(i, f"payload-{i}") for i in range(100)]
+    base = spark.createDataFrame(rows, ["k", "v"])
+    doubled = spark.createDataFrame(rows + rows, ["k", "v"])
+    mutated = spark.createDataFrame(
+        [(k, v if k != 50 else "payload-XX") for k, v in rows], ["k", "v"]
+    )
+
+    def lanes(df):
+        fp = df.select(
+            _fp_nibbles(F.sha2(F.concat_ws("|", "k", "v"), 256)).alias("fp")
+        )
+        r = fp.agg(
+            F.expr("bit_xor(fp)").alias("x"),
+            (F.sum(F.col("fp").cast("decimal(38,0)")) % F.lit(_FP_MOD)).alias("s"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return r.x, int(r.s), r.n
+
+    bx, bs, bn = lanes(base)
+    dx, ds, dn = lanes(doubled)
+    mx, ms, mn_ = lanes(mutated)
+    assert dx == 0 or dx != bx  # XOR of each row twice cancels to 0
+    assert dx == 0, "pairwise duplication must cancel the XOR lane"
+    assert (ds, dn) != (bs, bn), "additive lane + count must catch doubling"
+    assert mx != bx and ms != bs, "a single-row mutation must move both lanes"
+    # determinism: same input, same lanes
+    assert lanes(base) == (bx, bs, bn)
+
+
+def test_bm25_ranks_and_hits(spark, sf_dir):
+    """BM25 top-10 structural laws: ranks are 1..10, integer scores
+    non-increasing with rank, every hit matched >= 1 query term, and the
+    underlying per-doc aggregate only contains docs with hits."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        _BM25_TERMS,
+        _bm25_doc_scores,
+        QUERIES as TQ,
+    )
+
+    top = TQ["text_bm25_topk"](spark, sf_dir).collect()
+    assert [r.rk for r in sorted(top, key=lambda r: r.rk)] == list(range(1, 11))
+    by_rank = sorted(top, key=lambda r: r.rk)
+    assert all(
+        a.bm25 >= b.bm25 for a, b in zip(by_rank, by_rank[1:])
+    ), "score must be non-increasing in rank"
+    assert all(1 <= r.n_terms_hit <= len(_BM25_TERMS) for r in top)
+    agg = _bm25_doc_scores(spark, sf_dir)
+    assert agg.filter(F.col("n_terms_hit") < 1).count() == 0
+
+
+def test_rrf_score_recomputes_from_ranks(spark, sf_dir):
+    """The fused RRF integer score must equal the closed form
+    round(1e12/(60+r)) summed over the present modalities (rank 0 =
+    absent = contributes nothing)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    def term(r):
+        return round(1_000_000_000_000.0 / (60 + r)) if r > 0 else 0
+
+    for row in SQ["sim_hybrid_rrf_retrieval"](spark, sf_dir).collect():
+        assert row.rrf_e12 == term(row.lex_rank) + term(row.vec_rank), row
+
+
+def test_hard_negatives_are_wrong_label_and_ordered(spark, sf_dir):
+    """Every mined negative carries a different label than its anchor;
+    per anchor, ranks are 1..k and distance is non-decreasing in rank
+    with id tie-break."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    rows = SQ["emb_hard_negative_mining"](spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        assert r.anchor_label != r.neg_label, r
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a, rs in by_anchor.items():
+        rs.sort(key=lambda r: r.hn_rank)
+        assert [r.hn_rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(r.idist, r.neg_id) for r in rs]
+        assert keys == sorted(keys), f"anchor {a}: order violates (idist, id)"
+
+
+def test_phash_finds_exact_content_dupes(spark, sf_dir):
+    """Identical payloads have identical hashes, so every exact-content
+    duplicate pair MUST appear with hamming 0 (band equality is trivial);
+    and every reported pair respects the threshold + canonical order."""
+    from dataflow_pubsub_message_encryption_spark.operators.multimodal import (
+        _PH_TAU,
+        QUERIES as MQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in MQ["multimodal_phash_hamming"](spark, sf_dir).collect()
+    }
+    assert all(a < b for a, b in got)
+    assert all(0 <= h <= _PH_TAU for h in got.values())
+    docs = load(spark, sf_dir, "documents")
+    dup = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    for grp in dup:
+        ids = sorted(grp.ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert got.get((ids[i], ids[j])) == 0, (
+                    f"exact dup {ids[i]},{ids[j]} missed or nonzero"
+                )
+    # exact-content dups only exist at some SFs (none at sf0.001); the
+    # detector itself must still fire on the near-dup population
+    assert got, "no pairs within the Hamming radius — threshold drifted"
+
+
+def test_mad_flags_satisfy_integer_threshold(spark, sf_dir):
+    """Every flagged (type, day) satisfies the exact integer criterion
+    and reports a robust z >= 2 (when MAD > 0)."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+
+    rows = BQ["events_anomaly_mad"](spark, sf_dir).collect()
+    assert rows, "fixture produced no MAD anomalies — threshold drifted"
+    for r in rows:
+        ad = abs(r.cnt - r.med)
+        assert ad * 10000 > 29652 * r.mad, r
+        if r.mad > 0:
+            assert r.robust_z >= 2.0, r
+
+
+def test_column_profile_key_uniqueness_law(spark, sf_dir):
+    """The profile must prove o_orderkey is a key (distinct == rows,
+    zero nulls) — the contract check the op exists to feed."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CQ,
+    )
+
+    prof = {r.column_name: r for r in CQ["dq_column_profile"](spark, sf_dir).collect()}
+    ok = prof["o_orderkey"]
+    assert ok.n_nulls == 0 and ok.n_distinct == ok.n_rows
+    # money/date lanes populated, string lanes null — and vice versa
+    assert prof["o_totalprice"].min_int is not None
+    assert prof["o_orderstatus"].min_str is not None
+    assert prof["o_orderstatus"].min_int is None
+
+
+def test_partition_fingerprints_roll_up_to_table_grain(spark, sf_dir):
+    """The per-day fingerprint rows are mergeable summaries: their counts
+    sum to the events row count, and folding the day XOR lanes together
+    equals the whole-table XOR computed directly."""
+    from functools import reduce
+
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    days = CQ["dq_partition_fingerprint_drill"](spark, sf_dir).collect()
+    total = load_events(spark, sf_dir).count()
+    assert sum(r.n_rows for r in days) == total
+    folded = reduce(lambda a, b: a ^ b, (r.xor_fp for r in days), 0)
+    # recompute the whole-table XOR from the same canonicalization by
+    # removing the groupBy — one aggregate over the same fp column
+    import dataflow_pubsub_message_encryption_spark.operators.curation as cu
+
+    ev = load_events(spark, sf_dir)
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long"),
+        micros,
+        F.col("props"),
+    )
+    whole = (
+        ev.select(cu._fp_nibbles(F.sha2(row, 256)).alias("fp"))
+        .agg(F.expr("bit_xor(fp)"))
+        .collect()[0][0]
+    )
+    assert folded == whole
+
+
+def test_ivf_cell_balance_partitions_the_corpus(spark, sf_dir):
+    """Cell populations partition the vector set (sum = |V|), balance
+    factors average to ~1 by construction, and purity is a valid
+    fraction."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    rows = SQ["emb_ivf_cell_balance"](spark, sf_dir).collect()
+    nv = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == nv
+    k = len(rows)
+    mean_bal = sum(r.balance_factor for r in rows) / k
+    assert abs(mean_bal - 1.0) < 0.2, f"balance factors off: mean {mean_bal}"
+    assert all(0 < r.label_purity <= 1.0 for r in rows)
+
+
+def test_kneser_ney_beats_addone_on_training_set(spark, sf_dir):
+    """Sanity law from LM theory: on the training corpus itself, the
+    KN-smoothed per-doc mean negative logprob should on average be lower
+    (better) than the add-one bigram scorer's — add-one steals far more
+    mass from seen events."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        QUERIES as TQ,
+    )
+
+    kn = {
+        r.doc_id: r.kn_neg_logprob
+        for r in TQ["text_kneser_ney_logprob"](spark, sf_dir).collect()
+    }
+    addone = {
+        r.doc_id: r.avg_neg_logprob
+        for r in TQ["text_bigram_logprob"](spark, sf_dir).collect()
+    }
+    common = set(kn) & set(addone)
+    assert common
+    mean_kn = sum(kn[d] for d in common) / len(common)
+    mean_a1 = sum(addone[d] for d in common) / len(common)
+    assert mean_kn < mean_a1, (mean_kn, mean_a1)
