@@ -76,6 +76,12 @@ HEADLINE = [
     # fold-0 scoring). Legacy subtotals stay comparable — additions only.
     ("q21_ivf_pq_topk", "sim_ivf_pq_topk"),
     ("q22_heldout_perplexity", "text_heldout_perplexity"),
+    # the capped suffix ARRAY (1.5M ranked suffixes at sf0.1): heaviest
+    # new op, bench-visible because the rank shuffle + adjacency join is
+    # exactly the shape that must survive a 100x scale-up. Warm profile
+    # after the binary-descent LCP rewrite: ~9 s/pass (was ~15 s with the
+    # 64-element interpreted fold).
+    ("q23_suffix_array_span", "dedup_span_suffix_array"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,
@@ -127,6 +133,14 @@ def settle_loadavg(max_wait_s: float = 240.0, poll_s: float = 10.0) -> dict:
 
 def run_query(queries, spark, key: str, sf_dir: str) -> None:
     queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # pinned (localCheckpoint) lineage blocks are never auto-released and
+    # would accumulate across the 5 passes x N queries of a bench run,
+    # turning late passes into a measurement of block-manager pressure
+    # instead of the query; the query is fully materialized here, so its
+    # pins are safe to drop
+    from dataflow_pubsub_message_encryption_spark.materialize import release_pins
+
+    release_pins(spark)
 
 
 def warm(queries, spark, sf_dir: str, passes: int = 2) -> None:

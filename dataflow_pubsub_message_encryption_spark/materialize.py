@@ -55,3 +55,19 @@ def pin(df, reliable: bool | None = None):
     out = df.persist(StorageLevel.DISK_ONLY_2)
     out.count()  # force materialization so later passes reuse the blocks
     return out
+
+
+def release_pins(spark) -> int:
+    """Unpersist EVERY persistent RDD — the localCheckpoint blocks pins
+    leave behind (they are never auto-released; a long session running
+    many pinned operators accumulates one cached RDD per pin site per
+    call). Call ONLY at a point where no live DataFrame still depends on
+    a pinned lineage: a released localCheckpoint is unrecoverable by
+    design (truncated lineage — Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT
+    _FOUND, it does not recompute). bench.py calls this between fully
+    materialized queries; returns the number of RDDs released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for r in rdds:
+        r.unpersist(False)
+    return len(rdds)
