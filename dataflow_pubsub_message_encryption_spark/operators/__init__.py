@@ -27,16 +27,17 @@ _MODULES = [
 
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
-# therefore part of the driver contract, not cosmetics. Rounds 1-6 graded 248
-# unique queries (all green, no query has ever failed the gate); the round-7
-# window below leads with the 14 round-6 late additions that have never seen
-# the driver's sf0.01 hash gate, then re-gate slots for queries whose
-# implementation or oracle changed since their green row (the 3 _PAIR_CAP
-# dedup ops; the 4 legacy ntile ops being re-pointed at the distributed rank
-# machinery this round), then this round's new operators (added as they land,
-# each displacing a graded-green filler from the tail). Every remaining EXACT
-# query follows in module order; oracle-less (ROWS-class) queries always sort
-# last so no graded slot is burned on a `no_oracle` row.
+# therefore part of the driver contract, not cosmetics. Rounds 1-7 graded all
+# 285 then-registered queries green (no query has ever failed the gate), so
+# with the never-graded queue empty the round-8 window leads with this round's
+# new operators, then re-gate slots for queries whose implementation changed
+# since their green row (top-K-idiom and _global_cumsum delegations, the
+# graph-ANN primary-key re-pointing to the blocked build, the Markov
+# self-join disambiguation, the modularity caching), then the STALEST greens
+# (keys last graded in round 1) so no key's latest green ages out unproven
+# (VERDICT r7 item 9). Every remaining EXACT query follows in module order;
+# oracle-less (ROWS-class) queries always sort last so no graded slot is
+# burned on a `no_oracle` row.
 _WINDOW = [
     # --- round-8 additions (never driver-graded) ---
     "text_bm25_topk",
