@@ -52,6 +52,8 @@ _WINDOW = [
     "events_anomaly_mad",
     "dq_column_profile",
     "dq_partition_fingerprint_drill",
+    "text_bm25_prf_expansion",
+    "graph_community_conductance",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,8 +96,6 @@ _WINDOW = [
     "join_asof",
     "join_cross",
     "agg_hash_groupby",
-    "agg_distinct",
-    "agg_rollup",
 ]
 
 

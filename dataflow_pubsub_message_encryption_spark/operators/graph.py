@@ -821,3 +821,148 @@ ORACLES["graph_partition_modularity"] = ORACLES[
     pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"],
     components=ORACLES["dedup_cluster_components"],
 )
+
+
+@query(
+    "graph_community_conductance",
+    """
+    WITH cd_pairs AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM ({pairs}) WHERE doc_a != doc_b GROUP BY 1, 2
+    ),
+    cd_lab AS MATERIALIZED (
+      SELECT doc_id, community FROM ({lpa})
+    ),
+    cd_deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM cd_pairs UNION ALL SELECT b FROM cd_pairs
+      ) GROUP BY v
+    ),
+    cd_vol AS (
+      SELECT l.community, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(SUM(g.d) AS BIGINT) AS volume
+      FROM cd_lab l JOIN cd_deg g ON g.v = l.doc_id
+      GROUP BY l.community
+    ),
+    cd_e AS (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM cd_pairs p
+      JOIN cd_lab la ON la.doc_id = p.a
+      JOIN cd_lab lb ON lb.doc_id = p.b
+    ),
+    cd_int AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS internal_edges
+               FROM cd_e WHERE ca = cb GROUP BY 1),
+    cd_cut AS (
+      SELECT community, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+        SELECT ca AS community FROM cd_e WHERE ca != cb
+        UNION ALL
+        SELECT cb FROM cd_e WHERE ca != cb
+      ) GROUP BY 1
+    ),
+    cd_tot AS (SELECT CAST(2 * count(*) AS BIGINT) AS vol2 FROM cd_pairs)
+    SELECT v.community, v.n_members, v.volume,
+           COALESCE(i.internal_edges, 0) AS internal_edges,
+           COALESCE(c.cut_edges, 0) AS cut_edges,
+           CASE WHEN least(v.volume, t.vol2 - v.volume) = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                           / least(v.volume, t.vol2 - v.volume), 6)
+           END AS conductance
+    FROM cd_vol v
+    LEFT JOIN cd_int i USING (community)
+    LEFT JOIN cd_cut c USING (community), cd_tot t
+    """,
+)
+def graph_community_conductance(spark, sf_dir):
+    """Per-community conductance over the LPA partition — the
+    community-quality complement of `graph_partition_modularity`
+    (modularity is a one-number global score; conductance φ(C) =
+    cut(C) / min(vol(C), vol(V∖C)) names WHICH communities leak, the
+    bottleneck/expansion number spectral partitioning bounds). Uses the
+    LPA communities rather than connected components because components
+    have zero cut by construction (vacuous φ); LPA's dense-neighborhood
+    labels genuinely split components (fixture-probed: 26 communities,
+    ~6.3k cut endpoints). All counts are integers off the id-only edge
+    list (degree, volume, internal, cut — sanity law 2·internal + cut =
+    volume pinned in tests); one guarded double division per community
+    row. The oracle embeds BOTH upstream oracles (LSH pairs, unrolled
+    LPA rounds) as MATERIALIZED CTEs — the full composed lineage is
+    value-checked. Scale shape: everything is hash-grouped aggregation
+    and joins at edge/node grain with ids only; the LPA chain remains
+    the only corpus-sized work."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    und = pin(
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    lab = pin(graph_label_propagation(spark, sf_dir))
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    vol = (
+        lab.join(deg, lab.doc_id == deg.v)
+        .groupBy("community")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("d").cast("long").alias("volume"),
+        )
+    )
+    la = lab.select(F.col("doc_id").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("doc_id").alias("b"), F.col("community").alias("cb"))
+    e = und.join(la, "a").join(lb, "b")
+    internal = (
+        e.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    cut = (
+        e.filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("community"))
+        .unionByName(
+            e.filter(F.col("ca") != F.col("cb")).select(
+                F.col("cb").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("cut_edges"))
+    )
+    tot = und.agg((2 * F.count("*")).cast("long").alias("vol2"))
+    mn = F.least(F.col("volume"), F.col("vol2") - F.col("volume"))
+    return (
+        vol.join(internal, "community", "left")
+        .join(cut, "community", "left")
+        .crossJoin(F.broadcast(tot))  # |communities| x 1 row
+        .select(
+            "community",
+            "n_members",
+            "volume",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.when(mn == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.coalesce("cut_edges", F.lit(0)).cast("double") / mn, 6
+                )
+            )
+            .alias("conductance"),
+        )
+    )
+
+
+ORACLES["graph_community_conductance"] = ORACLES[
+    "graph_community_conductance"
+].format(
+    pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"],
+    lpa=ORACLES["graph_label_propagation"],
+)

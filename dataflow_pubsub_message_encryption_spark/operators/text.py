@@ -1828,17 +1828,19 @@ _BM25_AGG_SQL = """
 """
 
 
-def _bm25_doc_scores(spark, sf_dir):
+def _bm25_doc_scores(spark, sf_dir, qt=None):
     """Spark twin of ``_BM25_AGG_SQL``: (doc_id, n_terms_hit, s) with s the
-    1e6-quantized integer BM25 score for the fixed ``_BM25_TERMS`` query.
-    Scale shape: tokenize partial-aggregates to doc grain (shuffle ∝
-    matched doc-terms after the broadcast term-filter join); df/idf and
-    corpus totals are ≤|query|-row and 1-row broadcasts."""
+    1e6-quantized integer BM25 score for the query term set ``qt`` (a
+    one-column ``term`` frame; defaults to the fixed ``_BM25_TERMS`` —
+    the PRF op passes its expanded set). Scale shape: tokenize
+    partial-aggregates to doc grain (shuffle ∝ matched doc-terms after
+    the broadcast term-filter join); df/idf and corpus totals are
+    ≤|query|-row and 1-row broadcasts."""
     docs = load(spark, sf_dir, "documents")
-    qt = (
-        docs.limit(1)
-        .select(F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term"))
-    )
+    if qt is None:
+        qt = docs.limit(1).select(
+            F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term")
+        )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     tot = dl.agg(
@@ -2031,4 +2033,109 @@ def text_kneser_ney_logprob(spark, sf_dir):
         F.round(
             -(F.col("s").cast("double") / 1_000_000_000) / F.col("n_bigrams"), 6
         ).alias("kn_neg_logprob"),
+    )
+
+
+_PRF_FB_DOCS = 10  # feedback depth (pass-1 docs mined for expansion terms)
+_PRF_EXP_TERMS = 5  # expansion terms added to the query
+
+
+@query(
+    "text_bm25_prf_expansion",
+    f"""
+    WITH {_BM25_AGG_SQL},
+    p1top AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+        FROM bm
+      ) WHERE rk <= {_PRF_FB_DOCS}
+    ),
+    tfall AS (SELECT doc_id, term, count(*) AS tf
+              FROM btok GROUP BY 1, 2),
+    expw AS (
+      SELECT tf.term, CAST(SUM(tf.tf * p.s) AS BIGINT) AS w
+      FROM tfall tf JOIN p1top p USING (doc_id)
+      WHERE tf.term NOT IN (SELECT term FROM q)
+      GROUP BY tf.term
+    ),
+    expt AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY w DESC, term) AS rk
+        FROM expw
+      ) WHERE rk <= {_PRF_EXP_TERMS}
+    ),
+    qset AS (SELECT term FROM q UNION SELECT term FROM expt),
+    dfq AS (SELECT b.term, count(DISTINCT b.doc_id) AS df
+            FROM btok b JOIN qset USING (term) GROUP BY 1),
+    idfq AS (SELECT term,
+                    CAST(round(ln(1 + (CAST(n AS DOUBLE) - df + 0.5)
+                                     / (df + 0.5)) * 1000000000) AS BIGINT)
+                      AS idf
+             FROM dfq, btot),
+    sc2 AS (
+      SELECT tf.doc_id,
+             CAST(round(CAST(idf.idf AS DOUBLE) * tf.tf * 22.0 * btot.t
+                        / (CAST(10 * tf.tf * btot.t + 3 * btot.t
+                                + 9 * bdl.dl * btot.n AS DOUBLE) * 1000.0))
+                  AS BIGINT) AS si
+      FROM (SELECT f.doc_id, f.term, f.tf
+            FROM tfall f JOIN qset USING (term)) tf
+      JOIN idfq idf USING (term)
+      JOIN bdl USING (doc_id), btot
+    ),
+    bm2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                   CAST(SUM(si) AS BIGINT) AS s
+            FROM sc2 GROUP BY doc_id)
+    SELECT doc_id, n_terms_hit,
+           round(CAST(s AS DOUBLE) / 1000000.0, 6) AS bm25,
+           CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY s DESC, doc_id) AS rk
+          FROM bm2)
+    WHERE rk <= {_BM25_K}
+    """,
+)
+def text_bm25_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (RM3-family) — the
+    third rung of the retrieval ladder after BM25 and RRF: run the BM25
+    pass, assume the top 10 are relevant, mine them for the 5 heaviest
+    non-query terms (weight = Σ tf(t,d)·score(d) over the feedback docs
+    — all-integer since the pass-1 scores are already 1e6-quantized
+    ints), add those to the query, and re-rank the corpus with the
+    expanded set. Recall goes up without any model: documents phrased
+    differently from the query get pulled in by co-occurring vocabulary.
+    Every stage is exactly determinized: integer expansion weights with
+    term tie-breaks, the same all-integer BM25 clearing for pass 2, and
+    both top-K stages via TakeOrderedAndProject + K-row rerank. Scale
+    shape: pass 2's tf/df tables are the same inverted-index aggregates
+    restricted by a (|q|+5)-row broadcast term set; the feedback mining
+    joins the doc-term table against a 10-row broadcast — nothing new
+    shuffles at corpus grain beyond the two passes themselves."""
+    from .scale import _topk_ranked
+
+    docs = load(spark, sf_dir, "documents")
+    pq = docs.limit(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _BM25_TERMS])).alias("term")
+    )
+    bm1 = _bm25_doc_scores(spark, sf_dir)
+    p1 = _topk_ranked(bm1, _PRF_FB_DOCS, F.desc("s"), F.col("doc_id")).select(
+        "doc_id", "s"
+    )
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tfall = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    expw = (
+        tfall.join(F.broadcast(p1), "doc_id")
+        .join(F.broadcast(pq), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.sum(F.col("tf") * F.col("s")).cast("long").alias("w"))
+    )
+    expt = _topk_ranked(expw, _PRF_EXP_TERMS, F.desc("w"), F.col("term")).select(
+        "term"
+    )
+    qset = pq.unionByName(expt).distinct()
+    bm2 = _bm25_doc_scores(spark, sf_dir, qt=qset)
+    return _topk_ranked(bm2, _BM25_K, F.desc("s"), F.col("doc_id")).select(
+        "doc_id",
+        "n_terms_hit",
+        F.round(F.col("s").cast("double") / 1_000_000.0, 6).alias("bm25"),
+        F.col("rk").cast("int").alias("rk"),
     )

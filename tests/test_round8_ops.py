@@ -277,3 +277,37 @@ def test_kneser_ney_beats_addone_on_training_set(spark, sf_dir):
     mean_kn = sum(kn[d] for d in common) / len(common)
     mean_a1 = sum(addone[d] for d in common) / len(common)
     assert mean_kn < mean_a1, (mean_kn, mean_a1)
+
+
+def test_conductance_volume_identity(spark, sf_dir):
+    """Per community: volume = 2·internal_edges + cut_edges (every edge
+    endpoint is either inside with its mate or a cut endpoint), and
+    conductance is in [0, 1] when defined."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        QUERIES as GQ,
+    )
+
+    rows = GQ["graph_community_conductance"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.volume == 2 * r.internal_edges + r.cut_edges, r
+        if r.conductance is not None:
+            assert 0.0 <= r.conductance <= 1.0, r
+
+
+def test_prf_expands_past_the_plain_query(spark, sf_dir):
+    """PRF law: the expanded query can only raise n_terms_hit (the plain
+    3 query terms are a subset of the expanded set), and the expanded
+    top-10 must actually use expansion terms somewhere (max hits above
+    the plain query's ceiling — otherwise the feedback stage mined
+    nothing and the op degenerates)."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import (
+        _BM25_TERMS,
+        QUERIES as TQ,
+    )
+
+    prf = TQ["text_bm25_prf_expansion"](spark, sf_dir).collect()
+    assert max(r.n_terms_hit for r in prf) > len(_BM25_TERMS), (
+        "no expansion term ever matched — feedback stage is inert"
+    )
+    assert all(r.n_terms_hit <= len(_BM25_TERMS) + 5 for r in prf)
