@@ -54,6 +54,9 @@ _WINDOW = [
     "dq_partition_fingerprint_drill",
     "text_bm25_prf_expansion",
     "graph_community_conductance",
+    "events_acf_lags",
+    "events_ewma_daily",
+    "sim_ann_ivf_nprobe_curve",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -93,9 +96,6 @@ _WINDOW = [
     "join_semi",
     "join_anti",
     "join_range_theta",
-    "join_asof",
-    "join_cross",
-    "agg_hash_groupby",
 ]
 
 

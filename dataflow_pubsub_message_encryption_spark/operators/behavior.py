@@ -2208,3 +2208,199 @@ def events_anomaly_mad(spark, sf_dir):
             .alias("robust_z"),
         )
     )
+
+
+@query(
+    "events_acf_lags",
+    """
+    WITH fcells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    fl AS (SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS lag),
+    fpairs AS (
+      SELECT a.event_type, l.lag, a.cnt AS x, b.cnt AS y
+      FROM fcells a
+      JOIN fl l ON true
+      JOIN fcells b
+        ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    ),
+    fstats AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM fpairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           n * sxy - sx * sy AS cov_num,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN CAST(NULL AS DOUBLE)
+                ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM fstats
+    """,
+)
+def events_acf_lags(spark, sf_dir):
+    """Sample autocorrelation of the daily per-type volume series at lags
+    1..7 — the diagnostic that quantifies what `events_hourly_seasonality`
+    eyeballs: a weekly-seasonal stream shows an ACF spike at lag 7, a
+    trending one decays slowly across all lags, white noise sits near 0.
+    The standard Pearson form over the (day t, day t+lag) pairs actually
+    observed (gap days simply contribute no pair). Exactness: daily counts
+    are integers, so n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs and the
+    correlation numerator n·Σxy − ΣxΣy is exact integer arithmetic; the
+    only float steps are two sqrt's of exactly-representable int64s
+    (< 2^53), one multiply, one division, one 6dp round — IEEE-identical
+    in both engines (the `events_anomaly_mad` discipline). Scale shape:
+    the fact table collapses to |types|×|days| cells in one
+    partial-aggregating pass; the lag pairing is an equi-join of that
+    tiny summary against itself on (type, day+lag) — 7 lags fan the
+    summary out ×7 before a second partial aggregation to |types|×7
+    rows. Nothing downstream of the first groupBy touches event grain."""
+    ev = load_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = cells.alias("a")
+    b = cells.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("cnt").alias("y"),
+    )
+    pairs = (
+        a.join(F.broadcast(lags))
+        .withColumn("tgt", F.date_add(F.col("a.day"), F.col("lag")))
+        .join(
+            b,
+            (F.col("b_type") == F.col("a.event_type"))
+            & (F.col("b_day") == F.col("tgt")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            "lag",
+            F.col("a.cnt").alias("x"),
+            "y",
+        )
+    )
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        num.alias("cov_num"),
+        F.when((dx == 0) | (dy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                6,
+            )
+        )
+        .alias("acf"),
+    )
+
+
+@query(
+    "events_ewma_daily",
+    """
+    WITH wcells AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    wk AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS k),
+    wterms AS (
+      SELECT a.event_type, a.day, a.cnt,
+             b.cnt AS past_cnt,
+             CAST(1 AS BIGINT) << (9 - wk.k) AS w
+      FROM wcells a
+      JOIN wk ON true
+      JOIN wcells b
+        ON b.event_type = a.event_type AND b.day = a.day - wk.k
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, min(cnt) AS cnt,
+           CAST(sum(past_cnt * w) AS BIGINT) AS ewma_num,
+           CAST(sum(w) AS BIGINT) AS ewma_den,
+           round(CAST(sum(past_cnt * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6)
+             AS ewma
+    FROM wterms GROUP BY event_type, day
+    """,
+)
+def events_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted moving average of daily per-type volume —
+    the trend-following smoother between the uniform `orders_gmv_daily_7dma`
+    and the outlier-robust `events_anomaly_mad`: each day's EWMA halves the
+    weight of every prior day (α = 1/2), truncated at a 10-day horizon
+    (weight 2⁻¹⁰ < 0.1% — the tail is noise). Exactness: the dyadic decay
+    makes the whole smoother INTEGER — weight(k) = 2^(9−k) is a bit shift,
+    numerator and denominator are exact BIGINT sums over whichever of the
+    10 lookback days exist (gap days contribute nothing and the weight sum
+    renormalizes automatically), and the reported EWMA is one double
+    division + 6dp round. Scale shape: the fact table collapses to
+    |types|×|days| cells once; the lookback is a broadcast of 10 offsets
+    fanning the tiny summary ×10 into a second partial aggregation —
+    the `events_acf_lags` plan shape with weights."""
+    ev = load_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    ks = spark.range(0, 10).select(F.col("id").cast("int").alias("k"))
+    b = cells.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("cnt").alias("past_cnt"),
+    )
+    terms = (
+        cells.alias("a")
+        .join(F.broadcast(ks))
+        .withColumn("src", F.date_sub(F.col("a.day"), F.col("k")))
+        .join(
+            b,
+            (F.col("b_type") == F.col("a.event_type"))
+            & (F.col("b_day") == F.col("src")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.cnt").alias("cnt"),
+            "past_cnt",
+            F.expr("shiftleft(CAST(1 AS BIGINT), 9 - k)").alias("w"),
+        )
+    )
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.min("cnt").alias("cnt"),
+            F.sum(F.col("past_cnt") * F.col("w")).cast("long").alias("ewma_num"),
+            F.sum("w").cast("long").alias("ewma_den"),
+        )
+        .select(
+            "event_type",
+            date_str("day").alias("day"),
+            "cnt",
+            "ewma_num",
+            "ewma_den",
+            F.round(
+                F.col("ewma_num").cast("double") / F.col("ewma_den").cast("double"),
+                6,
+            ).alias("ewma"),
+        )
+    )

@@ -3492,3 +3492,145 @@ def emb_ivf_cell_balance(spark, sf_dir):
             ).alias("label_purity"),
         )
     )
+
+
+@query(
+    "sim_ann_ivf_nprobe_curve",
+    f"""
+    WITH {_CENT_SQL},
+    nct AS ({ORACLES["sim_search_batch_topk"]}),
+    npr AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < {_N_PROBES}
+    ),
+    ncrank AS (
+      SELECT probe_id, c_label AS cell,
+             row_number() OVER (
+               PARTITION BY probe_id
+               ORDER BY round(list_cosine_similarity(centroid, pe), 6) DESC,
+                        c_label) AS cr
+      FROM cent, npr
+    ),
+    nvals AS (SELECT unnest([1, 2, 3, 5]) AS nprobe),
+    ncand AS (
+      SELECT pr.probe_id, nv.nprobe, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          pr.pe), 6) AS cs
+      FROM embeddings e
+      JOIN ncrank ck ON e.label = ck.cell
+      JOIN npr pr ON pr.probe_id = ck.probe_id
+      JOIN nvals nv ON ck.cr <= nv.nprobe
+      WHERE e.vec_id != pr.probe_id
+    ),
+    ntopk AS (
+      SELECT probe_id, nprobe, vec_id FROM (
+        SELECT probe_id, nprobe, vec_id,
+               row_number() OVER (PARTITION BY probe_id, nprobe
+                                  ORDER BY cs DESC, vec_id) AS rk
+        FROM ncand
+      ) WHERE rk <= {_BATCH_K}
+    ),
+    nhits AS (
+      SELECT t.nprobe, CAST(count(*) AS BIGINT) AS n_hit
+      FROM ntopk t
+      JOIN nct ON nct.probe_id = t.probe_id AND nct.vec_id = t.vec_id
+      GROUP BY 1
+    ),
+    ncnt AS (
+      SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand
+      FROM ncand GROUP BY 1
+    )
+    SELECT CAST(nv.nprobe AS BIGINT) AS nprobe,
+           CAST({_N_PROBES} AS BIGINT) AS n_probes,
+           ncnt.n_cand,
+           COALESCE(nhits.n_hit, 0) AS n_hit,
+           round(COALESCE(nhits.n_hit, 0) / {_N_PROBES * _BATCH_K}.0, 6)
+             AS recall_at_k
+    FROM nvals nv
+    JOIN ncnt ON ncnt.nprobe = nv.nprobe
+    LEFT JOIN nhits ON nhits.nprobe = nv.nprobe
+    """,
+)
+def sim_ann_ivf_nprobe_curve(spark, sf_dir):
+    """The IVF tuning curve: recall@{_BATCH_K} AND candidate volume as a
+    function of nprobe ∈ {{1, 2, 3, 5}}, measured over the same
+    {_N_PROBES}-probe batch and brute-force truth as
+    ``sim_ann_recall_eval``. This is the knob-setting artifact an IVF
+    deployment actually needs — `sim_ann_ivf_topk` fixes nprobe=3 by fiat;
+    this query SHOWS the recall/cost frontier that justifies (or moves)
+    that choice: n_cand is the exact number of vectors scanned (the cost
+    axis), recall_at_k the quality axis, and the curve's knee is the
+    operating point. Monotonicity (recall and cost both non-decreasing in
+    nprobe) falls out of candidate-set nesting — tests/test_similarity.py
+    pins it. Exactness: cell assignment and ranking use the house
+    6dp-round + id tie-break discipline end to end, so candidate sets are
+    value-identical cross-engine; counts are exact BIGINTs; the only
+    division is the final recall ratio against the constant
+    {_N_PROBES}×{_BATCH_K} denominator. Scale shape: the centroid table
+    broadcasts (|cells| rows), each nprobe slice is cell-pruned at the
+    scan (list-partitioned by cell id at 100 TB), the per-(probe, nprobe)
+    rank is a bounded window over candidates, and the curve aggregate is
+    4 rows. The ×4 nprobe fan-out is the eval's cost, not the serving
+    path's — production runs this on a probe SAMPLE per index build."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = _int_centroids(e).select(F.col("c_label").alias("cell"), "centroid")
+    pr = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), as_double("embedding").alias("pe")
+    )
+    wcell = Window.partitionBy("probe_id").orderBy(F.desc("ccs"), "cell")
+    crank = (
+        cent.join(F.broadcast(pr))
+        .select(
+            "probe_id",
+            "cell",
+            F.round(cosine(F.col("centroid"), F.col("pe")), 6).alias("ccs"),
+        )
+        .withColumn("cr", F.row_number().over(wcell))
+        .select("probe_id", "cell", "cr")
+    )
+    nvals = spark.range(0, 4).select(
+        F.element_at(F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(5)),
+                     (F.col("id") + 1).cast("int")).alias("nprobe")
+    )
+    cand = (
+        e.join(F.broadcast(crank), e.label == F.col("cell"))
+        .join(F.broadcast(pr), "probe_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(F.broadcast(nvals), F.col("cr") <= F.col("nprobe"))
+        .select(
+            "probe_id",
+            "nprobe",
+            "vec_id",
+            F.round(cosine(as_double("embedding"), F.col("pe")), 6).alias("cs"),
+        )
+    )
+    wk = Window.partitionBy("probe_id", "nprobe").orderBy(F.desc("cs"), "vec_id")
+    topk = (
+        cand.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _BATCH_K)
+        .select("probe_id", "nprobe", "vec_id")
+    )
+    truth = QUERIES["sim_search_batch_topk"](spark, sf_dir).select(
+        "probe_id", "vec_id"
+    )
+    hits = (
+        topk.join(truth, ["probe_id", "vec_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    cnt = cand.groupBy("nprobe").agg(F.count("*").cast("long").alias("n_cand"))
+    return (
+        nvals.join(cnt, "nprobe")
+        .join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.lit(_N_PROBES).cast("long").alias("n_probes"),
+            "n_cand",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / float(_N_PROBES * _BATCH_K),
+                6,
+            ).alias("recall_at_k"),
+        )
+    )

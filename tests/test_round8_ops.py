@@ -311,3 +311,75 @@ def test_prf_expands_past_the_plain_query(spark, sf_dir):
         "no expansion term ever matched — feedback stage is inert"
     )
     assert all(r.n_terms_hit <= len(_BM25_TERMS) + 5 for r in prf)
+
+
+def test_acf_is_bounded_and_sign_consistent(spark, sf_dir):
+    """ACF is a Pearson correlation: |acf| <= 1 wherever defined, its sign
+    matches the exact integer covariance numerator, and every (type, lag)
+    row's pair count is positive (zero-pair lags emit no row)."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import QUERIES as BQ
+
+    rows = BQ["events_acf_lags"](spark, sf_dir).collect()
+    assert rows, "ACF produced no rows"
+    for r in rows:
+        assert 1 <= r.lag <= 7
+        assert r.n_pairs > 0
+        if r.acf is not None:
+            assert -1.0 <= r.acf <= 1.0, f"{r.event_type} lag {r.lag}: {r.acf}"
+            if r.cov_num > 0:
+                assert r.acf >= 0
+            elif r.cov_num < 0:
+                assert r.acf <= 0
+
+
+def test_ewma_matches_python_referee(spark, sf_dir):
+    """Full referee: recompute the dyadic EWMA from the daily cells in
+    plain Python (weights 2^(9-k) over present days) and require the
+    integer numerator/denominator to match exactly, row for row."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import QUERIES as BQ
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+    import datetime
+
+    ev = load_events(spark, sf_dir)
+    cells = {
+        (r.event_type, r.day): r.cnt
+        for r in ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = BQ["events_ewma_daily"](spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        day = datetime.date.fromisoformat(r.day)
+        num = den = 0
+        for k in range(10):
+            c = cells.get((r.event_type, day - datetime.timedelta(days=k)))
+            if c is not None:
+                w = 1 << (9 - k)
+                num += c * w
+                den += w
+        assert (r.ewma_num, r.ewma_den) == (num, den), (r.event_type, r.day)
+        assert den >= 512  # the anchor day itself always contributes 2^9
+
+
+def test_nprobe_curve_is_monotone(spark, sf_dir):
+    """Candidate-set nesting law: recall@k and candidate volume are both
+    non-decreasing in nprobe, and recall is a valid ratio."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    rows = sorted(
+        SQ["sim_ann_ivf_nprobe_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_cand >= a.n_cand
+        assert b.n_hit >= a.n_hit
+        assert b.recall_at_k >= a.recall_at_k
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hit <= r.n_probes * 5
