@@ -57,6 +57,8 @@ _WINDOW = [
     "events_acf_lags",
     "events_ewma_daily",
     "sim_ann_ivf_nprobe_curve",
+    "compaction_partition_bins",
+    "dq_freshness_lag",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,8 +96,6 @@ _WINDOW = [
     "join_sortmerge",
     "join_left_outer",
     "join_semi",
-    "join_anti",
-    "join_range_theta",
 ]
 
 

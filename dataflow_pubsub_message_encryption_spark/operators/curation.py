@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.normalize import ts_str
 from ..functions.textfns import tokens
 from ..sources import load, load_events
 from .base import make_registry
@@ -1531,4 +1532,55 @@ def dq_partition_fingerprint_drill(spark, sf_dir):
             .cast("long")
             .alias("sum_fp_mod"),
         )
+    )
+
+
+@query(
+    "dq_freshness_lag",
+    """
+    WITH fmx AS (SELECT max(ts) AS gmax FROM events),
+    ftyp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             max(ts) AS tmax
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n_rows,
+           strftime(tmax, '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+           CAST(date_diff('microseconds', tmax, gmax) AS BIGINT) AS lag_us,
+           CAST(CASE WHEN date_diff('microseconds', tmax, gmax)
+                          > 86400000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_stale
+    FROM ftyp, fmx
+    """,
+)
+def dq_freshness_lag(spark, sf_dir):
+    """Per-source freshness monitoring — the data-quality check that
+    catches a SILENT upstream stall (a dead producer fails no row-level
+    rule, it just stops producing): per event type, last-seen timestamp
+    and its lag behind the stream's global high-water mark, flagged
+    stale past a 24 h SLA. Using the in-data global max as the reference
+    clock (not wall clock) keeps the op deterministic and replayable —
+    the production form swaps the reference for the ingestion watermark.
+    All-integer microsecond arithmetic (`timestampdiff` ↔ `date_diff`,
+    the `events_iat_stats` idiom), timestamps emitted as strings per the
+    house normalization discipline. Scale shape: one partial-agg pass to
+    |types| rows, the 1-row global max broadcast-joined on — the
+    smallest possible DQ query, and the one that pages you first."""
+    ev = load_events(spark, sf_dir)
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    typ = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.max("ts").alias("tmax"),
+    )
+    return typ.crossJoin(F.broadcast(gmax)).select(
+        "event_type",
+        "n_rows",
+        ts_str("tmax").alias("last_seen"),
+        F.expr("timestampdiff(MICROSECOND, tmax, gmax)")
+        .cast("long")
+        .alias("lag_us"),
+        F.expr(
+            "CAST(CASE WHEN timestampdiff(MICROSECOND, tmax, gmax)"
+            " > 86400000000 THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_stale"),
     )

@@ -1896,3 +1896,74 @@ def orders_pareto_class(spark, sf_dir):
             F.sum("r").cast("double") / F.max("tot").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+_BIN_TARGET = 65536  # 64 KiB bins at fixture scale; 128-512 MiB in production
+
+
+@query(
+    "compaction_partition_bins",
+    f"""
+    WITH kp AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(16 + length(props) + length(event_type)) AS BIGINT)
+               AS bytes
+      FROM events GROUP BY 1
+    ),
+    kc AS (
+      SELECT day, n_rows, bytes,
+             CAST(sum(bytes) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM kp
+    )
+    SELECT CAST((cum - bytes) // {_BIN_TARGET} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(day) AS first_day, max(day) AS last_day
+    FROM kc GROUP BY 1
+    """,
+)
+def compaction_partition_bins(spark, sf_dir):
+    """Small-file compaction planning — the lakehouse maintenance op every
+    day-partitioned 100 TB table needs: pack consecutive day partitions
+    into target-size rewrite bins (here {_BIN_TARGET} bytes; 128-512 MiB
+    in production) so a compactor can rewrite each bin as one file. The
+    packing is the order-preserving form real compactors use (contiguous
+    partitions share a bin — preserves partition pruning and sort order;
+    bin-id = the bin in which the partition's byte range STARTS, so a
+    partition that straddles a boundary joins its opening bin). Exactness:
+    the size model 16 + len(props) + len(event_type) is an integer
+    per-row estimate summed per day, the prefix sum is exact BIGINT, and
+    bin assignment is one integer floor-division. Scale shape: the fact
+    table reduces to |days| partition-stat rows in one partial-agg pass;
+    the prefix sum runs on `_global_cumsum` (range repartition +
+    per-partition running sum + bounded offset fix-up — NO
+    single-partition window, unlike the oracle's plain SQL window); the
+    bin rollup is a second tiny aggregation. The bin plan is exactly what
+    a rewrite job consumes as its work list."""
+    ev = load_events(spark, sf_dir)
+    parts = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.lit(16) + F.length("props") + F.length("event_type")
+        ).cast("long").alias("bytes"),
+    )
+    cum = _global_cumsum(parts, "bytes", "day")
+    return (
+        cum.withColumn(
+            "bin_id", F.expr(f"(cum - bytes) DIV {_BIN_TARGET}").cast("long")
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_partitions"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )

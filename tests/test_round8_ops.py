@@ -383,3 +383,52 @@ def test_nprobe_curve_is_monotone(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hit <= r.n_probes * 5
+
+
+def test_compaction_bins_conserve_and_order(spark, sf_dir):
+    """Conservation + contiguity laws: bin totals sum back to the per-day
+    partition stats exactly; bin day ranges are disjoint and ordered by
+    bin_id; every partition lands in exactly one bin."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import QUERIES as KQ
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    truth = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.lit(16) + F.length("props") + F.length("event_type")).alias(
+                "bytes"
+            ),
+        )
+        .agg(F.count("*"), F.sum("n_rows"), F.sum("bytes"))
+        .collect()[0]
+    )
+    bins = sorted(
+        KQ["compaction_partition_bins"](spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    assert sum(r.n_partitions for r in bins) == truth[0]
+    assert sum(r.n_rows for r in bins) == truth[1]
+    assert sum(r.total_bytes for r in bins) == truth[2]
+    for r in bins:
+        assert r.first_day <= r.last_day
+    for a, b in zip(bins, bins[1:]):
+        assert a.bin_id < b.bin_id
+        assert a.last_day < b.first_day, "bin day ranges overlap"
+
+
+def test_freshness_lag_reference_clock(spark, sf_dir):
+    """At least one type sits AT the high-water mark (lag 0), no lag is
+    negative, and the stale flag is the exact 24 h threshold in
+    microseconds."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        QUERIES as CQ,
+    )
+
+    rows = CQ["dq_freshness_lag"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.lag_us == 0 for r in rows), "no type at the global max"
+    for r in rows:
+        assert r.lag_us >= 0
+        assert r.is_stale == (1 if r.lag_us > 86_400_000_000 else 0)
