@@ -59,6 +59,8 @@ _WINDOW = [
     "sim_ann_ivf_nprobe_curve",
     "compaction_partition_bins",
     "dq_freshness_lag",
+    "orders_dow_seasonality_index",
+    "emb_kmeans_elbow_curve",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,8 +96,6 @@ _WINDOW = [
     "case_when",
     "join_broadcast",
     "join_sortmerge",
-    "join_left_outer",
-    "join_semi",
 ]
 
 

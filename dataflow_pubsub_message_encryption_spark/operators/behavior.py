@@ -2404,3 +2404,73 @@ def events_ewma_daily(spark, sf_dir):
             ).alias("ewma"),
         )
     )
+
+
+@query(
+    "orders_dow_seasonality_index",
+    """
+    WITH wdd AS (
+      SELECT isodow(o_orderdate) AS dow,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS BIGINT) AS g_unit
+      FROM orders GROUP BY 1, 2
+    ),
+    wds AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(SUM(g_unit) AS BIGINT) AS gmv_unit
+      FROM wdd GROUP BY 1
+    ),
+    wtot AS (
+      SELECT CAST(SUM(gmv_unit) AS BIGINT) AS tot_unit,
+             CAST(SUM(n_days) AS BIGINT) AS tot_days
+      FROM wds
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_days, gmv_unit,
+           round(CAST(gmv_unit * tot_days AS DOUBLE)
+                 / CAST(n_days * tot_unit AS DOUBLE), 6) AS dow_index
+    FROM wds, wtot
+    """,
+)
+def orders_dow_seasonality_index(spark, sf_dir):
+    """Day-of-week seasonality index of order revenue — the multiplicative
+    seasonal factor a forecaster divides out before fitting trend (the
+    decomposition complement of `nation_gmv_trend_slope`'s OLS trend and
+    `events_acf_lags`'s lag-7 detector): per ISO weekday, average daily
+    GMV relative to the all-days average, index 1.0 = no weekly effect.
+    Exactness: revenue is summed in integer 10⁻⁴-dollar units (the house
+    decimal discipline), day and weekday counts are exact, and the index
+    = (g·D)/(d·G) is computed from two exact int64 products with ONE
+    deterministic int64→double cast each (IEEE round-to-nearest, identical
+    cross-engine — the `nation_gmv_trend_slope` precedent), one division,
+    one 6dp round. Scale shape: orders reduce to |days| daily cells in a
+    single partial-agg pass, then to 7 weekday rows; the grand total is a
+    1-row broadcast. Weekday = ISO (1=Mon..7=Sun): Spark `weekday()+1` ↔
+    DuckDB `isodow`."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.weekday("o_orderdate") + F.lit(1)).alias("dow"),
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day"),
+    ).agg(
+        F.sum((dec4("o_totalprice") * 10000).cast("long"))
+        .cast("long")
+        .alias("g_unit")
+    )
+    wds = daily.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("g_unit").cast("long").alias("gmv_unit"),
+    )
+    tot = wds.agg(
+        F.sum("gmv_unit").cast("long").alias("tot_unit"),
+        F.sum("n_days").cast("long").alias("tot_days"),
+    )
+    return wds.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        "n_days",
+        "gmv_unit",
+        F.round(
+            (F.col("gmv_unit") * F.col("tot_days")).cast("double")
+            / (F.col("n_days") * F.col("tot_unit")).cast("double"),
+            6,
+        ).alias("dow_index"),
+    )

@@ -3634,3 +3634,151 @@ def sim_ann_ivf_nprobe_curve(spark, sf_dir):
             ).alias("recall_at_k"),
         )
     )
+
+
+_ELBOW_KS = (2, 4, 8)
+
+
+def _eb_iter_sql(prev_c: str, a: str, cur_c: str) -> str:
+    """One Lloyd round for the elbow sweep — the `_km_iter_sql` body with
+    both CTEs marked MATERIALIZED (the sweep instantiates 3 chains in one
+    oracle; without materialization DuckDB re-evaluates each round per
+    downstream reference)."""
+    return f"""{a} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, {prev_c} c
+      ) WHERE rn = 1
+    ),
+    {cur_c} AS MATERIALIZED (
+      SELECT cell, list(cq1 ORDER BY pos) AS cq FROM (
+        SELECT a.cell, i AS pos,
+               CAST(floor(CAST(SUM(qv.qe[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cq1
+        FROM {a} a JOIN qv USING (vec_id),
+             (SELECT unnest(generate_series(1, 64)) AS i)
+        GROUP BY a.cell, i
+      ) GROUP BY cell
+    )"""
+
+
+def _eb_chain_sql(k: int) -> str:
+    """The per-k CTE chain: seeded c0, two Lloyd rounds, final scored
+    assignment."""
+    return f"""ek{k}c0 AS MATERIALIZED (
+      SELECT vec_id AS cell, qe AS cq FROM qv WHERE vec_id < {k}
+    ),
+    {_eb_iter_sql(f"ek{k}c0", f"ek{k}a1", f"ek{k}c1")},
+    {_eb_iter_sql(f"ek{k}c1", f"ek{k}a2", f"ek{k}c2")},
+    ek{k}fin AS MATERIALIZED (
+      SELECT vec_id, cs FROM (
+        SELECT qv.vec_id,
+               round(list_cosine_similarity(qv.de,
+                 list_transform(c.cq,
+                   q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) AS cs,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, ek{k}c2 c
+      ) WHERE rn = 1
+    ),
+    ek{k}row AS (
+      SELECT CAST({k} AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(1000000 - CAST(round(cs * 1000000) AS BIGINT))
+                  AS BIGINT) AS inertia_ppm
+      FROM ek{k}fin
+    )"""
+
+
+@query(
+    "emb_kmeans_elbow_curve",
+    f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    {",".join(_eb_chain_sql(k) for k in _ELBOW_KS)}
+    SELECT k, n_vecs, inertia_ppm,
+           round(CAST(inertia_ppm AS DOUBLE) / (n_vecs * 1000000.0), 6)
+             AS avg_dissim
+    FROM ({" UNION ALL ".join(f"SELECT * FROM ek{k}row" for k in _ELBOW_KS)})
+    """,
+)
+def emb_kmeans_elbow_curve(spark, sf_dir):
+    """The k-selection elbow curve — the clustering twin of
+    `sim_ann_ivf_nprobe_curve`'s serving knob: run the SAME fixed-point
+    Lloyd machinery as `sim_ann_kmeans_ivf_topk` (2 rounds, integer
+    centroids, 6dp-round + cell tie-break assignment) at k ∈ {_ELBOW_KS},
+    seeded with the k smallest vec_ids, and report each run's inertia
+    (total cosine dissimilarity to the assigned centroid, in exact ppm
+    units: Σ (10⁶ − round(cs·10⁶))). The inertia-vs-k knee is how an IVF
+    deployment picks its cell count before `sim_ann_ivf_nprobe_curve`
+    picks its probe count. The oracle unrolls all THREE training chains
+    as MATERIALIZED CTEs, so every Lloyd round of every k is
+    value-checked cross-engine. Scale shape: per k, each round is one
+    broadcast-centroid argmax + one (cell, pos)-keyed partial-agg
+    shuffle; the sweep is 3 independent chains (embarrassingly parallel
+    across k at cluster scale); the output is 3 rows. Cost scales with
+    k·rounds, not k²."""
+    e = load(spark, sf_dir, "embeddings")
+    e_q = e.select(
+        "vec_id",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    rows = None
+    for k in _ELBOW_KS:
+        cents = e_q.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+        )
+        for _ in range(_KM_ITERS):
+            cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
+                eager=True
+            )
+        cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
+        wfin = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cell")
+        fin = (
+            e_q.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cell",
+                F.round(cosine(F.col("de"), cd), 6).alias("cs"),
+            )
+            .withColumn("rn", F.row_number().over(wfin))
+            .filter(F.col("rn") == 1)
+        )
+        row = fin.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(
+                F.lit(1000000)
+                - F.round(F.col("cs") * 1000000, 0).cast("long")
+            )
+            .cast("long")
+            .alias("inertia_ppm"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        "k",
+        "n_vecs",
+        "inertia_ppm",
+        F.round(
+            F.col("inertia_ppm").cast("double")
+            / (F.col("n_vecs") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_dissim"),
+    )

@@ -432,3 +432,38 @@ def test_freshness_lag_reference_clock(spark, sf_dir):
     for r in rows:
         assert r.lag_us >= 0
         assert r.is_stale == (1 if r.lag_us > 86_400_000_000 else 0)
+
+
+def test_dow_index_averages_to_one(spark, sf_dir):
+    """Weighted by day counts, the seasonality indices average to exactly
+    1 (Σ d_w·idx_w / D = 1 by construction); each index is positive and
+    the 7 ISO weekdays are all present."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import QUERIES as BQ
+
+    rows = BQ["orders_dow_seasonality_index"](spark, sf_dir).collect()
+    assert sorted(r.dow for r in rows) == [1, 2, 3, 4, 5, 6, 7]
+    tot_days = sum(r.n_days for r in rows)
+    tot_unit = sum(r.gmv_unit for r in rows)
+    for r in rows:
+        assert r.dow_index > 0
+        exact = (r.gmv_unit * tot_days) / (r.n_days * tot_unit)
+        assert abs(r.dow_index - exact) < 5e-7
+    wmean = sum(r.n_days * r.dow_index for r in rows) / tot_days
+    assert abs(wmean - 1.0) < 1e-4
+
+
+def test_elbow_inertia_decreases_with_k(spark, sf_dir):
+    """More cells fit the data at least as well: inertia at k=8 must not
+    exceed inertia at k=2, every inertia is non-negative, and all runs
+    cover the full corpus."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    rows = {r.k: r for r in SQ["emb_kmeans_elbow_curve"](spark, sf_dir).collect()}
+    assert sorted(rows) == [2, 4, 8]
+    n = {r.n_vecs for r in rows.values()}
+    assert len(n) == 1, "k runs disagree on corpus size"
+    for r in rows.values():
+        assert r.inertia_ppm >= 0
+    assert rows[8].inertia_ppm <= rows[2].inertia_ppm
