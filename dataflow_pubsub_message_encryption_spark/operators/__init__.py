@@ -61,6 +61,7 @@ _WINDOW = [
     "dq_freshness_lag",
     "orders_dow_seasonality_index",
     "emb_kmeans_elbow_curve",
+    "join_interval_overlap_binned",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -95,7 +96,6 @@ _WINDOW = [
     "filt_pred",
     "case_when",
     "join_broadcast",
-    "join_sortmerge",
 ]
 
 

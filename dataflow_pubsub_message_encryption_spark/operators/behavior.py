@@ -2474,3 +2474,153 @@ def orders_dow_seasonality_index(spark, sf_dir):
             6,
         ).alias("dow_index"),
     )
+
+
+@query(
+    "join_interval_overlap_binned",
+    """
+    WITH jsflag AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microseconds', lag(ts) OVER w, ts)
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    jstag AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM jsflag
+    ),
+    js AS (
+      SELECT user_id, session_idx,
+             min(ts) AS s_start, max(ts) AS s_end
+      FROM jstag GROUP BY 1, 2
+    ),
+    jw AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+               AS w_end
+      FROM events GROUP BY 1, 2, 3
+    ),
+    jb AS (
+      SELECT user_id, session_idx, s_start, s_end,
+             CAST(unnest(generate_series(CAST(s_start AS DATE),
+                                         CAST(s_end AS DATE),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM js
+    ),
+    jo AS (
+      SELECT w.day, b.user_id,
+             greatest(b.s_start, w.w_start) AS g,
+             least(b.s_end, w.w_end) AS l
+      FROM jb b JOIN jw w ON b.day = w.day
+      WHERE b.s_start <= w.w_end AND b.s_end >= w.w_start
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(date_diff('microseconds', g, l)) AS BIGINT)
+             AS total_overlap_us,
+           CAST(MAX(date_diff('microseconds', g, l)) AS BIGINT)
+             AS max_overlap_us
+    FROM jo GROUP BY day
+    """,
+)
+def join_interval_overlap_binned(spark, sf_dir):
+    """Interval×interval OVERLAP join, the bin-then-verify way — the join
+    family `join_range_binned` (point-in-range) and `join_asof` leave
+    open: both sides are intervals (user sessions from the 30-min-gap
+    sessionization × daily 1-hour audit windows), and a pair matches when
+    the intervals INTERSECT. The naive form is a θ-join (s.start ≤ w.end
+    AND s.end ≥ w.start — quadratic); the scale form binned here maps
+    each session to the day bins it spans (`sequence(date(start),
+    date(end))` — bounded fan-out: a session spans few days), equi-joins
+    on the bin key, and verifies the exact overlap predicate inside the
+    bucket — cost ∝ colliding (session, day) pairs, never |sessions|×
+    |windows|. The same construction handles arbitrary interval joins at
+    100 TB with coarser/finer bin grains. Exactness: all bounds are
+    microsecond-integer comparisons, overlap duration =
+    `timestampdiff(MICROSECOND, greatest(starts), least(ends))` on the
+    clamped bounds — exact BIGINTs end to end; closed-interval
+    convention, zero-length touches count with 0 duration. Scale shape:
+    sessionization is the one user-partitioned window pass every sequence
+    op pays; windows are |days| rows (broadcast); the bin join shuffles
+    session-grain interval stubs only."""
+    ev = load_events(spark, sf_dir)
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            ).isNull()
+            | (
+                F.expr(
+                    "timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+                )
+                > 1800000000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        "event_id",
+    ).withColumn("session_idx", F.sum("is_new").over(wcum))
+    sess = tagged.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    wins = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.date_trunc("day", "ts").alias("w_start"),
+        F.expr("date_trunc('day', ts) + INTERVAL 1 HOUR").alias("w_end"),
+    ).agg(F.lit(1)).select("day", "w_start", "w_end")
+    binned = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("day"),
+    )
+    overl = (
+        binned.join(F.broadcast(wins), "day")
+        .filter(
+            (F.col("s_start") <= F.col("w_end"))
+            & (F.col("s_end") >= F.col("w_start"))
+        )
+        .select(
+            "day",
+            "user_id",
+            F.greatest("s_start", "w_start").alias("g"),
+            F.least("s_end", "w_end").alias("l"),
+        )
+    )
+    return overl.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, g, l)"))
+        .cast("long")
+        .alias("total_overlap_us"),
+        F.max(F.expr("timestampdiff(MICROSECOND, g, l)"))
+        .cast("long")
+        .alias("max_overlap_us"),
+    ).select(
+        date_str("day").alias("day"),
+        "n_sessions",
+        "n_users",
+        "total_overlap_us",
+        "max_overlap_us",
+    )

@@ -467,3 +467,59 @@ def test_elbow_inertia_decreases_with_k(spark, sf_dir):
     for r in rows.values():
         assert r.inertia_ppm >= 0
     assert rows[8].inertia_ppm <= rows[2].inertia_ppm
+
+
+def test_interval_overlap_binning_is_lossless(spark, sf_dir):
+    """The bin-then-verify construction must equal the naive θ-join: a
+    Python referee intersects every (session, window) pair directly and
+    the per-day aggregates must match exactly."""
+    from collections import defaultdict
+
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+    import datetime
+
+    ev = load_events(spark, sf_dir)
+    events = ev.select("user_id", "ts", "event_id").collect()
+    by_user = defaultdict(list)
+    for r in events:
+        by_user[r.user_id].append((r.ts, r.event_id))
+    sessions = []
+    for u, rows in by_user.items():
+        rows.sort()
+        start = end = None
+        for ts, _ in rows:
+            if end is not None and (ts - end) <= datetime.timedelta(minutes=30):
+                end = ts
+            else:
+                if start is not None:
+                    sessions.append((u, start, end))
+                start = end = ts
+        sessions.append((u, start, end))
+    days = {r.ts.date() for r in events}
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for day in days:
+        w0 = datetime.datetime.combine(day, datetime.time())
+        w1 = w0 + datetime.timedelta(hours=1)
+        for u, s0, s1 in sessions:
+            if s0 <= w1 and s1 >= w0:
+                ov = int(
+                    (min(s1, w1) - max(s0, w0)).total_seconds() * 1_000_000
+                )
+                a = agg[day.isoformat()]
+                a[0] += 1
+                a[1].add(u)
+                a[2] += ov
+                a[3] = max(a[3], ov)
+    got = BQ["join_interval_overlap_binned"](spark, sf_dir).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n, users, tot, mx = agg[r.day]
+        assert (r.n_sessions, r.n_users, r.total_overlap_us, r.max_overlap_us) == (
+            n,
+            len(users),
+            tot,
+            mx,
+        ), r.day
