@@ -62,6 +62,8 @@ _WINDOW = [
     "orders_dow_seasonality_index",
     "emb_kmeans_elbow_curve",
     "join_interval_overlap_binned",
+    "graph_degree_histogram",
+    "orders_open_aging_buckets",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,8 +96,6 @@ _WINDOW = [
     "scan_parquet",
     "proj_expr",
     "filt_pred",
-    "case_when",
-    "join_broadcast",
 ]
 
 

