@@ -64,6 +64,8 @@ _WINDOW = [
     "join_interval_overlap_binned",
     "graph_degree_histogram",
     "orders_open_aging_buckets",
+    "emb_pq_code_balance",
+    "text_vocab_coverage_oov",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -94,8 +96,6 @@ _WINDOW = [
     "window_session_stats",
     "envelope_map_attrs",
     "scan_parquet",
-    "proj_expr",
-    "filt_pred",
 ]
 
 

@@ -3782,3 +3782,157 @@ def emb_kmeans_elbow_curve(spark, sf_dir):
             6,
         ).alias("avg_dissim"),
     )
+
+
+@query(
+    "emb_pq_code_balance",
+    f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT))
+               AS qe
+      FROM embeddings
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, mm.m,
+             qe[mm.m * {_PQ_SUB} + 1 : mm.m * {_PQ_SUB} + {_PQ_SUB}] AS sv
+      FROM qv, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) mm
+    ),
+    cb0 AS (
+      SELECT m, vec_id AS k, sv AS cw FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    a0 AS MATERIALIZED (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pq_il2_sql('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb0 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    cb1 AS MATERIALIZED (
+      SELECT m, k, list(cp ORDER BY pos) AS cw FROM (
+        SELECT a0.m, a0.k, i AS pos,
+               CAST(floor(CAST(SUM(s.sv[i]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cp
+        FROM a0 JOIN subs s ON s.vec_id = a0.vec_id AND s.m = a0.m,
+             (SELECT unnest(generate_series(1, {_PQ_SUB})) AS i)
+        GROUP BY a0.m, a0.k, i
+      ) GROUP BY m, k
+    ),
+    enc AS MATERIALIZED (
+      SELECT vec_id, m, k FROM (
+        SELECT s.vec_id, s.m, c.k,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_pq_il2_sql('s.sv', 'c.cw')}, c.k) AS rn
+        FROM subs s JOIN cb1 c ON c.m = s.m
+      ) WHERE rn = 1
+    ),
+    bt AS (SELECT m, CAST(count(*) AS BIGINT) AS tot FROM enc GROUP BY m),
+    bc AS (SELECT m, k, CAST(count(*) AS BIGINT) AS n_vecs
+           FROM enc GROUP BY m, k)
+    SELECT CAST(c.m AS BIGINT) AS m, CAST(c.k AS BIGINT) AS k,
+           COALESCE(bc.n_vecs, 0) AS n_vecs,
+           CAST(COALESCE(bc.n_vecs, 0) * 1000000 // bt.tot AS BIGINT)
+             AS share_ppm
+    FROM cb1 c
+    LEFT JOIN bc ON bc.m = c.m AND bc.k = c.k
+    JOIN bt ON bt.m = c.m
+    """,
+)
+def emb_pq_code_balance(spark, sf_dir):
+    """Codebook-utilization report for the PQ index — the PQ sibling of
+    `emb_ivf_cell_balance`: after the SAME train→encode chain as
+    `sim_pq_adc_topk` (seeded codebooks, one Lloyd round of integer
+    squared-L2 assignment + floored-mean update — the chain is duplicated
+    here verbatim rather than refactored out, so the green serving op's
+    plan is untouched), count how many vectors each of the {_PQ_M}×
+    {_PQ_K} codewords actually encodes. Dead codewords (n_vecs = 0 —
+    kept via the LEFT join from the codebook side) waste code space and
+    signal bad seeding; a dominant codeword means the subspace carries
+    little information and ADC distances degrade — this is the
+    index-health check FAISS users run as `codebook imbalance`.
+    Exactness: assignment uses the integer-L2 + codeword tie-break
+    discipline, counts and floor-div shares are exact. Scale shape:
+    training/encoding shuffle (vec, subspace)-grain integer subvectors;
+    the report is an {_PQ_M}×{_PQ_K}-row aggregate; codebooks stay a
+    KB-scale broadcast."""
+    e_q = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                as_double("embedding"),
+                lambda x: F.round(x * _CENT_SCALE).cast("long"),
+            ).alias("qe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    subs = e_q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qe", m * _PQ_SUB + 1, _PQ_SUB).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "ms.m", "ms.sv")
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(codebook):
+        w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+        return (
+            subs.join(F.broadcast(codebook), "m")
+            .select(
+                "vec_id", "m", "k", il2(F.col("sv"), F.col("cw")).alias("dist")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "k")
+        )
+
+    cb0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    cb1 = (
+        assign(cb0)
+        .join(subs, ["vec_id", "m"])
+        .select("m", "k", F.posexplode("sv").alias("pos", "q"))
+        .groupBy("m", "k", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cp")
+        )
+        .groupBy("m", "k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cp"))).alias("p"))
+        .select("m", "k", F.transform("p", lambda s: s.getField("cp")).alias("cw"))
+        .localCheckpoint(eager=True)  # M x K rows; assign + report join
+    )
+    enc = assign(cb1)
+    bt = enc.groupBy("m").agg(F.count("*").cast("long").alias("tot"))
+    bc = enc.groupBy("m", "k").agg(F.count("*").cast("long").alias("n_vecs"))
+    return (
+        cb1.select("m", "k")
+        .join(bc, ["m", "k"], "left")
+        .join(F.broadcast(bt), "m")
+        .select(
+            F.col("m").cast("long").alias("m"),
+            F.col("k").cast("long").alias("k"),
+            F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+            F.expr(
+                "CAST(coalesce(n_vecs, 0) * 1000000 DIV tot AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )

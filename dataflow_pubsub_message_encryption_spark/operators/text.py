@@ -2139,3 +2139,84 @@ def text_bm25_prf_expansion(spark, sf_dir):
         F.round(F.col("s").cast("double") / 1_000_000.0, 6).alias("bm25"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+_OOV_VOCAB_K = 16
+
+
+@query(
+    "text_vocab_coverage_oov",
+    f"""
+    WITH ovv AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, token) AS rk
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+      ) WHERE rk <= {_OOV_VOCAB_K}
+    ),
+    ovt AS (
+      SELECT source, term,
+             CASE WHEN term IN (SELECT token FROM ovv) THEN 0 ELSE 1 END
+               AS oov
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+    FROM ovt GROUP BY source
+    """,
+)
+def text_vocab_coverage_oov(spark, sf_dir):
+    """Vocabulary coverage / out-of-vocabulary rate per source — the
+    tokenizer-health check run before committing a vocab: train the
+    top-{_OOV_VOCAB_K} vocabulary on the whole corpus (the
+    `text_vocab_build` ranking, truncated hard), then measure what
+    fraction of each source's token stream falls OUTSIDE it. A source
+    with a high OOV rate will fragment into byte-fallback pieces under a
+    BPE tokenizer trained on this vocab (`tokenizer_fertility_by_lang`
+    measures the same failure after the fact; this predicts it before).
+    Exactness: token counts and the OOV indicator are integers, the rate
+    is one integer floor-division to ppm. Scale shape: the vocabulary is
+    a top-K TakeOrderedAndProject over the token census (broadcast as a
+    {_OOV_VOCAB_K}-row set — the membership test is a broadcast join, no
+    shuffle of the token stream); per-source totals partial-aggregate in
+    the same pass over the exploded tokens."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(_OOV_VOCAB_K)
+        .select("token")
+    )
+    toks = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumn("in_v", F.lit(1))),
+            toks.term == F.col("token"),
+            "left",
+        )
+        .select(
+            "source",
+            F.when(F.col("in_v").isNull(), 1).otherwise(0).alias("oov"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )

@@ -565,3 +565,42 @@ def test_aging_buckets_cover_open_orders(spark, sf_dir):
         assert 0 <= r.bucket <= 4
         assert r.age_days_lo == r.bucket * 180
         assert r.value_unit > 0
+
+
+def test_pq_code_balance_covers_codebook(spark, sf_dir):
+    """Every (subspace, codeword) slot is reported (dead codewords
+    included as zero rows), per-subspace counts sum to the corpus size,
+    and shares are valid floor-division ppm."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    n = load(spark, sf_dir, "embeddings").count()
+    rows = SQ["emb_pq_code_balance"](spark, sf_dir).collect()
+    assert len(rows) == 4 * 8  # _PQ_M x _PQ_K
+    per_m = {}
+    for r in rows:
+        assert 0 <= r.m <= 3 and 0 <= r.k <= 7
+        assert r.n_vecs >= 0
+        assert r.share_ppm == r.n_vecs * 1_000_000 // n
+        per_m[r.m] = per_m.get(r.m, 0) + r.n_vecs
+    assert all(v == n for v in per_m.values())
+
+
+def test_oov_rates_are_consistent(spark, sf_dir):
+    """Per-source token totals sum to the corpus token count, OOV never
+    exceeds the total, and the ppm rate is the exact floor division."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import QUERIES as TQ
+    from dataflow_pubsub_message_encryption_spark.functions.textfns import tokens
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_tokens = docs.select(
+        F.explode(tokens("text")).alias("t")
+    ).count()
+    rows = TQ["text_vocab_coverage_oov"](spark, sf_dir).collect()
+    assert sum(r.n_tokens for r in rows) == corpus_tokens
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
