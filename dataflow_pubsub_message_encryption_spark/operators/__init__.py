@@ -66,6 +66,7 @@ _WINDOW = [
     "orders_open_aging_buckets",
     "emb_pq_code_balance",
     "text_vocab_coverage_oov",
+    "window_rolling_median",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -95,7 +96,6 @@ _WINDOW = [
     "window_sliding_counts",
     "window_session_stats",
     "envelope_map_attrs",
-    "scan_parquet",
 ]
 
 

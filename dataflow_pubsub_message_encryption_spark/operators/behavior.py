@@ -2683,3 +2683,92 @@ def orders_open_aging_buckets(spark, sf_dir):
             "value_unit",
         )
     )
+
+
+@query(
+    "window_rolling_median",
+    """
+    WITH rmc AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    rmo AS (SELECT CAST(unnest(generate_series(-3, 3)) AS INTEGER) AS k),
+    rmp AS (
+      SELECT a.event_type, a.day, a.cnt,
+             b.cnt AS w_cnt, b.day AS w_day
+      FROM rmc a
+      JOIN rmo ON true
+      JOIN rmc b
+        ON b.event_type = a.event_type AND b.day = a.day + rmo.k
+    ),
+    rmr AS (
+      SELECT event_type, day, cnt, w_cnt,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY w_cnt, w_day) AS rn,
+             count(*) OVER (PARTITION BY event_type, day) AS n
+      FROM rmp
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, cnt,
+           CAST(n AS BIGINT) AS n_window,
+           w_cnt AS rolling_med
+    FROM rmr WHERE rn = (n + 1) // 2
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Rolling 7-day EXACT median of daily per-type volume — the robust
+    member of the smoother trio (`orders_gmv_daily_7dma` uniform mean,
+    `events_ewma_daily` exponential mean, this one): one spike day moves
+    a 7-day mean by spike/7 but leaves the median untouched, so the
+    median smoother is what anomaly thresholds are drawn against
+    (`events_anomaly_mad` is its global-window sibling). Window = the
+    present days in [d−3, d+3] (edges and gaps shrink the window — the
+    count is reported); the median is the deterministic lower-median at
+    rank (n+1)//2 under a (value, day) total order — the
+    `events_anomaly_mad` discipline, all-integer end to end. Scale
+    shape: the fact table reduces to |types|×|days| cells once; the
+    window materializes via a 7-offset broadcast fan-out (the
+    `events_ewma_daily` plan shape) and the rank windows are PARTITIONED
+    by (type, anchor day) over ≤7-row groups — no global window, no
+    unbounded frame."""
+    ev = load_events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    ks = spark.range(-3, 4).select(F.col("id").cast("int").alias("k"))
+    b = cells.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("w_day"),
+        F.col("cnt").alias("w_cnt"),
+    )
+    pairs = (
+        cells.alias("a")
+        .join(F.broadcast(ks))
+        .withColumn("tgt", F.date_add(F.col("a.day"), F.col("k")))
+        .join(
+            b,
+            (F.col("b_type") == F.col("a.event_type"))
+            & (F.col("w_day") == F.col("tgt")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.day").alias("day"),
+            F.col("a.cnt").alias("cnt"),
+            "w_cnt",
+            "w_day",
+        )
+    )
+    wrk = Window.partitionBy("event_type", "day").orderBy("w_cnt", "w_day")
+    wn = Window.partitionBy("event_type", "day")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wrk))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "event_type",
+            date_str("day").alias("day"),
+            "cnt",
+            F.col("n").cast("long").alias("n_window"),
+            F.col("w_cnt").alias("rolling_med"),
+        )
+    )

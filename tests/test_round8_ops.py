@@ -604,3 +604,37 @@ def test_oov_rates_are_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert r.oov_ppm == r.n_oov * 1_000_000 // r.n_tokens
+
+
+def test_rolling_median_matches_python_referee(spark, sf_dir):
+    """Full referee: recompute the 7-day lower median from the daily
+    cells in plain Python and require every row to match exactly."""
+    from dataflow_pubsub_message_encryption_spark.operators.behavior import (
+        QUERIES as BQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+    import datetime
+
+    ev = load_events(spark, sf_dir)
+    cells = {
+        (r.event_type, r.day): r.cnt
+        for r in ev.groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = BQ["window_rolling_median"](spark, sf_dir).collect()
+    assert len(got) == len(cells)
+    for r in got:
+        day = datetime.date.fromisoformat(r.day)
+        window = sorted(
+            cells[(r.event_type, day + datetime.timedelta(days=k))]
+            for k in range(-3, 4)
+            if (r.event_type, day + datetime.timedelta(days=k)) in cells
+        )
+        assert r.n_window == len(window) <= 7
+        assert r.rolling_med == window[(len(window) + 1) // 2 - 1], (
+            r.event_type,
+            r.day,
+        )
