@@ -553,3 +553,81 @@ def pack_efficiency_report(spark, sf_dir):
             ).alias("util_sorted"),
         )
     )
+
+
+@query(
+    "split_grouped_holdout",
+    """
+    WITH sgb AS (
+      SELECT source, text,
+             CASE WHEN ((instr('0123456789abcdef',
+                               substr(sha256(source), 1, 1)) - 1) * 16
+                        + (instr('0123456789abcdef',
+                                 substr(sha256(source), 2, 1)) - 1)) % 10 < 8
+                  THEN 'train'
+                  WHEN ((instr('0123456789abcdef',
+                               substr(sha256(source), 1, 1)) - 1) * 16
+                        + (instr('0123456789abcdef',
+                                 substr(sha256(source), 2, 1)) - 1)) % 10 = 8
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM documents
+    ),
+    sgt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(count(*) * 1000000 // sgt.total AS BIGINT) AS doc_share_ppm
+    FROM sgb, sgt GROUP BY split, sgt.total
+    """,
+)
+def split_grouped_holdout(spark, sf_dir):
+    """GROUP-aware train/valid/test holdout — the split `split_kfold_assign`
+    (content-hash) and `split_train_test` don't give: the hash is taken on
+    the SOURCE, so every document of a source lands in the SAME split.
+    This is the leakage control for correlated groups — near-duplicate and
+    stylistically-identical documents cluster within a source, and a
+    per-document split leaks that shared signal from train into test
+    (group k-fold in the scikit-learn taxonomy; the standard protocol for
+    domain-held-out evaluation of web corpora). 80/10/10 by (first
+    source-hash byte) mod 10 — a pure narrow map, recomputable identically
+    on any executor forever, no stored split table at 100 TB. The
+    grouping law (each source in exactly ONE split) holds by construction
+    and is pinned in tests. Census exactness: counts, token sums, and the
+    floor-div ppm share are all integers; the census groupBy is the only
+    exchange and partial-aggregates map-side."""
+    nib = lambda i: (  # noqa: E731 — mirrors the SQL nibble idiom
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.sha2("source", 256), i, 1)
+        )
+        - 1
+    )
+    bucket = (nib(1) * 16 + nib(2)) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    docs = load(spark, sf_dir, "documents")
+    tot = docs.agg(F.count("*").cast("long").alias("total"))
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(tokens("text")).alias("nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))  # 3 rows x 1 row
+        .select(
+            "split",
+            "n_sources",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 DIV total AS BIGINT)").alias(
+                "doc_share_ppm"
+            ),
+        )
+    )

@@ -638,3 +638,37 @@ def test_rolling_median_matches_python_referee(spark, sf_dir):
             r.event_type,
             r.day,
         )
+
+
+def test_grouped_holdout_never_splits_a_source(spark, sf_dir):
+    """The grouping law: recompute each source's split in Python from the
+    same hash rule and confirm the census is consistent with every source
+    living in exactly one split; splits partition the corpus."""
+    import hashlib
+
+    from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+        QUERIES as PQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+    def split_of(src: str) -> str:
+        b = int(hashlib.sha256(src.encode()).hexdigest()[:2], 16) % 10
+        return "train" if b < 8 else ("valid" if b == 8 else "test")
+
+    want = {}
+    for src, n in per_source.items():
+        s = split_of(src)
+        d = want.setdefault(s, [0, 0])
+        d[0] += 1
+        d[1] += n
+    rows = PQ["split_grouped_holdout"](spark, sf_dir).collect()
+    assert {r.split for r in rows} == set(want)
+    for r in rows:
+        assert (r.n_sources, r.n_docs) == tuple(want[r.split]), r.split
+    assert sum(r.n_docs for r in rows) == sum(per_source.values())
