@@ -68,6 +68,7 @@ _WINDOW = [
     "text_vocab_coverage_oov",
     "window_rolling_median",
     "split_grouped_holdout",
+    "corpus_dedup_savings_report",
     # --- re-gate: implementation changed since the green row (top-K
     # idiom / _global_cumsum delegation / graph-ANN re-pointing /
     # self-join disambiguation / modularity caching) ---
@@ -95,7 +96,6 @@ _WINDOW = [
     "dek_cache",
     "window_tumbling_counts",
     "window_sliding_counts",
-    "window_session_stats",
 ]
 
 

@@ -1059,3 +1059,126 @@ def graph_degree_histogram(spark, sf_dir):
 ORACLES["graph_degree_histogram"] = ORACLES["graph_degree_histogram"].format(
     pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"]
 )
+
+
+@query(
+    "corpus_dedup_savings_report",
+    """
+    WITH RECURSIVE sv_pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs})
+    ),
+    sv_edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM sv_pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM sv_pairs
+    ),
+    sv_reach(node, lbl) AS (
+      SELECT s, s FROM sv_edges
+      UNION
+      SELECT e.d, r.lbl FROM sv_reach r JOIN sv_edges e ON e.s = r.node
+    ),
+    sv_comp AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM sv_reach GROUP BY node
+    ),
+    sv_s1 AS MATERIALIZED (
+      SELECT d.doc_id, d.n_chars
+      FROM documents d
+      JOIN (SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY sha256(text)) k ON k.doc_id = d.doc_id
+    ),
+    sv_cmin AS (
+      SELECT c.cluster_id, min(d.doc_id) AS keep_id
+      FROM sv_s1 d JOIN sv_comp c ON c.doc_id = d.doc_id
+      GROUP BY c.cluster_id
+    ),
+    sv_keep AS (
+      SELECT d.doc_id, d.n_chars
+      FROM sv_s1 d
+      LEFT JOIN sv_comp c ON c.doc_id = d.doc_id
+      LEFT JOIN sv_cmin m ON m.cluster_id = c.cluster_id
+      WHERE m.keep_id IS NULL OR d.doc_id = m.keep_id
+    ),
+    sv_stages AS (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+      FROM documents
+      UNION ALL
+      SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_chars) AS BIGINT) FROM sv_s1
+      UNION ALL
+      SELECT 2, 'near_dedup', CAST(count(*) AS BIGINT),
+             CAST(SUM(n_chars) AS BIGINT) FROM sv_keep
+    ),
+    sv_raw AS (SELECT n_bytes AS raw_bytes FROM sv_stages WHERE stage_idx = 0)
+    SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage, n_docs, n_bytes,
+           CAST((raw_bytes - n_bytes) * 1000000 // raw_bytes AS BIGINT)
+             AS savings_ppm
+    FROM sv_stages, sv_raw
+    """,
+)
+def corpus_dedup_savings_report(spark, sf_dir):
+    """Pipeline-economics rollup of the dedup cascade — the number a
+    corpus owner actually budgets with: documents and bytes surviving
+    each stage (raw → exact dedup → near-dup dedup) and the cumulative
+    savings. Stage 1 keeps the min-doc_id per exact content hash; stage 2
+    keeps, per near-dup component (`dedup_cluster_components`' star-
+    contraction fixed point), the minimum SURVIVING doc — a component
+    whose canonical doc was already removed as an exact duplicate keeps
+    its next member, so the stages compose correctly rather than
+    assuming stage independence. The oracle embeds the LSH-pairs oracle
+    AND the recursive-CTE components inside one chain (sv_-prefixed CTEs
+    — the embed-recursive collision trap), so the full composed lineage
+    is value-checked. Exactness: doc counts, byte sums, and the
+    floor-div savings are integers. Scale shape: the exact stage is one
+    hash-groupBy; the near stage reuses the O(log n) contraction labels
+    (ids-only); the keep rule is one per-cluster min + a broadcast-sized
+    join; output is 3 rows."""
+    docs = load(spark, sf_dir, "documents")
+    s1 = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars")
+    )
+    comp = QUERIES["dedup_cluster_components"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    s1c = s1.join(comp, "doc_id", "left")
+    cmin = (
+        s1c.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    keep = s1c.join(F.broadcast(cmin), "cluster_id", "left").filter(
+        F.col("keep_id").isNull() | (F.col("doc_id") == F.col("keep_id"))
+    )
+
+    def census(df, idx, name):
+        return df.agg(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_bytes"),
+        )
+
+    stages = (
+        census(docs.select("n_chars"), 0, "raw")
+        .unionByName(census(s1, 1, "exact_dedup"))
+        .unionByName(census(keep, 2, "near_dedup"))
+    )
+    raw = docs.agg(F.sum("n_chars").cast("long").alias("raw_bytes"))
+    return stages.crossJoin(F.broadcast(raw)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        "n_bytes",
+        F.expr(
+            "CAST((raw_bytes - n_bytes) * 1000000 DIV raw_bytes AS BIGINT)"
+        ).alias("savings_ppm"),
+    )
+
+
+ORACLES["corpus_dedup_savings_report"] = ORACLES[
+    "corpus_dedup_savings_report"
+].format(pairs=_DEDUP_ORACLES["dedup_minhash_lsh_pairs"])

@@ -672,3 +672,28 @@ def test_grouped_holdout_never_splits_a_source(spark, sf_dir):
     for r in rows:
         assert (r.n_sources, r.n_docs) == tuple(want[r.split]), r.split
     assert sum(r.n_docs for r in rows) == sum(per_source.values())
+
+
+def test_dedup_savings_stages_are_monotone(spark, sf_dir):
+    """Each stage can only shrink the corpus; the raw stage matches the
+    table census exactly; every near-dup component contributes at least
+    one survivor (no cluster is wiped out entirely)."""
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        QUERIES as GQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    truth = docs.agg(F.count("*"), F.sum("n_chars")).collect()[0]
+    rows = {r.stage_idx: r for r in GQ["corpus_dedup_savings_report"](spark, sf_dir).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert (rows[0].n_docs, rows[0].n_bytes) == (truth[0], truth[1])
+    assert rows[0].savings_ppm == 0
+    for a, b in ((0, 1), (1, 2)):
+        assert rows[b].n_docs <= rows[a].n_docs
+        assert rows[b].n_bytes <= rows[a].n_bytes
+        assert rows[b].savings_ppm >= rows[a].savings_ppm
+    # no component wiped out: survivors >= number of distinct clusters
+    # intersected with stage-1 survivors is implied by keep-one-per-cluster;
+    # check the weaker global bound that SOMETHING survives stage 2
+    assert rows[2].n_docs > 0
