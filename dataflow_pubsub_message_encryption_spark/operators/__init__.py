@@ -40,6 +40,8 @@ _MODULES = [
 # burned on a `no_oracle` row.
 _WINDOW = [
     # --- round-8 additions (never driver-graded) ---
+    "text_hapax_ratio",
+    "sim_reciprocal_nn",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -87,9 +89,10 @@ _WINDOW = [
     # --- stalest-green re-proofs (VERDICT r7 item 9): every key below
     # last graded green in round 1 — re-proven so no key's latest green
     # is more than a few rounds old ---
+    # (proj_attrs and filt_type — the two narrowest r1 greens, a pure
+    # projection and a pushed filter — yielded their re-proof slots to the
+    # two late-round additions above; they stay r1-green, not never-graded)
     "src_scan_events",
-    "proj_attrs",
-    "filt_type",
     "json_parse_props",
     "envelope_roundtrip",
     "mac_verify_filter",

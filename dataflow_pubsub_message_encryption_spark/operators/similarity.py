@@ -3936,3 +3936,88 @@ def emb_pq_code_balance(spark, sf_dir):
             ).alias("share_ppm"),
         )
     )
+
+
+@query(
+    "sim_reciprocal_nn",
+    f"""
+    WITH rb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             {_lsh_bucket_sql("embedding", _BLOCK_BITS)} AS bucket
+      FROM embeddings
+    ),
+    rnn AS (
+      SELECT vec_id, nb_id, cos_sim FROM (
+        SELECT a.vec_id, c.vec_id AS nb_id,
+               round(list_cosine_similarity(a.e, c.e), 6) AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.e, c.e), 6) DESC,
+                          c.vec_id) AS rn
+        FROM rb a JOIN rb c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT p.vec_id AS vec_a, p.nb_id AS vec_b, p.cos_sim
+    FROM rnn p JOIN rnn q ON q.vec_id = p.nb_id AND q.nb_id = p.vec_id
+    WHERE p.vec_id < p.nb_id
+    """,
+)
+def sim_reciprocal_nn(spark, sf_dir):
+    """Mutual-nearest-neighbor pairs — the high-precision pairing rule a
+    dedup/alignment pass runs when one-directional NN is too loose: keep
+    (a, b) only when b is a's top-1 AND a is b's top-1 (cosine, rounded,
+    vec_id tie-break). NN is defined WITHIN the 4-bit hyperplane LSH
+    block (same deterministic inlined planes as `dedup_embedding_lsh`),
+    so the semantics are EXACT-oracle-checked end to end including the
+    blocking; singleton-bucket vectors have no candidate and drop out in
+    both engines. Scale shape: candidate generation is the bucket
+    equi-self-join (cost = sum of squared bucket sizes — the prefix
+    length is the knob); top-1 selection is a rank window PARTITIONED BY
+    vec_id (high-cardinality key, no single-partition exchange); the
+    mutuality test re-joins the |V|-row NN table against an id-only
+    renamed copy (disambiguated per the round-7 self-join advisory). At
+    100 TB each unordered pair would be scored once and mirrored instead
+    of scored in both directions — a constant-factor swap the fixture
+    scale doesn't need."""
+    from ..functions.vectors import dot, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        as_double("embedding").alias("emb"),
+        norm(as_double("embedding")).alias("nrm"),
+        _bucket_bits(as_double("embedding"), _BLOCK_BITS).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cs = F.round(
+        dot(F.col("x.emb"), F.col("y.emb")) / (F.col("x.nrm") * F.col("y.nrm")),
+        6,
+    )
+    scored = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("y.vec_id").alias("nb_id"),
+        cs.alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nb_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    m = nn.select(F.col("vec_id").alias("q_id"), F.col("nb_id").alias("q_nb"))
+    return (
+        nn.join(
+            m,
+            (F.col("q_id") == F.col("nb_id")) & (F.col("q_nb") == F.col("vec_id")),
+        )
+        .filter(F.col("vec_id") < F.col("nb_id"))
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("nb_id").alias("vec_b"),
+            "cos_sim",
+        )
+    )

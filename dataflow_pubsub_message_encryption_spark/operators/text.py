@@ -2220,3 +2220,46 @@ def text_vocab_coverage_oov(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_hapax_ratio",
+    """
+    WITH htf AS (
+      SELECT source, term, count(*) AS cnt
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY source, term
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio
+    FROM htf GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Per-source hapax-legomena ratio — the lexical-richness signal a
+    corpus-curation pass reads alongside `text_zipf_fit` (distribution
+    shape) and `vocab_growth_curve` (heaps growth): a source whose hapax
+    share collapses is template/boilerplate-heavy; one where it explodes
+    is OCR noise or codepoint soup. Exactness: everything is integer
+    counts; the ratio is one double division + 6dp round. Scale shape:
+    tokenize-then-aggregate twice — the (source, term) census
+    partial-aggregates map-side so the first shuffle carries distinct
+    (source, term) cells, not token occurrences, and the second collapses
+    to |sources| rows. No window, no join, no driver fetch."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("cnt"))
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.count("*").alias("vocab"),
+        hap.cast("long").alias("n_hapax"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.round(hap.cast("double") / F.count("*"), 6).alias("hapax_ratio"),
+    )

@@ -697,3 +697,46 @@ def test_dedup_savings_stages_are_monotone(spark, sf_dir):
     # intersected with stage-1 survivors is implied by keep-one-per-cluster;
     # check the weaker global bound that SOMETHING survives stage 2
     assert rows[2].n_docs > 0
+
+
+def test_hapax_counts_are_consistent(spark, sf_dir):
+    """Per-source hapax law: n_hapax <= vocab <= n_tokens, the ratio is
+    exactly n_hapax/vocab, and the token totals reconcile with an
+    independent per-doc split-length census."""
+    from dataflow_pubsub_message_encryption_spark.operators.text import QUERIES as TQ
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    rows = TQ["text_hapax_ratio"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.vocab <= r.n_tokens
+        assert abs(r.hapax_ratio - round(r.n_hapax / r.vocab, 6)) < 1e-9
+    totals = {
+        x.source: x.t
+        for x in load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    assert {r.source: r.n_tokens for r in rows} == totals
+
+
+def test_reciprocal_nn_pairs_are_disjoint_mutual(spark, sf_dir):
+    """Mutual-NN structural law: each vector's in-bucket top-1 is unique,
+    so a vector can appear in AT MOST one reciprocal pair — the emitted
+    pairs are vertex-disjoint, canonically ordered (vec_a < vec_b), and a
+    strict subset of the bucket-blocked candidate pairs scored by
+    dedup_embedding_lsh's machinery."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    pairs = SQ["sim_reciprocal_nn"](spark, sf_dir).collect()
+    assert pairs
+    seen = set()
+    for p in pairs:
+        assert p.vec_a < p.vec_b
+        assert p.vec_a not in seen and p.vec_b not in seen
+        seen.add(p.vec_a)
+        seen.add(p.vec_b)
+        assert -1.0 <= p.cos_sim <= 1.0
