@@ -42,6 +42,8 @@ _WINDOW = [
     # --- round-8 additions (never driver-graded) ---
     "text_hapax_ratio",
     "sim_reciprocal_nn",
+    "corpus_filter_attrition_report",
+    "emb_knn_loo_accuracy",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -89,11 +91,10 @@ _WINDOW = [
     # --- stalest-green re-proofs (VERDICT r7 item 9): every key below
     # last graded green in round 1 — re-proven so no key's latest green
     # is more than a few rounds old ---
-    # (proj_attrs and filt_type — the two narrowest r1 greens, a pure
-    # projection and a pushed filter — yielded their re-proof slots to the
-    # two late-round additions above; they stay r1-green, not never-graded)
-    "src_scan_events",
-    "json_parse_props",
+    # (proj_attrs, filt_type, src_scan_events and json_parse_props — the
+    # four narrowest r1 greens (pure projection, pushed filter, bare scan,
+    # json map) — yielded their re-proof slots to the late-round additions
+    # above; they stay r1-green, not never-graded)
     "envelope_roundtrip",
     "mac_verify_filter",
     "dek_cache",

@@ -1584,3 +1584,82 @@ def dq_freshness_lag(spark, sf_dir):
             " > 86400000000 THEN 1 ELSE 0 END AS INT)"
         ).alias("is_stale"),
     )
+
+
+_ATTR_MIN_TOKENS = 20  # rule 1: hard length floor (corpus_clean_pipeline's)
+_ATTR_TTR_PCT = 35  # rule 2: type-token ratio floor, percent
+_ATTR_STOP_DECI = 1  # rule 3: stopword share ceiling, tenths (10%)
+
+
+@query(
+    "corpus_filter_attrition_report",
+    f"""
+    WITH att AS (
+      SELECT CASE
+               WHEN n < {_ATTR_MIN_TOKENS} THEN '1_too_short'
+               WHEN v * 100 < {_ATTR_TTR_PCT} * n THEN '2_low_diversity'
+               WHEN s * 10 > {_ATTR_STOP_DECI} * n THEN '3_stopword_heavy'
+               ELSE '4_survived'
+             END AS rule,
+             n
+      FROM (
+        SELECT len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS v,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains(['the', 'and', 'of'], t))) AS s
+        FROM documents
+      )
+    ),
+    tot AS (SELECT count(*) AS t FROM att)
+    SELECT rule,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM att GROUP BY rule
+    """,
+)
+def corpus_filter_attrition_report(spark, sf_dir):
+    """Per-rule FIRST-KILL attrition attribution for an ordered quality
+    ladder (Gopher/C4-style rule stack): every doc is charged to the
+    FIRST rule that rejects it — length floor, then type-token-ratio
+    floor (repetition/boilerplate), then stopword-share ceiling — so the
+    report answers "which rule costs us what" without double-counting
+    docs that several rules would kill (the sibling
+    `corpus_dedup_savings_report` does the same for the dedup stages).
+    All three predicates are integer cross-multiplications (no ratio
+    doubles), so attribution is bit-deterministic. Scale shape: ONE
+    narrow scan computes the three counters per doc, the CASE ladder is
+    a map, and the only exchange is the 4-row rule census plus a 1-row
+    total broadcast for the ppm share — no window, no join at data
+    grain."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(F.lit("the"), F.lit("and"), F.lit("of"))
+    att = docs.select(
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("v"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias("s"),
+    ).select(
+        F.when(F.col("n") < _ATTR_MIN_TOKENS, "1_too_short")
+        .when(F.col("v") * 100 < _ATTR_TTR_PCT * F.col("n"), "2_low_diversity")
+        .when(F.col("s") * 10 > _ATTR_STOP_DECI * F.col("n"), "3_stopword_heavy")
+        .otherwise("4_survived")
+        .alias("rule"),
+        "n",
+    )
+    tot = att.agg(F.count("*").alias("t"))
+    return (
+        att.groupBy("rule")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "rule",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST(n_docs * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+        )
+    )

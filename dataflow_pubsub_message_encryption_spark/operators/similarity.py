@@ -4021,3 +4021,80 @@ def sim_reciprocal_nn(spark, sf_dir):
             "cos_sim",
         )
     )
+
+
+@query(
+    "emb_knn_loo_accuracy",
+    f"""
+    WITH lb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+             {_lsh_bucket_sql("embedding", _BLOCK_BITS)} AS bucket
+      FROM embeddings
+    ),
+    lnn AS (
+      SELECT vec_id, label, nb_label FROM (
+        SELECT a.vec_id, a.label, c.label AS nb_label,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.e, c.e), 6) DESC,
+                          c.vec_id) AS rn
+        FROM lb a JOIN lb c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+      ) WHERE rn = 1
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS acc_ppm
+    FROM lnn GROUP BY label
+    """,
+)
+def emb_knn_loo_accuracy(spark, sf_dir):
+    """Leave-one-out 1-NN label accuracy — the standard embedding-quality
+    eval (does nearest-neighbor structure respect labels?) run the way a
+    100 TB shop must: each vector's neighbor comes from ITS 4-bit
+    hyperplane LSH block (the candidate generation every ANN op here
+    shares), not an all-pairs scan, and the blocking is part of the
+    oracle-checked semantics. Complements `emb_label_separation_report`
+    (centroid geometry) with an instance-level retrieval view; a label
+    whose accuracy craters while separation holds marks multi-modal
+    classes. Scale shape: bucket equi-self-join for candidates, top-1 by
+    rank window PARTITIONED BY vec_id, then a |labels|-row census —
+    ids+labels ride the shuffle, vectors stay bucket-local. Singleton-
+    bucket vectors have no candidate and drop from the eval in both
+    engines (reported n_eval makes the denominator honest)."""
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("emb"),
+        _bucket_bits(as_double("embedding"), _BLOCK_BITS).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cs = F.round(cosine(F.col("x.emb"), F.col("y.emb")), 6)
+    scored = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vec_id") != F.col("y.vec_id")),
+    ).select(
+        F.col("x.vec_id").alias("vec_id"),
+        F.col("x.label").alias("label"),
+        F.col("y.label").alias("nb_label"),
+        cs.alias("cos_sim"),
+        F.col("y.vec_id").alias("nb_id"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "nb_id")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    hit = F.sum(F.when(F.col("nb_label") == F.col("label"), 1).otherwise(0))
+    return nn.groupBy("label").agg(
+        F.count("*").alias("n_eval"),
+        hit.cast("long").alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("acc_ppm"),
+    )

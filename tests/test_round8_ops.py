@@ -740,3 +740,59 @@ def test_reciprocal_nn_pairs_are_disjoint_mutual(spark, sf_dir):
         seen.add(p.vec_a)
         seen.add(p.vec_b)
         assert -1.0 <= p.cos_sim <= 1.0
+
+
+def test_attrition_rules_partition_the_corpus(spark, sf_dir):
+    """First-kill attribution law: the rule census partitions documents —
+    doc and token totals equal the raw corpus totals, shares are exact
+    ppm floor-divisions, and the '1_too_short' bucket equals an
+    independent count of sub-floor docs."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        _ATTR_MIN_TOKENS,
+        QUERIES as CQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    rows = {r.rule: r for r in CQ["corpus_filter_attrition_report"](spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_tokens = docs.agg(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    assert sum(r.n_tokens for r in rows.values()) == n_tokens
+    for r in rows.values():
+        assert r.share_ppm == r.n_docs * 1_000_000 // n_docs
+    short = docs.filter(F.size(F.split("text", " ")) < _ATTR_MIN_TOKENS).count()
+    assert rows["1_too_short"].n_docs == short
+    assert rows["4_survived"].n_docs > 0
+
+
+def test_loo_accuracy_reads_chance_on_unstructured_labels(spark, sf_dir):
+    """1-NN label accuracy laws: denominators reconcile (n_correct <=
+    n_eval, total evaluated <= corpus size), ppm is the exact floor-div —
+    and the eval does its JOB on this fixture: the synthetic labels are
+    random w.r.t. embedding geometry, so pooled accuracy must read
+    chance-level (within 3x of the 1/|labels| baseline in either
+    direction), NOT high — this is the op correctly flagging an
+    embedding whose NN structure ignores labels."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    rows = SQ["emb_knn_loo_accuracy"](spark, sf_dir).collect()
+    assert rows
+    emb = load(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    counts = {r[0]: r[1] for r in emb.groupBy("label").count().collect()}
+    tot_eval = sum(r.n_eval for r in rows)
+    tot_hit = sum(r.n_correct for r in rows)
+    assert 0 < tot_eval <= n_vecs
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_eval
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_eval
+    chance = 1.0 / len(counts)
+    pooled = tot_hit / tot_eval
+    assert chance / 3 < pooled < chance * 3, (
+        f"pooled LOO accuracy {pooled:.3f} not chance-level "
+        f"(~{chance:.3f}) on the label-unstructured fixture"
+    )
