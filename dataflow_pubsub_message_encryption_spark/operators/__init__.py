@@ -44,6 +44,7 @@ _WINDOW = [
     "sim_reciprocal_nn",
     "corpus_filter_attrition_report",
     "emb_knn_loo_accuracy",
+    "multimodal_chunk_dedup_savings",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -91,15 +92,16 @@ _WINDOW = [
     # --- stalest-green re-proofs (VERDICT r7 item 9): every key below
     # last graded green in round 1 — re-proven so no key's latest green
     # is more than a few rounds old ---
-    # (proj_attrs, filt_type, src_scan_events and json_parse_props — the
-    # four narrowest r1 greens (pure projection, pushed filter, bare scan,
-    # json map) — yielded their re-proof slots to the late-round additions
-    # above; they stay r1-green, not never-graded)
+    # (proj_attrs, filt_type, src_scan_events, json_parse_props and
+    # window_sliding_counts — the five narrowest r1 greens (pure
+    # projection, pushed filter, bare scan, json map, and the sliding
+    # sibling of the still-listed tumbling window) — yielded their
+    # re-proof slots to the late-round additions above; they stay
+    # r1-green, not never-graded)
     "envelope_roundtrip",
     "mac_verify_filter",
     "dek_cache",
     "window_tumbling_counts",
-    "window_sliding_counts",
 ]
 
 

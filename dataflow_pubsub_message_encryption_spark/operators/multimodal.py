@@ -726,3 +726,64 @@ def multimodal_phash_hamming(spark, sf_dir):
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= _PH_TAU)
     )
+
+
+_CHUNK_HEX = 128  # 64-byte chunks, expressed in hex chars
+
+
+@query(
+    "multimodal_chunk_dedup_savings",
+    f"""
+    WITH chx AS (SELECT lower(hex(encode(text))) AS h FROM documents),
+    ch AS (
+      SELECT sha256(substr(h, CAST(p AS INTEGER), {_CHUNK_HEX})) AS chash,
+             len(substr(h, CAST(p AS INTEGER), {_CHUNK_HEX})) // 2 AS nb
+      FROM chx, unnest(generate_series(1, len(h), {_CHUNK_HEX})) AS t(p)
+    ),
+    g AS (SELECT chash, nb, count(*) AS cnt FROM ch GROUP BY chash, nb)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(SUM(nb * cnt) AS BIGINT) AS bytes_total,
+           CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+           CAST((SUM(nb * cnt) - SUM(nb)) * 1000000 // SUM(nb * cnt)
+                AS BIGINT) AS savings_ppm
+    FROM g
+    """,
+)
+def multimodal_chunk_dedup_savings(spark, sf_dir):
+    """Content-addressable chunk-store savings estimate — fixed-stride
+    64-byte chunking of every binary payload, dedup by chunk hash: the
+    capacity-planning number a 100 TB media lake reads before building a
+    CAS/CDC store (fixed stride is the FastCDC baseline; content-defined
+    boundaries raise recall on shifted content but the pipeline shape —
+    chunk, hash, group, account — is identical). Chunks are hashed over
+    the hex encoding so the oracle runs the byte-identical computation.
+    Scale shape: narrow explode fans each payload to ~n_bytes/64 chunk
+    rows (no join), the chunk census is ONE hash-groupBy whose shuffle
+    carries (hash, size) pairs — the exact shape of the store build
+    itself — and the savings rollup is a 1-row aggregate. All integer
+    arithmetic, ppm floor-div."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    hx = m.select(F.lower(F.hex("payload")).alias("h"))
+    ch = hx.select(
+        F.explode(
+            F.sequence(F.lit(1), F.length("h"), F.lit(_CHUNK_HEX))
+        ).alias("p"),
+        "h",
+    ).select(
+        F.sha2(F.expr(f"substring(h, p, {_CHUNK_HEX})"), 256).alias("chash"),
+        (F.length(F.expr(f"substring(h, p, {_CHUNK_HEX})")) / 2)
+        .cast("long")
+        .alias("nb"),
+    )
+    g = ch.groupBy("chash", "nb").agg(F.count("*").alias("cnt"))
+    return g.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("nb") * F.col("cnt")).cast("long").alias("bytes_total"),
+        F.sum("nb").cast("long").alias("bytes_unique"),
+        F.expr(
+            "CAST((SUM(nb * cnt) - SUM(nb)) * 1000000"
+            " DIV SUM(nb * cnt) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

@@ -45,3 +45,17 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Whole-object binary ingest via the built-in ``binaryFile``
+    datasource: one row per object — (path, modificationTime, length,
+    content BINARY) — the ingest boundary that feeds the multimodal
+    ``with_media`` column contract (operators/multimodal.py). Scale
+    shape: the reader parallelizes per object; ``pathGlobFilter`` prunes
+    at LISTING time, so filtered objects are never opened — at 100 TB
+    the media lake is read selectively by extension/prefix, not scanned."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

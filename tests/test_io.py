@@ -164,3 +164,39 @@ def test_avro_source_env_boundary(spark, tmpdir):
     df = spark.range(3)
     with pytest.raises(Exception, match="(?i)avro"):
         df.write.format("avro").mode("overwrite").save(f"{tmpdir}/avro_probe")
+
+
+def test_binaryfile_source_ingests_media_dir(spark, sf_dir, tmpdir):
+    """The binaryFile datasource is the multimodal ingest boundary: one
+    row per object with byte-exact content and listing-time glob
+    pruning (the decoy extension never reaches the scan)."""
+    import os
+
+    from dataflow_pubsub_message_encryption_spark.sources import load
+    from dataflow_pubsub_message_encryption_spark.sources.sinks import read_binary_files
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(20)
+        .collect()
+    )
+    media = os.path.join(str(tmpdir), "media")
+    os.makedirs(media)
+    for r in docs:
+        with open(os.path.join(media, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    with open(os.path.join(media, "decoy.txt"), "w") as f:
+        f.write("must never be ingested")
+
+    bf = read_binary_files(spark, media, "*.bin")
+    got = {
+        os.path.basename(r.path): (bytes(r.content), r.length)
+        for r in bf.collect()
+    }
+    assert len(got) == 20 and "decoy.txt" not in got
+    for r in docs:
+        content, length = got[f"doc_{r.doc_id}.bin"]
+        assert content == r.text.encode("utf-8")
+        assert length == len(content)

@@ -796,3 +796,36 @@ def test_loo_accuracy_reads_chance_on_unstructured_labels(spark, sf_dir):
         f"pooled LOO accuracy {pooled:.3f} not chance-level "
         f"(~{chance:.3f}) on the label-unstructured fixture"
     )
+
+
+def test_chunk_savings_reconcile_with_doc_dupes(spark, sf_dir):
+    """Chunk-store accounting laws: bytes_total equals the exact corpus
+    UTF-8 byte count, n_unique <= n_chunks, bytes_unique <= bytes_total,
+    ppm is the exact floor-div — and savings are AT LEAST the bytes of
+    whole-document exact duplicates (every duplicated doc duplicates all
+    its chunks; shared chunks across distinct docs only add)."""
+    from dataflow_pubsub_message_encryption_spark.operators.multimodal import (
+        QUERIES as MQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    r = MQ["multimodal_chunk_dedup_savings"](spark, sf_dir).collect()[0]
+    docs = load(spark, sf_dir, "documents")
+    total = docs.agg(F.sum(F.octet_length("text"))).collect()[0][0]
+    assert r.bytes_total == total
+    assert 0 < r.n_unique <= r.n_chunks
+    assert 0 < r.bytes_unique <= r.bytes_total
+    saved = r.bytes_total - r.bytes_unique
+    assert r.savings_ppm == saved * 1_000_000 // r.bytes_total
+    dup_bytes = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first(F.octet_length("text")).alias("nb"),
+        )
+        .filter(F.col("cnt") > 1)
+        .agg(F.sum((F.col("cnt") - 1) * F.col("nb")))
+        .collect()[0][0]
+        or 0
+    )
+    assert saved >= dup_bytes
