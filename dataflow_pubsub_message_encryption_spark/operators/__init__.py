@@ -45,6 +45,7 @@ _WINDOW = [
     "corpus_filter_attrition_report",
     "emb_knn_loo_accuracy",
     "multimodal_chunk_dedup_savings",
+    "join_fuzzy_name_editdist",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -92,16 +93,16 @@ _WINDOW = [
     # --- stalest-green re-proofs (VERDICT r7 item 9): every key below
     # last graded green in round 1 — re-proven so no key's latest green
     # is more than a few rounds old ---
-    # (proj_attrs, filt_type, src_scan_events, json_parse_props and
-    # window_sliding_counts — the five narrowest r1 greens (pure
-    # projection, pushed filter, bare scan, json map, and the sliding
-    # sibling of the still-listed tumbling window) — yielded their
-    # re-proof slots to the late-round additions above; they stay
-    # r1-green, not never-graded)
+    # (proj_attrs, filt_type, src_scan_events, json_parse_props,
+    # window_sliding_counts and window_tumbling_counts — the narrowest
+    # r1 greens (pure projection, pushed filter, bare scan, json map,
+    # and the two window-count aggregations whose streaming twins are
+    # pytest-covered) — yielded their re-proof slots to the late-round
+    # additions above; they stay r1-green, not never-graded. The three
+    # crypto-path REF rows below keep their re-proof slots.)
     "envelope_roundtrip",
     "mac_verify_filter",
     "dek_cache",
-    "window_tumbling_counts",
 ]
 
 

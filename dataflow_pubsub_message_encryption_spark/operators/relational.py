@@ -2557,3 +2557,64 @@ def orders_repeat_purchase_curve(spark, sf_dir):
             ).alias("share"),
         )
     )
+
+
+_FUZZ_TAU = 3  # max edit distance for a fuzzy name match
+_FUZZ_BIN = _FUZZ_TAU + 1  # length-band width: |len diff|<=tau => adjacent bins
+
+
+@query(
+    "join_fuzzy_name_editdist",
+    f"""
+    WITH fnames AS (SELECT DISTINCT p_name AS nm FROM part)
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+    FROM fnames a JOIN fnames b ON a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= {_FUZZ_TAU}
+    """,
+)
+def join_fuzzy_name_editdist(spark, sf_dir):
+    """Fuzzy self-join on the part-name DICTIONARY (edit distance <=
+    3) — the entity-resolution/data-cleaning primitive ("red widgett" ~
+    "red widget") the equi-join family can't express. The oracle states
+    the declarative theta semantics; the Spark plan is the scale form:
+    dedupe to the name dictionary first (|distinct names| << |rows| —
+    the resolution input a catalog actually has), then LENGTH-BAND
+    blocking, which is provably LOSSLESS for Levenshtein (edit distance
+    >= length difference, so bins of width tau+1 confine every true pair
+    to adjacent bins): each left name probes 3 bin keys via an exploded
+    equi-join — no nested-loop, no all-pairs — and only in-band pairs
+    pay the O(len^2) verify. At 100 TB the band key composes with any
+    attribute block (first-token, phonetic key) by concatenation; the
+    verify stays JVM-side (builtin levenshtein, codegen'd)."""
+    names = load(spark, sf_dir, "part").select(
+        F.col("p_name").alias("nm")
+    ).distinct()
+    a = names.select(
+        F.col("nm").alias("nm_a"),
+        F.explode(
+            F.array(
+                (F.length("nm") / _FUZZ_BIN).cast("int") - 1,
+                (F.length("nm") / _FUZZ_BIN).cast("int"),
+                (F.length("nm") / _FUZZ_BIN).cast("int") + 1,
+            )
+        ).alias("probe_bin"),
+    )
+    b = names.select(
+        F.col("nm").alias("nm_b"),
+        (F.length("nm") / _FUZZ_BIN).cast("int").alias("bin_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("probe_bin") == F.col("bin_b"))
+            & (F.col("nm_a") < F.col("nm_b")),
+        )
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b"))
+        .filter(F.col("dist") <= _FUZZ_TAU)
+        .select(
+            F.col("nm_a").alias("name_a"),
+            F.col("nm_b").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

@@ -450,3 +450,18 @@ def test_global_cumsum_has_no_single_partition_window(spark, sf_dir):
     assert "Window" in plan
     full = formatted_plan(SCQ["orders_pareto_class"](spark, sf_dir))
     assert "Exchange SinglePartition" not in full
+
+
+def test_fuzzy_editdist_join_is_banded_equi(spark, sf_dir):
+    """join_fuzzy_name_editdist: the length-band blocking must plan as an
+    EQUI-join on the bin key (the levenshtein verify riding as a filter) —
+    a BroadcastNestedLoopJoin/CartesianProduct here would be the all-pairs
+    anti-pattern the band exists to kill."""
+    from dataflow_pubsub_message_encryption_spark.operators.relational import (
+        QUERIES as RQ,
+    )
+
+    plan = formatted_plan(RQ["join_fuzzy_name_editdist"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
