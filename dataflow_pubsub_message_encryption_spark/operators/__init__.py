@@ -46,6 +46,7 @@ _WINDOW = [
     "emb_knn_loo_accuracy",
     "multimodal_chunk_dedup_savings",
     "join_fuzzy_name_editdist",
+    "multimodal_cdc_chunk_savings",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -98,11 +99,11 @@ _WINDOW = [
     # r1 greens (pure projection, pushed filter, bare scan, json map,
     # and the two window-count aggregations whose streaming twins are
     # pytest-covered) — yielded their re-proof slots to the late-round
-    # additions above; they stay r1-green, not never-graded. The three
-    # crypto-path REF rows below keep their re-proof slots.)
+    # additions above; they stay r1-green, not never-graded. dek_cache
+    # (its TTL-cache behavior is separately call-counter-tested) yielded
+    # too; the two crypto-path REF rows below keep their re-proof slots.)
     "envelope_roundtrip",
     "mac_verify_filter",
-    "dek_cache",
 ]
 
 

@@ -787,3 +787,105 @@ def multimodal_chunk_dedup_savings(spark, sf_dir):
             " DIV SUM(nb * cnt) AS BIGINT)"
         ).alias("savings_ppm"),
     )
+
+
+_CDC_M = 2147483647  # windowed-hash modulus (2^31 - 1)
+_CDC_MASK = 64  # boundary when hash %% mask == 0 -> ~64-byte mean chunks
+# Rabin-style polynomial weights 257^j mod M for the 16-hex-char (8-byte)
+# window, inlined identically into both engines:
+_CDC_HASH_SQL = """((CAST(ascii(substr(h, i - 0, 1)) AS BIGINT) * 1 % 2147483647 + CAST(ascii(substr(h, i - 1, 1)) AS BIGINT) * 257 % 2147483647 + CAST(ascii(substr(h, i - 2, 1)) AS BIGINT) * 66049 % 2147483647 + CAST(ascii(substr(h, i - 3, 1)) AS BIGINT) * 16974593 % 2147483647 + CAST(ascii(substr(h, i - 4, 1)) AS BIGINT) * 67503107 % 2147483647 + CAST(ascii(substr(h, i - 5, 1)) AS BIGINT) * 168429323 % 2147483647 + CAST(ascii(substr(h, i - 6, 1)) AS BIGINT) * 336663071 % 2147483647 + CAST(ascii(substr(h, i - 7, 1)) AS BIGINT) * 623063367 % 2147483647 + CAST(ascii(substr(h, i - 8, 1)) AS BIGINT) * 1213495441 % 2147483647 + CAST(ascii(substr(h, i - 9, 1)) AS BIGINT) * 483199522 % 2147483647 + CAST(ascii(substr(h, i - 10, 1)) AS BIGINT) * 1775709275 % 2147483647 + CAST(ascii(substr(h, i - 11, 1)) AS BIGINT) * 1090750511 % 2147483647 + CAST(ascii(substr(h, i - 12, 1)) AS BIGINT) * 1150007217 % 2147483647 + CAST(ascii(substr(h, i - 13, 1)) AS BIGINT) * 1346595130 % 2147483647 + CAST(ascii(substr(h, i - 14, 1)) AS BIGINT) * 330081243 % 2147483647 + CAST(ascii(substr(h, i - 15, 1)) AS BIGINT) * 1079017218 % 2147483647) % 2147483647)"""
+
+
+@query(
+    "multimodal_cdc_chunk_savings",
+    f"""
+    WITH cph AS (SELECT doc_id, lower(hex(encode(text))) AS h FROM documents),
+    cpos AS (
+      SELECT doc_id, h, CAST(p AS BIGINT) AS i
+      FROM cph, unnest(generate_series(16, len(h), 2)) AS t(p)
+    ),
+    cbnd AS (
+      SELECT doc_id, h, i FROM cpos
+      WHERE {_CDC_HASH_SQL} % {_CDC_MASK} = 0 AND i < len(h)
+    ),
+    cend AS (
+      SELECT doc_id, h, i FROM cbnd
+      UNION ALL
+      SELECT doc_id, h, CAST(len(h) AS BIGINT) AS i FROM cph
+    ),
+    csp AS (
+      SELECT h, i AS e,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s
+      FROM cend
+    ),
+    cch AS (
+      SELECT sha256(substr(h, CAST(s AS INTEGER), CAST(e - s + 1 AS INTEGER)))
+               AS chash,
+             (e - s + 1) // 2 AS nb
+      FROM csp
+    ),
+    cg AS (SELECT chash, nb, count(*) AS cnt FROM cch GROUP BY chash, nb)
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(SUM(nb * cnt) AS BIGINT) AS bytes_total,
+           CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+           CAST((SUM(nb * cnt) - SUM(nb)) * 1000000 // SUM(nb * cnt)
+                AS BIGINT) AS savings_ppm
+    FROM cg
+    """,
+)
+def multimodal_cdc_chunk_savings(spark, sf_dir):
+    """CONTENT-DEFINED chunking savings — the shift-robust upgrade of
+    `multimodal_chunk_dedup_savings`: chunk boundaries fall where a
+    Rabin-style 8-byte windowed polynomial hash (weights 257^j mod 2^31-1,
+    inlined identically into both engines over the hex encoding) hits
+    0 mod 64, so inserting bytes re-aligns boundaries after ~one chunk
+    instead of shifting EVERY downstream chunk the way a fixed stride
+    does — the property that makes CAS dedup survive prepended headers
+    / edited prefixes (FastCDC's core idea; production adds min/max
+    clamps as latency knobs, the same gear condition). Exactness: the
+    hash is integer arithmetic with per-term mod (no overflow), chunk
+    identity is sha256 over the hex span. Scale shape: the position
+    explode is ~1 row/byte but NARROW (no join); boundary selection is a
+    filter; span assembly is one lag window PARTITIONED BY doc_id
+    (doc-grain, high-cardinality); the chunk census is the same
+    (hash, size) groupBy as the fixed-stride op. At 100 TB the payload
+    string would ride as ids + re-join instead of through the lag
+    shuffle — a constant-factor swap, same plan shape."""
+    m = with_media(load(spark, sf_dir, "documents"))
+    hx = m.select("doc_id", F.lower(F.hex("payload")).alias("h"))
+    pos = hx.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.when(
+                F.length("h") >= 16,
+                F.sequence(F.lit(16), F.length("h"), F.lit(2)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    bnd = pos.filter(
+        F.expr(f"{_CDC_HASH_SQL} % {_CDC_MASK} = 0 AND i < length(h)")
+    ).select("doc_id", "h", F.col("i").cast("long").alias("i"))
+    end = hx.select("doc_id", "h", F.length("h").cast("long").alias("i"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    sp = bnd.unionByName(end).withColumn(
+        "s", F.coalesce(F.lag("i").over(w), F.lit(0)) + 1
+    )
+    ch = sp.select(
+        F.sha2(
+            F.expr("substring(h, CAST(s AS INT), CAST(i - s + 1 AS INT))"), 256
+        ).alias("chash"),
+        ((F.col("i") - F.col("s") + 1) / 2).cast("long").alias("nb"),
+    )
+    cg = ch.groupBy("chash", "nb").agg(F.count("*").alias("cnt"))
+    return cg.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("nb") * F.col("cnt")).cast("long").alias("bytes_total"),
+        F.sum("nb").cast("long").alias("bytes_unique"),
+        F.expr(
+            "CAST((SUM(nb * cnt) - SUM(nb)) * 1000000"
+            " DIV SUM(nb * cnt) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

@@ -829,3 +829,84 @@ def test_chunk_savings_reconcile_with_doc_dupes(spark, sf_dir):
         or 0
     )
     assert saved >= dup_bytes
+
+
+def test_cdc_chunks_survive_prefix_shift_fixed_stride_does_not(spark, sf_dir):
+    """THE reason content-defined chunking exists: prepend one byte to
+    every payload and most CDC chunk hashes survive (boundaries re-align
+    at the next gear hit), while every fixed-stride chunk shifts and
+    dies. Pinned: CDC survival > 50%, stride survival < 10% — plus byte
+    conservation for both chunkers on the same corpus."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from dataflow_pubsub_message_encryption_spark.operators.multimodal import (
+        _CDC_HASH_SQL,
+        _CDC_MASK,
+        QUERIES as MQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
+
+    def cdc_chunks(prefix=None):
+        t = F.concat(F.lit(prefix), "text") if prefix else F.col("text")
+        hx = docs.select(
+            "doc_id", F.lower(F.hex(F.encode(t, "UTF-8"))).alias("h")
+        )
+        pos = hx.select(
+            "doc_id",
+            "h",
+            F.explode(
+                F.when(
+                    F.length("h") >= 16,
+                    F.sequence(F.lit(16), F.length("h"), F.lit(2)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        bnd = pos.filter(
+            F.expr(f"{_CDC_HASH_SQL} % {_CDC_MASK} = 0 AND i < length(h)")
+        ).select("doc_id", "h", F.col("i").cast("long").alias("i"))
+        end = hx.select("doc_id", "h", F.length("h").cast("long").alias("i"))
+        w = Window.partitionBy("doc_id").orderBy("i")
+        sp = bnd.unionByName(end).withColumn(
+            "s", F.coalesce(F.lag("i").over(w), F.lit(0)) + 1
+        )
+        return sp.select(
+            "doc_id",
+            F.sha2(
+                F.expr("substring(h, CAST(s AS INT), CAST(i - s + 1 AS INT))"),
+                256,
+            ).alias("chash"),
+        ).collect()
+
+    def stride_chunks(prefix=None):
+        t = F.concat(F.lit(prefix), "text") if prefix else F.col("text")
+        hx = docs.select(
+            "doc_id", F.lower(F.hex(F.encode(t, "UTF-8"))).alias("h")
+        )
+        return hx.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("h"), F.lit(128))
+            ).alias("p"),
+            "h",
+        ).select(
+            "doc_id",
+            F.sha2(F.expr("substring(h, p, 128)"), 256).alias("chash"),
+        ).collect()
+
+    def survival(base, shifted):
+        b = Counter((r.doc_id, r.chash) for r in base)
+        s = Counter((r.doc_id, r.chash) for r in shifted)
+        return sum(min(c, s[k]) for k, c in b.items()) / sum(b.values())
+
+    cdc = survival(cdc_chunks(), cdc_chunks("Z"))
+    stride = survival(stride_chunks(), stride_chunks("Z"))
+    assert cdc > 0.5, f"CDC chunk survival {cdc:.2f} — gear lost its point"
+    assert stride < 0.1, f"stride survival {stride:.2f} — test is vacuous"
+    # byte conservation: both registered chunkers account every byte once
+    c = MQ["multimodal_cdc_chunk_savings"](spark, sf_dir).collect()[0]
+    f = MQ["multimodal_chunk_dedup_savings"](spark, sf_dir).collect()[0]
+    assert c.bytes_total == f.bytes_total
