@@ -910,3 +910,60 @@ def test_cdc_chunks_survive_prefix_shift_fixed_stride_does_not(spark, sf_dir):
     c = MQ["multimodal_cdc_chunk_savings"](spark, sf_dir).collect()[0]
     f = MQ["multimodal_chunk_dedup_savings"](spark, sf_dir).collect()[0]
     assert c.bytes_total == f.bytes_total
+
+
+def test_cdc_spans_tile_each_payload_exactly(spark, sf_dir):
+    """Reconstruction invariant: per document, the CDC chunk spans are
+    contiguous (each start = previous end + 1), begin at byte 1, end at
+    the payload's last byte, and are byte-aligned (even hex lengths) —
+    so concatenating the chunks reproduces the payload exactly."""
+    from pyspark.sql import Window
+
+    from dataflow_pubsub_message_encryption_spark.operators.multimodal import (
+        _CDC_HASH_SQL,
+        _CDC_MASK,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    hx = (
+        load(spark, sf_dir, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            F.lower(F.hex(F.encode("text", "UTF-8"))).alias("h"),
+            F.length(F.lower(F.hex(F.encode("text", "UTF-8")))).alias("hl"),
+        )
+    )
+    pos = hx.select(
+        "doc_id",
+        "h",
+        "hl",
+        F.explode(
+            F.when(
+                F.length("h") >= 16,
+                F.sequence(F.lit(16), F.length("h"), F.lit(2)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    bnd = pos.filter(
+        F.expr(f"{_CDC_HASH_SQL} % {_CDC_MASK} = 0 AND i < length(h)")
+    ).select("doc_id", "hl", F.col("i").cast("long").alias("i"))
+    end = hx.select("doc_id", "hl", F.length("h").cast("long").alias("i"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        bnd.unionByName(end)
+        .withColumn("s", F.coalesce(F.lag("i").over(w), F.lit(0)) + 1)
+        .collect()
+    )
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.i)
+        assert rs[0].s == 1, f"doc {doc}: first chunk starts at {rs[0].s}"
+        assert rs[-1].i == rs[-1].hl, f"doc {doc}: last chunk misses the tail"
+        for a, b in zip(rs, rs[1:]):
+            assert b.s == a.i + 1, f"doc {doc}: gap/overlap at {a.i}->{b.s}"
+        for r in rs:
+            assert (r.i - r.s + 1) % 2 == 0, f"doc {doc}: odd hex span"
