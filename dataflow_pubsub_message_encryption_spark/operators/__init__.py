@@ -47,6 +47,7 @@ _WINDOW = [
     "multimodal_chunk_dedup_savings",
     "join_fuzzy_name_editdist",
     "multimodal_cdc_chunk_savings",
+    "dedup_winnowing_fingerprints",
     "text_bm25_topk",
     "sim_hybrid_rrf_retrieval",
     "text_kneser_ney_logprob",
@@ -100,10 +101,10 @@ _WINDOW = [
     # and the two window-count aggregations whose streaming twins are
     # pytest-covered) — yielded their re-proof slots to the late-round
     # additions above; they stay r1-green, not never-graded. dek_cache
-    # (its TTL-cache behavior is separately call-counter-tested) yielded
-    # too; the two crypto-path REF rows below keep their re-proof slots.)
+    # (TTL-cache behavior separately call-counter-tested) and
+    # mac_verify_filter (its stronger true-HMAC twin is r4-green) yielded
+    # too; the crypto flagship below keeps the final re-proof slot.)
     "envelope_roundtrip",
-    "mac_verify_filter",
 ]
 
 

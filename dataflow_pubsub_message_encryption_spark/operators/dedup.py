@@ -2000,3 +2000,90 @@ ORACLES["dedup_semantic_lexical_agreement"] = ORACLES[
     semantic=_SIM_ORACLES["dedup_embedding_lsh"],
     lexical=ORACLES["dedup_minhash_lsh_pairs"],
 )
+
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 16  # winnowing window: one fingerprint per w consecutive k-grams
+# k-gram polynomial hash (weights 257^j mod 2^31-1), inlined identically
+# into both engines; i is the k-gram start position in `text`:
+_WIN_HASH_SQL = """((CAST(ascii(substr(text, i + 0, 1)) AS BIGINT) * 623063367 % 2147483647 + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 336663071 % 2147483647 + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 168429323 % 2147483647 + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 67503107 % 2147483647 + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT) * 16974593 % 2147483647 + CAST(ascii(substr(text, i + 5, 1)) AS BIGINT) * 66049 % 2147483647 + CAST(ascii(substr(text, i + 6, 1)) AS BIGINT) * 257 % 2147483647 + CAST(ascii(substr(text, i + 7, 1)) AS BIGINT) * 1 % 2147483647) % 2147483647)"""
+
+
+@query(
+    "dedup_winnowing_fingerprints",
+    f"""
+    WITH wg AS (
+      SELECT doc_id, {_WIN_HASH_SQL} AS kh,
+             CAST(i AS BIGINT) AS i
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, len(text) - {_WIN_K} + 1)) AS i) s
+    ),
+    wmin AS (
+      SELECT DISTINCT doc_id,
+             min(kh) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING
+             ) AS fp
+      FROM wg
+    ),
+    wdf AS (
+      SELECT fp, count(*) AS n_docs FROM wmin GROUP BY fp
+    )
+    SELECT m.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS shared_ppm
+    FROM wmin m JOIN wdf d USING (fp)
+    GROUP BY m.doc_id
+    """,
+)
+def dedup_winnowing_fingerprints(spark, sf_dir):
+    """WINNOWING document fingerprints (the MOSS algorithm, Schleimer et
+    al. 2003) — the guaranteed-coverage fingerprint selector the rest of
+    the dedup family lacks: hash every 8-char k-gram, then keep each
+    16-window's MINIMUM hash, which guarantees any shared substring of
+    length >= k + w - 1 (23 chars) yields at least one shared fingerprint
+    between the two documents — a detection GUARANTEE MinHash (probabilistic)
+    and SimHash (aggregate) cannot give, at ~1/w the storage of full
+    k-gram shingling. Reported per doc: fingerprints selected, how many
+    are shared with ANY other doc, and the shared share (the
+    plagiarism/boilerplate score). Exactness: the k-gram hash is the
+    same per-term-mod integer polynomial both engines inline; window-min
+    and the document-frequency census are integer ops. Scale shape: the
+    k-gram explode is narrow (~1 row/char); window-min is a bounded
+    16-row frame PARTITIONED BY doc_id (doc-grain, high-cardinality);
+    the fingerprint census is a hash-groupBy whose shuffle carries
+    (fp, doc) pairs AFTER the ~1/w winnowing reduction — the same
+    inverted-index shape as `dedup_weighted_jaccard`, df-capping is the
+    knob if a stop-fingerprint ever dominates."""
+    docs = load(spark, sf_dir, "documents")
+    wg = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - _WIN_K + 1)
+        ).alias("i"),
+    ).select("doc_id", F.expr(_WIN_HASH_SQL).alias("kh"), "i")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wmin = wg.select("doc_id", F.min("kh").over(w).alias("fp")).distinct()
+    wdf = wmin.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        wmin.join(wdf, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            shared.cast("long").alias("n_shared"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+    )

@@ -967,3 +967,39 @@ def test_cdc_spans_tile_each_payload_exactly(spark, sf_dir):
             assert b.s == a.i + 1, f"doc {doc}: gap/overlap at {a.i}->{b.s}"
         for r in rs:
             assert (r.i - r.s + 1) % 2 == 0, f"doc {doc}: odd hex span"
+
+
+def test_winnowing_guarantee_vs_exact_spans(spark, sf_dir):
+    """Winnowing's defining theorem (Schleimer et al.): any substring of
+    length >= k + w - 1 shared between two documents produces at least
+    one SHARED fingerprint in both. Cross-checked against the EXACT
+    suffix-array spans: every doc whose max cross-doc span >= 23
+    (k=8, w=16) must report n_shared >= 1 — plus the structural laws
+    0 <= n_shared <= n_fingerprints and exact ppm."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        _WIN_K,
+        _WIN_W,
+        QUERIES as DQ,
+    )
+
+    fp = {
+        r.doc_id: r
+        for r in DQ["dedup_winnowing_fingerprints"](spark, sf_dir).collect()
+    }
+    spans = {
+        r.doc_id: r.max_shared_span
+        for r in DQ["dedup_span_suffix_array"](spark, sf_dir).collect()
+    }
+    assert fp
+    guarantee = _WIN_K + _WIN_W - 1
+    hits = 0
+    for d, r in fp.items():
+        assert 0 <= r.n_shared <= r.n_fingerprints
+        assert r.shared_ppm == r.n_shared * 1_000_000 // r.n_fingerprints
+        if spans.get(d, 0) >= guarantee:
+            hits += 1
+            assert r.n_shared >= 1, (
+                f"doc {d}: {spans[d]}-char shared span but zero shared "
+                f"fingerprints — the winnowing guarantee is broken"
+            )
+    assert hits > 0, "no doc reaches the guarantee length — law is vacuous"
