@@ -82,6 +82,13 @@ HEADLINE = [
     # after the binary-descent LCP rewrite: ~9 s/pass (was ~15 s with the
     # 64-element interpreted fold).
     ("q23_suffix_array_span", "dedup_span_suffix_array"),
+    # late-round-8 mix extension: the two new fingerprint/chunking
+    # algorithms made perf-visible (legacy subtotals stay comparable —
+    # additions only). q24 winnowing: ~1.5M k-gram hashes + bounded
+    # 16-row window-min + inverted-index census; q25 CDC chunking:
+    # ~300k windowed-hash positions + per-doc lag + chunk census.
+    ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
+    ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

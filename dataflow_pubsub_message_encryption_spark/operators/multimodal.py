@@ -762,8 +762,12 @@ def multimodal_chunk_dedup_savings(spark, sf_dir):
     rows (no join), the chunk census is ONE hash-groupBy whose shuffle
     carries (hash, size) pairs — the exact shape of the store build
     itself — and the savings rollup is a 1-row aggregate. All integer
-    arithmetic, ppm floor-div."""
-    m = with_media(load(spark, sf_dir, "documents"))
+    arithmetic, ppm floor-div. The fixture scan is rebalanced before the
+    chunk fan-out (single-row-group parquet would otherwise serialize the
+    hashing on one task; a real corpus arrives partitioned)."""
+    from .dedup import _parallel
+
+    m = with_media(_parallel(spark, load(spark, sf_dir, "documents")))
     hx = m.select(F.lower(F.hex("payload")).alias("h"))
     ch = hx.select(
         F.explode(
@@ -851,8 +855,14 @@ def multimodal_cdc_chunk_savings(spark, sf_dir):
     (doc-grain, high-cardinality); the chunk census is the same
     (hash, size) groupBy as the fixed-stride op. At 100 TB the payload
     string would ride as ids + re-join instead of through the lag
-    shuffle — a constant-factor swap, same plan shape."""
-    m = with_media(load(spark, sf_dir, "documents"))
+    shuffle — a constant-factor swap, same plan shape. The fixture scan
+    is rebalanced before the per-byte hash fan-out (the single-row-group
+    parquet otherwise serializes ~300k windowed hashes on ONE task:
+    measured 51.8 s -> ~3 s at sf0.1, matching the multifile twin's
+    3.3 s — the plan was already parallel, the LAYOUT wasn't)."""
+    from .dedup import _parallel
+
+    m = with_media(_parallel(spark, load(spark, sf_dir, "documents")))
     hx = m.select("doc_id", F.lower(F.hex("payload")).alias("h"))
     pos = hx.select(
         "doc_id",
