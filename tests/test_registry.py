@@ -138,3 +138,17 @@ def test_survey_inventory_total_matches_registry():
     assert int(latest[2]) == len(ORACLES), (
         f"SURVEY declares {latest[2]} EXACT oracles, registry has {len(ORACLES)}"
     )
+
+
+def test_readme_query_count_matches_registry():
+    """README's headline query count went stale once (314 while the
+    registry read 322) — pin it to the live registry the same way
+    SURVEY's inventory totals are pinned."""
+    import re
+
+    text = open(f"{_REPO}/README.md").read()
+    m = re.search(r"identical result — (\d+) queries, ALL with EXACT", text)
+    assert m, "README headline query-count sentence not found"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README declares {m.group(1)} queries, registry has {len(QUERIES)}"
+    )
