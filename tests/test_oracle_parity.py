@@ -27,8 +27,16 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     # routes through _global_rank/_global_cumsum/_topk_ranked, and 1-row
     # aggregates ride broadcasts. Checked on the already-built frame, so
     # the sweep costs one explain per query, not a second build.
-    assert "Exchange SinglePartition" not in formatted_plan(qdf), (
+    plan = formatted_plan(qdf)
+    assert "Exchange SinglePartition" not in plan, (
         f"{name}: single-partition exchange in plan"
+    )
+    # Second global invariant (round-8 audit: 0 hits across all 322):
+    # a non-broadcast cartesian is always an accident here — intentional
+    # crosses (1-row/bounded aggregates, join_cross itself) broadcast and
+    # plan as BroadcastNestedLoopJoin, never CartesianProduct.
+    assert "CartesianProduct" not in plan, (
+        f"{name}: non-broadcast cartesian product in plan"
     )
     sdf = qdf.toPandas()
     if name not in ORACLES:
