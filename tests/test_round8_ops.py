@@ -839,11 +839,8 @@ def test_cdc_chunks_survive_prefix_shift_fixed_stride_does_not(spark, sf_dir):
     conservation for both chunkers on the same corpus."""
     from collections import Counter
 
-    from pyspark.sql import Window
-
     from dataflow_pubsub_message_encryption_spark.operators.multimodal import (
-        _CDC_HASH_SQL,
-        _CDC_MASK,
+        _cdc_chunks,
         QUERIES as MQ,
     )
     from dataflow_pubsub_message_encryption_spark.sources import load
@@ -851,35 +848,15 @@ def test_cdc_chunks_survive_prefix_shift_fixed_stride_does_not(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(100)
 
     def cdc_chunks(prefix=None):
+        # chunking goes through the SHARED registered-op kernel (ADVICE
+        # r8 item 3: this test used to re-implement the pipeline and
+        # would have validated stale logic); only the prefix-shift
+        # harness lives here
         t = F.concat(F.lit(prefix), "text") if prefix else F.col("text")
         hx = docs.select(
             "doc_id", F.lower(F.hex(F.encode(t, "UTF-8"))).alias("h")
         )
-        pos = hx.select(
-            "doc_id",
-            "h",
-            F.explode(
-                F.when(
-                    F.length("h") >= 16,
-                    F.sequence(F.lit(16), F.length("h"), F.lit(2)),
-                ).otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-        )
-        bnd = pos.filter(
-            F.expr(f"{_CDC_HASH_SQL} % {_CDC_MASK} = 0 AND i < length(h)")
-        ).select("doc_id", "h", F.col("i").cast("long").alias("i"))
-        end = hx.select("doc_id", "h", F.length("h").cast("long").alias("i"))
-        w = Window.partitionBy("doc_id").orderBy("i")
-        sp = bnd.unionByName(end).withColumn(
-            "s", F.coalesce(F.lag("i").over(w), F.lit(0)) + 1
-        )
-        return sp.select(
-            "doc_id",
-            F.sha2(
-                F.expr("substring(h, CAST(s AS INT), CAST(i - s + 1 AS INT))"),
-                256,
-            ).alias("chash"),
-        ).collect()
+        return _cdc_chunks(hx).select("doc_id", "chash").collect()
 
     def stride_chunks(prefix=None):
         t = F.concat(F.lit(prefix), "text") if prefix else F.col("text")

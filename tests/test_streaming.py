@@ -135,32 +135,11 @@ def test_stream_stream_left_outer_join_matches_batch_matches(spark, sf_dir, tmpd
                        f"{tmpdir}/part{i}.parquet")
 
     stream = st.events_file_stream(spark, tmpdir)
-    clicks = (
-        stream.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "10 minutes")
+    # the join itself is the registered pipeline stage (one source of
+    # truth — this test used to inline a copy of it)
+    joined = st.attribution_join_stream_outer(stream).select(
+        "click_id", "purchase_id"
     )
-    purchases = (
-        stream.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        purchases,
-        F.expr(
-            "c_user = p_user AND click_ts <= purchase_ts "
-            "AND purchase_ts <= click_ts + INTERVAL 30 MINUTES"
-        ),
-        "leftOuter",
-    ).select("click_id", "purchase_id")
     got = _run_stream_to_memory(spark, joined, "stream_ssjoin_outer").collect()
 
     ev = load_events(spark, sf_dir)

@@ -1,0 +1,211 @@
+"""Scale-slope measurement: generate a 10x (sf1) fixture set and measure
+the heavy operator families at sf0.1 vs sf1 (VERDICT r8 item 1 — convert
+the 100 TB prose into measured exponents).
+
+Every 100 TB claim in the operator docstrings rests on sf0.1 timings plus
+a plan-shape argument; one measured DECADE of scale makes the story
+checkable: a narrow-map op should read ~1.0, the rank machinery ~n log n
+(~1.1 at this decade), and anything super-linear is a bug to fix, not a
+footnote.
+
+sf1 generation (10x sf0.1, deterministic, structure-preserving):
+
+- ``documents``: 10 copies; copy k's text passes through a per-copy
+  LETTER/DIGIT ROTATION (``F.translate`` — a bijection on the alphabet),
+  so WITHIN-copy duplicate structure (shingle sets, suffix spans, token
+  Zipf) is preserved exactly while CROSS-copy text never collides —
+  replicating verbatim would make every dup cluster 10x larger and the
+  pair-output quadratically bigger, contaminating the slope with a data
+  artifact instead of measuring the algorithm. doc_id shifts by copy.
+- ``embeddings``: 10 copies; copy k's vector is DIMENSION-ROTATED by k
+  (an isometry: all pairwise distances inside a copy are preserved
+  exactly; cross-copy vectors decorrelate), vec_id shifts by copy.
+- ``lineitem``/``orders``: 10 copies with key shifts (the linear-control
+  anchor, q1 agg).
+
+The measured mix is the verdict's heavy list: suffix array (q23),
+winnowing + CDC chunkers (q24/q25), blocked graph-ANN (q19), connected
+components (q12), MinHash LSH (q8), plus the q1 aggregation as the
+known-linear control. Both scales run the MULTIFILE layout (sf0.1's
+32-file twin vs sf1's 80 files) with the same session config — so the
+slope is about the operators, not the scan layout. Per-query statistic:
+min of N timed passes after one warm-up (the slope divides two numbers
+from the SAME session, so warm-state bias cancels).
+
+Usage:
+    python tools/scale_slope.py [--passes 2] [--sf1-dir /tmp/...]
+Output: one JSON line per stage, final line = the slope table
+(seconds at both scales + exponent log10(t1/t0) per query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_COPIES = 10
+_SHIFT = 100_000_000  # id shift per copy — far above any fixture id
+
+MIX = [
+    ("q1_agg_linear_control", "agg_hash_groupby"),
+    ("q8_minhash_lsh_dedup", "dedup_minhash_lsh_pairs"),
+    ("q12_connected_components", "dedup_cluster_components"),
+    ("q19_graph_ann_blocked", "sim_ann_graph_topk_blocked"),
+    ("q23_suffix_array_span", "dedup_span_suffix_array"),
+    ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
+    ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
+]
+
+# tables the mix touches — only these are generated at sf1
+_TABLES = ("documents", "embeddings", "lineitem", "orders")
+
+
+def _rot(s: str, k: int) -> str:
+    return s[k:] + s[:k]
+
+
+def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    lower, upper, digits = (
+        string.ascii_lowercase,
+        string.ascii_uppercase,
+        string.digits,
+    )
+    for table in _TABLES:
+        dst = f"{out_dir}/{table}.parquet"
+        if os.path.isdir(dst):
+            print(json.dumps({"stage": "generate", "table": table,
+                              "skipped": "exists"}))
+            continue
+        src = spark.read.parquet(f"{sf01_dir}/{table}.parquet")
+        for k in range(_COPIES):
+            df = src
+            if table == "documents":
+                df = df.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(k * _SHIFT)
+                ).withColumn(
+                    "text",
+                    F.translate(
+                        "text",
+                        lower + upper + digits,
+                        _rot(lower, k) + _rot(upper, k) + _rot(digits, k),
+                    ),
+                )
+            elif table == "embeddings":
+                dim_probe = len(src.select("emb").head()["emb"])
+                df = df.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(k * _SHIFT)
+                ).withColumn(
+                    "emb",
+                    F.concat(
+                        F.slice("emb", k + 1, dim_probe - k),
+                        F.slice("emb", 1, k),
+                    )
+                    if k
+                    else F.col("emb"),
+                )
+            elif table == "lineitem":
+                df = df.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(k * _SHIFT)
+                )
+            elif table == "orders":
+                df = df.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(k * _SHIFT)
+                ).withColumn(
+                    "o_custkey", F.col("o_custkey") + F.lit(k * _SHIFT)
+                )
+            df.repartition(8).write.mode(
+                "append" if k else "overwrite"
+            ).parquet(dst)
+        print(json.dumps({"stage": "generate", "table": table, "copies": _COPIES}))
+
+
+def _run(queries, spark, key: str, sf_dir: str) -> float:
+    from dataflow_pubsub_message_encryption_spark.materialize import release_pins
+
+    t0 = time.time()
+    queries[key](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    release_pins(spark)
+    return dt
+
+
+def measure(queries, spark, sf_dir: str, passes: int) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for label, key in MIX:
+        _run(queries, spark, key, sf_dir)  # warm (codegen/C2/Arrow fork)
+        out[label] = round(
+            min(_run(queries, spark, key, sf_dir) for _ in range(passes)), 3
+        )
+        print(json.dumps({"stage": "measure", "sf_dir": sf_dir,
+                          "query": label, "sec": out[label]}))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--sf1-dir",
+        default=os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft-sf1"),
+    )
+    ap.add_argument(
+        "--sf01-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.session import get_session
+
+    queries, _ = registry()
+    spark = get_session("scale-slope")
+
+    # hold layout constant: sf0.1 runs its 32-file multifile twin
+    import bench
+
+    twin = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+        os.path.basename(args.sf01_dir.rstrip("/")) + "-multifile",
+    )
+    bench.ensure_multifile_twin(spark, args.sf01_dir, twin)
+
+    os.makedirs(args.sf1_dir, exist_ok=True)
+    generate_sf1(spark, args.sf01_dir, args.sf1_dir)
+
+    t_small = measure(queries, spark, twin, args.passes)
+    t_big = measure(queries, spark, args.sf1_dir, args.passes)
+
+    slopes = {}
+    for label, _ in MIX:
+        a, b = t_small[label], t_big[label]
+        slopes[label] = {
+            "sf0.1_sec": a,
+            "sf1_sec": b,
+            "ratio": round(b / a, 2),
+            "exponent": round(math.log10(b / a), 3) if a > 0 else None,
+        }
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "scale slope sf0.1 -> sf1 (10x), multifile layout",
+                "copies": _COPIES,
+                "passes": args.passes,
+                "slopes": slopes,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
