@@ -325,12 +325,20 @@ def test_session_timeout_processor_unit():
     assert p._sessions._v == [] and p._handle.timers == []
 
 
-def test_session_timeout_timers_end_to_end(spark, sf_dir, tmpdir):
+def test_session_timeout_timers_end_to_end(spark, tmpdir):
     """transformWithStateInPandas with timeMode=EventTime: sessions emit
     at timer expiry as the watermark advances across a 4-file replay;
     the emitted set must equal the batch gap-sessionization restricted
     to sessions the final watermark provably closed (last + gap <= wm).
-    Same protobuf/RocksDB harness as the leaderboard e2e."""
+    Same protobuf/RocksDB harness as the leaderboard e2e.
+
+    The events fixture is useless here — its sf0.001 replay spans 43
+    MINUTES, so every user has exactly one still-open session and no
+    timer can ever fire (probed). The replay is synthesized instead:
+    8 users x 6 sessions each, sessions 2 h apart (gap 30 min clearly
+    exceeded), 3-6 events 5 min apart inside a session — the last
+    session per user stays open at the final watermark, every earlier
+    one MUST have been emitted by its timer."""
     from collections import defaultdict
 
     from dataflow_pubsub_message_encryption_spark.streaming._pb_vendor import (
@@ -350,8 +358,42 @@ def test_session_timeout_timers_end_to_end(spark, sf_dir, tmpdir):
         "RocksDBStateStoreProvider",
     )
     try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base_ms = 1_700_000_000_000  # deterministic epoch anchor
+        rows = []
+        eid = 0
+        for uid in range(8):
+            for s in range(6):
+                start = base_ms + s * 2 * 3600_000 + uid * 60_000
+                for k in range(3 + (uid + s) % 4):
+                    rows.append((eid, (start + k * 300_000) * 1_000_000, uid))
+                    eid += 1
+        rows.sort(key=lambda r: r[1])
         src = f"{tmpdir}/src"
-        _stage_split(sf_dir, src, 4)
+        os.makedirs(src)
+        n = len(rows)
+        for i in range(4):
+            chunk = rows[i * n // 4 : (i + 1) * n // 4]
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array(
+                            [r[0] for r in chunk], pa.int64()
+                        ),
+                        "ts": pa.array([r[1] for r in chunk], pa.int64()),
+                        "user_id": pa.array(
+                            [r[2] for r in chunk], pa.int64()
+                        ),
+                        "event_type": pa.array(["click"] * len(chunk)),
+                        "value": pa.array([1.0] * len(chunk)),
+                        "props": pa.array(["{}"] * len(chunk)),
+                    }
+                ),
+                f"{src}/part{i}.parquet",
+            )
+
         stream = st.session_timeout_summaries(
             st.events_file_stream(spark, src, max_files_per_trigger=1)
         )
@@ -369,37 +411,30 @@ def test_session_timeout_timers_end_to_end(spark, sf_dir, tmpdir):
             for r in spark.table("tws_sessions").collect()
         }
 
-        # batch twin in ms, same conversion as the stream (ns -> ms floor)
-        import pyarrow.parquet as pq
-
+        # batch twin in ms (raw int64 ns -> the stream's ns->us->ms floor)
         gap_ms, delay_ms = 30 * 60 * 1000, 10 * 60 * 1000
         by_user = defaultdict(list)
         max_ms = 0
-        for f in sorted(glob.glob(f"{src}/*.parquet")):
-            t = pq.read_table(f, columns=["user_id", "ts"])
-            for uid, ts in zip(
-                t["user_id"].to_pylist(),
-                t["ts"].cast("int64").to_pylist(),
-            ):
-                ms = ts // 1_000_000
-                by_user[uid].append(ms)
-                max_ms = max(max_ms, ms)
+        for _eid, ts_ns, uid in rows:
+            ms = ts_ns // 1_000_000
+            by_user[uid].append(ms)
+            max_ms = max(max_ms, ms)
         wm = max_ms - delay_ms
         expected = set()
         for uid, tss in by_user.items():
             tss.sort()
             start = last = tss[0]
-            n = 1
+            cnt = 1
             for t in tss[1:]:
                 if t - last > gap_ms:
                     if last + gap_ms <= wm:
-                        expected.add((uid, start, last, n))
-                    start, last, n = t, t, 1
+                        expected.add((uid, start, last, cnt))
+                    start, last, cnt = t, t, 1
                 else:
-                    last, n = t, n + 1
+                    last, cnt = t, cnt + 1
             if last + gap_ms <= wm:
-                expected.add((uid, start, last, n))
-        assert expected, "watermark must close most fixture sessions"
+                expected.add((uid, start, last, cnt))
+        assert len(expected) == 8 * 5, "all but the open tail sessions close"
         assert got == expected
     finally:
         if prev_provider is None:
