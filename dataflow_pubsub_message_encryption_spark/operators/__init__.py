@@ -34,13 +34,14 @@ _MODULES = [
 # this round (the chunker/fingerprint ops rewritten onto Arrow mapInPandas
 # kernels — VERDICT r8 item 2 — and the empty-payload sequence guard), then
 # the STALEST greens: all 45 keys last graded in round 1 (the full relational
-# C-block), closing with the stalest round-3 key, so no key's latest green
-# ages out unproven (the r8 precedent). Every remaining EXACT query follows
-# in module order; oracle-less (ROWS-class) queries always sort last so no
-# graded slot is burned on a `no_oracle` row.
+# C-block), so no key's latest green ages out unproven (the r8 precedent).
+# Every remaining EXACT query follows in module order; oracle-less
+# (ROWS-class) queries always sort last so no graded slot is burned on a
+# `no_oracle` row.
 _WINDOW = [
     # --- round-9 additions (never driver-graded) ---
     "dedup_span_suffix_doubling",
+    "events_unconverted_clicks",
     # --- re-gate: implementation changed since the green row (Arrow
     # kernel rewrites of the byte-grain ops; fixed-stride guard) ---
     "dedup_winnowing_fingerprints",
@@ -93,8 +94,6 @@ _WINDOW = [
     "filt_scalar_subquery",
     "win_range_frame",
     "sql_entrypoint_q3",
-    # --- stalest round-3 green takes the final slot ---
-    "agg_approx_distinct",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.normalize import date_str, dec4, money, ts_str
+from ..functions.normalize import date_str, dec4, duck_ts, money, ts_str
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -1877,6 +1877,56 @@ def events_attribution_last_touch(spark, sf_dir):
             F.col("gap_us").cast("long").alias("gap_us"),
             money(dec4("value")).alias("value"),
         )
+    )
+
+
+@query(
+    "events_unconverted_clicks",
+    f"""
+    WITH uc AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+    up AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT uc.event_id AS click_id, uc.user_id,
+           {duck_ts('uc.ts')} AS click_ts
+    FROM uc
+    WHERE NOT EXISTS (
+      SELECT 1 FROM up
+      WHERE up.user_id = uc.user_id AND up.ts >= uc.ts
+        AND date_diff('microseconds', uc.ts, up.ts) <= {_ATTR_TOL_US}
+    )
+    """,
+)
+def events_unconverted_clicks(spark, sf_dir):
+    """NEVER-CONVERTED clicks — the batch twin of the streaming LEFT
+    OUTER interval join's null lane (streaming/pipeline.py
+    `attribution_join_stream_outer`, VERDICT r8 item 3): every click
+    with NO same-user purchase inside the 30-minute horizon. In the
+    stream these rows can only emit once the watermark proves no match
+    can still arrive; in batch the same set is one LEFT ANTI join with
+    the identical predicate — computing it both ways is what makes the
+    streaming emission testable (tests/test_streaming.py pins the
+    matched lane, this op pins the unmatched lane under the EXACT
+    oracle). Shape: user-keyed equi anti-join carrying ids+timestamps
+    only; the range term rides as the join's secondary condition, never
+    a cartesian. Gap math in integer microseconds, timestamps emitted
+    as strings (normalize discipline)."""
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (c.user_id == p.p_user)
+        & (F.col("p_ts") >= c.ts)
+        & (F.expr("timestampdiff(MICROSECOND, ts, p_ts)") <= _ATTR_TOL_US)
+    )
+    return c.join(p, cond, "left_anti").select(
+        "click_id", "user_id", ts_str("ts").alias("click_ts")
     )
 
 

@@ -186,12 +186,15 @@ def multimodal_columns(spark, sf_dir):
     )
 
 
-def _planes() -> list[list[float]]:
+def _planes(n: int = _N_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: ±1 entries derived from
     sha256(plane,index) parity. Generated driver-side, shipped as literals
-    (and inlined into the oracle SQL) — no RNG state anywhere."""
+    (and inlined into the oracle SQL) — no RNG state anywhere. ``n``
+    defaults to the fixture-tuned plane count; the scale-slope variant of
+    the blocked graph build asks for more (bits ∝ log n — see
+    :func:`sim_ann_graph_topk_blocked_scaled`)."""
     planes = []
-    for p in range(_N_PLANES):
+    for p in range(n):
         row = []
         for i in range(64):
             h = hashlib.sha256(f"plane{p}|{i}".encode()).digest()[0]
@@ -2023,12 +2026,13 @@ def _gr_isq(a, b):
     )
 
 
-def _gr_nodes(e, blocked: bool = False):
+def _gr_nodes(e, blocked: bool = False, tables=None):
     """Quantize + seeded level assignment (sha-nibble of the vec_id: the
     deterministic stand-in for HNSW's geometric level draw — P(lvl>=1)=1/4,
     P(lvl=2)=1/16, the 'exponentially decaying layer population'). With
-    ``blocked``, each node also carries its two LSH table keys (the
-    blocked build's candidate-generation columns)."""
+    ``blocked``, each node also carries its LSH table keys (the blocked
+    build's candidate-generation columns); ``tables`` overrides the
+    fixture-tuned ``_GRB_TABLES`` plane slices (the scale knob)."""
     h = F.sha2(F.col("vec_id").cast("string"), 256)
 
     def nib(i):
@@ -2044,11 +2048,13 @@ def _gr_nodes(e, blocked: bool = False):
         F.when(hv % 16 == 0, 2).when(hv % 4 == 0, 1).otherwise(0).alias("lvl"),
     ]
     if blocked:
-        for i, (lo, hi) in enumerate(_GRB_TABLES, start=1):
+        tabs = tables if tables is not None else _GRB_TABLES
+        planes = _planes(max(hi for _, hi in tabs))
+        for i, (lo, hi) in enumerate(tabs, start=1):
             bits = [
                 F.when(cosine_free_dot(as_double("embedding"), p) > 0, "1")
                 .otherwise("0")
-                for p in _planes()[lo:hi]
+                for p in planes[lo:hi]
             ]
             cols.append(F.concat(*bits).alias(f"b{i}"))
     return e.select(*cols)
@@ -2295,9 +2301,16 @@ def sim_ann_graph_topk_blocked(spark, sf_dir):
     equi-joins), so the EXACT gate grades the blocked semantics.
     Recall@10 vs the brute-force truth is pinned exactly in
     tests/test_ext_ops.py alongside the naive build's."""
+    return _gr_blocked(spark, sf_dir)
+
+
+def _gr_blocked(spark, sf_dir, tables=None):
+    """Shared blocked-build body: registered op (default fixture-tuned
+    4-bit tables) and the scale variant (wider tables) differ ONLY in the
+    block-key slices."""
     e = load(spark, sf_dir, "embeddings")
     nodes = _gr_nodes(
-        e.filter(F.col("vec_id") != _PROBE_ID), blocked=True
+        e.filter(F.col("vec_id") != _PROBE_ID), blocked=True, tables=tables
     ).localCheckpoint()
     probe = (
         e.filter(F.col("vec_id") == _PROBE_ID)
@@ -2314,6 +2327,25 @@ def sim_ann_graph_topk_blocked(spark, sf_dir):
         l: _grb_edges(nodes, l, scored).localCheckpoint() for l in _GR_LEVELS
     }
     return _gr_search(nodes, probe, edges)
+
+
+def sim_ann_graph_topk_blocked_scaled(spark, sf_dir, bits: int):
+    """UNREGISTERED scale variant of the blocked graph-ANN build: two
+    hyperplane tables of ``bits`` planes each (the registered op's
+    fixture-tuned width is 4). THE superlinearity fix the round-9
+    scale-slope run demanded: with the table width FIXED, bucket
+    occupancy grows ∝ n, so bucket-mate candidate pairs grow ∝ n²/2^bits
+    — measured 15× build+walk time at 10× vectors (exponent 1.18, the
+    one superlinear op in the slope table). The production knob is
+    bits ≈ log2(n/B) for a target mean occupancy B: every +1 bit halves
+    occupancy, so growing bits with log n holds per-bucket pair work
+    CONSTANT and the total pair count ∝ n — measured: 10× vectors with
+    bits 4→7 reads near-linear (slope table in tools/scale_slope.py
+    output / BASELINE.md). Unregistered because the EXACT oracle inlines
+    one fixed plane set; the wiring is law-pinned instead: bits=4
+    reproduces the registered result row-for-row
+    (tests/test_round9_ops.py)."""
+    return _gr_blocked(spark, sf_dir, tables=((0, bits), (bits, 2 * bits)))
 
 
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the

@@ -161,6 +161,31 @@ def test_winnow_poly_weights_match_inlined_sql():
     assert _CDC_W == [pow(257, j, _CDC_M) for j in range(16)]
 
 
+# --- blocked graph-ANN: the bits-∝-log-n scale knob -------------------------
+
+
+def test_graph_ann_scaled_bits_wiring(spark, sf_dir):
+    """The scale-slope run measured the fixed-width blocked build
+    SUPERLINEAR (15× at 10× vectors — bucket-mate pairs ∝ n²/2^bits);
+    the fix is the bits-∝-log-n table width. Pin the wiring: at the
+    registered width (4 bits) the scaled variant reproduces the
+    registered op row-for-row, and a wider build (6 bits) still returns
+    a full top-k (the knob narrows candidates, never breaks the walk)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+        sim_ann_graph_topk_blocked_scaled,
+    )
+
+    reg = [tuple(r) for r in SQ["sim_ann_graph_topk"](spark, sf_dir).collect()]
+    same = [
+        tuple(r)
+        for r in sim_ann_graph_topk_blocked_scaled(spark, sf_dir, 4).collect()
+    ]
+    assert reg == same
+    wide = sim_ann_graph_topk_blocked_scaled(spark, sf_dir, 6).collect()
+    assert len(wide) == len(reg)
+
+
 # --- suffix-array prefix doubling ------------------------------------------
 
 
