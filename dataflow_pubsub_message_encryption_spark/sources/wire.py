@@ -97,7 +97,42 @@ def publish_topic(
             ).alias("headers"),
         )
     )
-    wire.repartition(n_files, "partition").write.mode("overwrite").parquet(out_dir)
+    # Segment files are TIME-RANGE slices (each holding every Kafka
+    # partition's rows for its slice) — the layout a topic-to-archive dump
+    # actually lands in, and the property that makes a multi-batch
+    # file-stream replay watermark-sound: a live Kafka consumer advances
+    # all partitions through time in lockstep, so event time never runs
+    # BACKWARD across micro-batches. The previous layout (one file per
+    # key-hash partition, each spanning the whole topic lifetime) had no
+    # such guarantee: whichever files landed in the first micro-batch
+    # advanced the watermark past the remaining files' rows, silently
+    # dropping them as late — observed as a batching-timing-dependent
+    # flake in the windowed-counts parity test.
+    wire.repartitionByRange(n_files, "timestamp", "partition", "offset").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    # FileStreamSource batches files OLDEST-MODIFICATION-FIRST, and a
+    # parallel write leaves all segments with effectively equal mtimes
+    # (tie order arbitrary — probed: a later-range segment consumed first
+    # drops every older row as late). Stamp mtimes in range order
+    # (driver-side, parquet-footer min(timestamp) stat, metadata only) so
+    # replay consumption order IS time order, deterministically.
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = _glob.glob(f"{out_dir}/part-*.parquet")
+
+    def _min_ts(path: str):
+        # read the one column rather than footer stats: nested columns
+        # (headers) make leaf-column stat indexing fragile
+        col = _pq.read_table(path, columns=["timestamp"])["timestamp"]
+        return col.cast("int64").to_pandas().min() if len(col) else 0
+
+    base = int(_os.stat(out_dir).st_mtime)
+    for i, path in enumerate(sorted(files, key=_min_ts)):
+        _os.utime(path, (base + i, base + i))
     return spark.read.parquet(out_dir).count()
 
 

@@ -242,6 +242,133 @@ def test_multi_table_crash_drill_four_states(tmpdir):
     assert marker_value(t4, "_m") == -1
 
 
+# --- commit-log table format (VERDICT r8 'missing' item 4) ------------------
+
+
+def test_versioned_commit_log_end_to_end_with_time_travel(
+    spark, sf_dir, tmpdir
+):
+    """The versioned MERGE target over a 3-file replay: one committed
+    version per micro-batch, atomic across both member tables, with the
+    full history time-travelable — version k's cross-table invariant
+    (sum(users.n_versions) == sum(totals.n)) must hold at EVERY
+    version, and the latest must equal the batch computation."""
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned as V
+
+    src = f"{tmpdir}/src"
+    _stage_split(sf_dir, src, 3)
+    target = f"{tmpdir}/target"
+    q = (
+        V.versioned_upsert_sink(
+            st.events_file_stream(spark, src), target, f"{tmpdir}/ckpt"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    assert V.latest_version(target) == 2
+    hist = V.history(target)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["batch_id"] for h in hist] == [0, 1, 2]
+
+    ev = load_events(spark, sf_dir)
+    running = 0
+    for v in range(3):
+        tabs = V.read_version(spark, target, v)
+        n_users = sum(r.n_versions for r in tabs["users"].collect())
+        n_totals = sum(r.n for r in tabs["totals"].collect())
+        assert n_users == n_totals, f"v{v} cross-table invariant broken"
+        assert n_users > running, f"v{v} did not grow"
+        running = n_users
+    assert running == ev.count()  # latest == the whole log
+
+    final = V.read_version(spark, target)
+    got = {
+        (r.user_id, r.last_event_id, r.n_versions)
+        for r in final["users"].collect()
+    }
+    batch = {
+        (r.user_id, r.last_event_id, r.n_versions)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_id", F.struct("ts", "event_id")).alias(
+                "last_event_id"
+            ),
+            F.count("*").alias("n_versions"),
+        )
+        .collect()
+    }
+    assert got == batch
+
+    # vacuum keeps the newest 2; time travel to v1/v2 still serves,
+    # history shrinks, the latest is untouched
+    assert V.vacuum(target, keep=2) == [0]
+    assert [h["version"] for h in V.history(target)] == [1, 2]
+    assert V.read_version(spark, target, 1)["users"].count() > 0
+    assert V.latest_version(target) == 2
+
+
+def test_versioned_commit_log_crash_drill(tmpdir):
+    """Roll-back recovery at every crash point: the pointer is the only
+    commit witness; anything past it (orphan v-dirs, uncommitted log
+    entries, torn write-asides) is dropped so the replayed batch redoes
+    the merge from the committed parent — never roll-forward."""
+    import json
+
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned as V
+
+    t = f"{tmpdir}/t"
+    os.makedirs(f"{t}/_log")
+
+    def commit_fs(v, bid):
+        os.makedirs(f"{t}/v{v}/users", exist_ok=True)
+        with open(f"{t}/v{v}/users/part", "w") as fh:
+            fh.write(f"b{bid}")
+        with open(f"{t}/_log/v{v}.json", "w") as fh:
+            json.dump(
+                {"version": v, "batch_id": bid,
+                 "tables": {"users": f"v{v}/users"}}, fh,
+            )
+        with open(f"{t}/{'_latest'}", "w") as fh:
+            fh.write(str(v))
+
+    commit_fs(0, 0)  # a healthy committed v0
+
+    # (a) crash after snapshot write, before the log entry: orphan v1
+    os.makedirs(f"{t}/v1/users")
+    V.recover(t)
+    assert not os.path.exists(f"{t}/v1")
+    assert V.latest_version(t) == 0 and V.committed_batch_id(t) == 0
+
+    # (b) crash after the log entry, before the pointer swap: v1 + log
+    # exist, pointer still 0 -> BOTH dropped (uncommitted)
+    os.makedirs(f"{t}/v1/users")
+    with open(f"{t}/_log/v1.json", "w") as fh:
+        json.dump({"version": 1, "batch_id": 1, "tables": {}}, fh)
+    V.recover(t)
+    assert not os.path.exists(f"{t}/v1")
+    assert not os.path.exists(f"{t}/_log/v1.json")
+    assert V.latest_version(t) == 0
+
+    # replay rule: batch 0 skips, batch 1 proceeds
+    assert V.committed_batch_id(t) == 0
+
+    # (c) torn write-asides are swept, the pointer is never torn
+    with open(f"{t}/_latest.w", "w") as fh:
+        fh.write("9")
+    with open(f"{t}/_log/v9.json.w", "w") as fh:
+        fh.write("{")
+    V.recover(t)
+    assert not os.path.exists(f"{t}/_latest.w")
+    assert not os.path.exists(f"{t}/_log/v9.json.w")
+    assert V.latest_version(t) == 0
+
+    # recovery is re-runnable: a second pass re-derives the same state
+    V.recover(t)
+    assert V.latest_version(t) == 0 and V.committed_batch_id(t) == 0
+
+
 # --- item 4: event-time timers in transformWithStateInPandas ----------------
 
 
