@@ -43,10 +43,15 @@ _WINDOW = [
     "dedup_span_suffix_doubling",
     "events_unconverted_clicks",
     # --- re-gate: implementation changed since the green row (Arrow
-    # kernel rewrites of the byte-grain ops; fixed-stride guard) ---
+    # kernel rewrites of the byte-grain ops; fixed-stride guard; the
+    # two-pass percentile family's cumulative walks moved onto
+    # _global_cumsum after the build-side WindowExec catch) ---
     "dedup_winnowing_fingerprints",
     "multimodal_cdc_chunk_savings",
     "multimodal_chunk_dedup_savings",
+    "agg_exact_median_twopass",
+    "agg_exact_percentiles_twopass",
+    "agg_exact_weighted_median",
     # --- stalest-green re-proofs: every key below last graded green in
     # round 1 — the complete r1 residue, re-proven in one sweep ---
     "src_scan_events",
@@ -54,9 +59,9 @@ _WINDOW = [
     "filt_type",
     "json_parse_props",
     "mac_verify_filter",
-    "dek_cache",
-    "window_tumbling_counts",
-    "window_sliding_counts",
+    # (dek_cache — call-counter-tested — and the two window-count ops,
+    # whose streaming twins are pytest-covered, yielded their re-proof
+    # slots to the two-pass-family re-gates: the r8 yielding rationale)
     "window_session_stats",
     "envelope_map_attrs",
     "scan_parquet",

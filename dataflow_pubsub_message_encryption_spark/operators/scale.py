@@ -653,19 +653,24 @@ def agg_exact_median_twopass(spark, sf_dir):
     to find the bucket containing the target rank; pass 2 re-scans ONLY
     that bucket (predicate pushed to the parquet scan) and takes the
     (rank - preceding) smallest inside it via TakeOrdered — never a
-    whole-table sort. Driver transfer is two scalars (total count; the
-    located bucket + its preceding cumulative count), the same bounded
-    pattern as the components fixed-point loop. The oracle computes the
-    same rank with a row_number over the full table — the prune is
-    value-checked, not trusted."""
+    whole-table sort. The cumulative walk rides ``_global_cumsum``
+    (range-partitioned prefix sum): bucket count ∝ value range, so a
+    bare ``SUM OVER (ORDER BY b)`` would be the single-partition-window
+    trap on a wide-range column — caught in round 9 by a WindowExec
+    warning sweep over BUILD-side jobs (the returned-plan sweep can't
+    see a window a driver-scalar collect already consumed). Driver
+    transfer is two scalars (total count; the located bucket + its
+    preceding cumulative count), the same bounded pattern as the
+    components fixed-point loop. The oracle computes the same rank with
+    a row_number over the full table — the prune is value-checked, not
+    trusted."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
     n = li.agg(F.count("*")).collect()[0][0]  # driver-scalar
     rank = (n + 1) // 2
     hist = li.groupBy(F.floor("x").alias("b")).agg(F.count("*").alias("c"))
-    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(wc)).filter(
+    cum = _global_cumsum(hist, "c", "b").filter(
         F.col("cum") >= rank
     ).orderBy("b").limit(1)
     located = cum.agg(F.min("b").alias("b"), F.min(F.col("cum") - F.col("c")).alias("prev")).collect()[0]  # driver-scalar
@@ -706,21 +711,23 @@ def agg_exact_percentiles_twopass(spark, sf_dir):
     pass — the multi-rank generalization of ``agg_exact_median_twopass``
     (rank_p = ceil(n*p/100), the lower-value convention, all-integer):
     the shared integer-bucket histogram locates every target rank's
-    bucket in a single cumulative walk; the second scan filters to the
-    union of located buckets (predicate pushed to parquet) and takes
-    each in-bucket order statistic via TakeOrdered. Driver transfer is
-    the count plus one located-bucket row per percentile — bounded, like
-    the components loop. At 100 TB this is how exact SLA/billing
-    percentiles are actually computed: two corpus passes, no global
-    sort, no sketch error bar."""
+    bucket in a single cumulative walk (``_global_cumsum`` — the
+    range-partitioned prefix sum; buckets ∝ value range, so the bare
+    global window this op used until round 9 was the single-partition
+    trap in a BUILD-side job the returned-plan sweep can't see); the
+    second scan filters to the union of located buckets (predicate
+    pushed to parquet) and takes each in-bucket order statistic via
+    TakeOrdered. Driver transfer is the count plus one located-bucket
+    row per percentile — bounded, like the components loop. At 100 TB
+    this is how exact SLA/billing percentiles are actually computed: two
+    corpus passes, no global sort, no sketch error bar."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("x")
     )
     n = li.agg(F.count("*")).collect()[0][0]  # driver-scalar
     ranks = {p: (n * p + 99) // 100 for p in _PCTS}
     hist = li.groupBy(F.floor("x").alias("b")).agg(F.count("*").alias("c"))
-    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    cum = _global_cumsum(hist, "c", "b")
     out = None
     for p in _PCTS:
         rank = ranks[p]
@@ -1731,11 +1738,13 @@ def agg_exact_weighted_median(spark, sf_dir):
     the cumulative masses to the target bucket; pass 2 rescans ONLY that
     bucket (pushed predicate), collapses it per distinct value (weights
     re-sum — associative), and takes the first value whose in-bucket
-    cumulative weight crosses the residual target. The in-bucket window
-    is single-partition but BUCKET-BOUNDED (the prune is what makes that
-    admissible — same argument as TakeOrdered's per-partition heaps).
+    cumulative weight crosses the residual target. BOTH cumulative walks
+    ride ``_global_cumsum`` (round 9 — the histogram one was the
+    build-side single-partition-window catch; the in-bucket one was
+    bucket-bounded-admissible but the uniform machinery costs the same
+    and leaves zero WindowExec-global sites in the family).
     Determinism under ties: rows of equal x always expose their full
-    cumulative mass at the value's last row, so 'min x with cw ≥ k' is
+    cumulative mass at the value's last row, so 'min x with cum ≥ k' is
     order-independent — the oracle's per-row running sum and the
     per-value collapse here provably agree. Driver traffic: two bounded
     scalars, as in the unweighted op."""
@@ -1746,9 +1755,12 @@ def agg_exact_weighted_median(spark, sf_dir):
     W = li.agg(F.sum("w").alias("W")).collect()[0][0]  # driver-scalar
     k = (W + 1) // 2
     hist = li.groupBy(F.floor("x").alias("b")).agg(F.sum("w").alias("c"))
-    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # histogram cumulative mass via _global_cumsum (buckets ∝ value
+    # range — the bare global window here was the round-9 build-side
+    # WindowExec catch); the IN-BUCKET window below stays single-
+    # partition by design: the prune bounds it (see docstring)
     cum = (
-        hist.withColumn("cum", F.sum("c").over(wc))
+        _global_cumsum(hist, "c", "b")
         .filter(F.col("cum") >= k)
         .orderBy("b")
         .limit(1)
@@ -1757,10 +1769,9 @@ def agg_exact_weighted_median(spark, sf_dir):
     k_res = int(k - row["prev"])
     in_bucket = li.filter(F.floor("x") == row["b"])
     vals = in_bucket.groupBy("x").agg(F.sum("w").alias("vw"))
-    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
     med = (
-        vals.withColumn("cw", F.sum("vw").over(wv))
-        .filter(F.col("cw") >= k_res)
+        _global_cumsum(vals, "vw", "x")
+        .filter(F.col("cum") >= k_res)
         .agg(F.min("x").alias("weighted_median"))
     )
     n_bucket = in_bucket.agg(F.count("*").alias("n_bucket_scanned"))

@@ -465,3 +465,27 @@ def test_fuzzy_editdist_join_is_banded_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_no_global_window_in_build_side_jobs(spark, sf_dir, capfd):
+    """Round-9 audit class: the returned-plan sweep (test_oracle_parity)
+    cannot see a single-partition WindowExec inside a BUILD-side job —
+    a window whose result a driver-scalar collect consumes during query
+    construction (the two-pass percentile family hid three of them until
+    the WindowExec warning scan caught it). Build EVERY registered query
+    and assert the JVM never logs the global-window warning. The JVM
+    shares this process's stderr, so one capture over the whole build
+    loop sees every executor-side plan the builds ran."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    capfd.readouterr()  # drop anything earlier tests left buffered
+    failures = []
+    for name, fn in queries.items():
+        fn(spark, sf_dir)
+        err = capfd.readouterr().err
+        if "No Partition Defined for Window operation" in err:
+            failures.append(name)
+    assert not failures, (
+        f"build-side single-partition window in: {failures}"
+    )
