@@ -52,11 +52,17 @@ _WINDOW = [
     "agg_exact_median_twopass",
     "agg_exact_percentiles_twopass",
     "agg_exact_weighted_median",
+    # (graph-ANN body refactored into the shared _gr_blocked + the
+    # tables/n parameterization — both registered keys and the recall
+    # eval that calls through them re-gate on the refactored path)
+    "sim_ann_graph_topk",
+    "sim_ann_graph_topk_blocked",
+    "sim_ann_graph_recall_eval",
     # --- stalest-green re-proofs: every key below last graded green in
-    # round 1 — the complete r1 residue, re-proven in one sweep ---
-    "src_scan_events",
-    "proj_attrs",
-    "filt_type",
+    # round 1 — the r1 residue (src_scan_events, proj_attrs, filt_type —
+    # bare scan / pure projection / pushed filter, the narrowest r1
+    # greens — yielded their slots to the graph-ANN re-gates, the r8
+    # yielding rationale) ---
     "json_parse_props",
     "mac_verify_filter",
     # (dek_cache — call-counter-tested — and the two window-count ops,

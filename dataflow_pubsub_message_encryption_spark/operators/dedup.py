@@ -2202,18 +2202,19 @@ def _winnow_fps(docs):
     sort) is gone — the kernel's output is already the ~1/w winnowed
     set, so the only wide op left is the fingerprint census groupBy.
     Docs shorter than k chars yield no k-grams (the explode twin needed
-    an explicit guard: ADVICE r8 item 1 — descending-sequence garbage).
-    The old form is kept as :func:`_winnow_fps_exploded` for the
-    equivalence law test."""
+    an explicit guard: ADVICE r8 item 1 — descending-sequence garbage),
+    and NULL text yields no rows — the defined contract for both forms,
+    so the kernel never calls len(None). The old form is kept as
+    :func:`_winnow_fps_exploded` for the equivalence law test."""
     import numpy as np
 
     def fps(it):
         for pdf in it:
             out_id, out_fp = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) < _WIN_K:
+                    continue  # NULL or sub-k text -> no fingerprints
                 n = len(text)
-                if n < _WIN_K:
-                    continue
                 codes = np.fromiter(map(ord, text), np.int64, count=n)
                 m = n - _WIN_K + 1  # k-gram count
                 acc = np.zeros(m, dtype=np.int64)

@@ -828,7 +828,10 @@ def _cdc_chunks(hx):
     unchanged. Short payloads yield the mandatory end-of-doc chunk only,
     and an empty payload yields the oracle's unconditional end-row
     (sha256 of the empty span, nb 0) — the sequence-boundary crash
-    class (ADVICE r8) is structurally gone."""
+    class (ADVICE r8) is structurally gone. NULL payloads yield NO rows
+    — the defined contract for both forms (the twin filters them; a
+    NULL is an absent payload, not an empty one), so the kernel never
+    calls len(None) and the equivalence law covers the case."""
     import hashlib
 
     import numpy as np
@@ -837,6 +840,8 @@ def _cdc_chunks(hx):
         for pdf in it:
             out_id, out_ch, out_nb = [], [], []
             for doc_id, h in zip(pdf["doc_id"], pdf["h"]):
+                if h is None:
+                    continue  # NULL payload -> no chunks (contract below)
                 n = len(h)
                 # n == 0 still emits the mandatory end-of-doc chunk
                 # (sha256(''), nb 0) — the oracle's unconditional
@@ -878,7 +883,9 @@ def _cdc_chunks_exploded(hx):
     as the equivalence-law twin (tests pin kernel ≡ explode on fixtures;
     the registered op serves the kernel). Shape: ~1 row per byte, each
     carrying the full hex payload into a per-doc lag window — correct,
-    oracle-identical, and the reason the kernel exists."""
+    oracle-identical, and the reason the kernel exists. NULL payloads
+    are filtered (no rows) — the shared contract with the kernel."""
+    hx = hx.filter(F.col("h").isNotNull())
     pos = hx.select(
         "doc_id",
         "h",

@@ -1757,8 +1757,8 @@ def agg_exact_weighted_median(spark, sf_dir):
     hist = li.groupBy(F.floor("x").alias("b")).agg(F.sum("w").alias("c"))
     # histogram cumulative mass via _global_cumsum (buckets ∝ value
     # range — the bare global window here was the round-9 build-side
-    # WindowExec catch); the IN-BUCKET window below stays single-
-    # partition by design: the prune bounds it (see docstring)
+    # WindowExec catch); the in-bucket walk below rides the same
+    # machinery (see docstring)
     cum = (
         _global_cumsum(hist, "c", "b")
         .filter(F.col("cum") >= k)

@@ -13,14 +13,19 @@ closes that fidelity gap with the real Spark-4 extension API:
   the engine's data model (SURVEY §1) standardizes on.
 - **Offsets**: one planned entry per topic segment (parquet file of the
   events fixture, sorted), journaled by Spark's checkpoint exactly like
-  any V2 source; ``latestOffset`` advances one segment per trigger so a
-  replay paces into real micro-batches (a production source would
-  instead report the broker head and let ReadLimits pace).
+  any V2 source. ``latestOffset`` reports the full plan head — STATELESS
+  on purpose: the reader instance is rebuilt on restart and the API
+  gives it no view of the committed offset, so any instance-local
+  pacing counter would restart at zero and re-plan already-committed
+  ranges (double-delivery beyond the deliberate knob) or starve an
+  availableNow drain. Batch pacing belongs to the engine's ReadLimits /
+  trigger, not to a counter the checkpoint cannot see.
 - **At-least-once**: ``redeliver_first=true`` re-plans segment 0 as a
-  SECOND delivery in its own later micro-batch — the Pub/Sub redelivery
-  case — so consumer-side dedup (``dropDuplicatesWithinWatermark`` /
-  R11) is what establishes effectively-once, exactly as the reference
-  relies on [U/H]. The duplicate is bit-identical payload + attrs.
+  SECOND delivery (its own planned entry, tagged delivery=2) — the
+  Pub/Sub redelivery case — so consumer-side dedup
+  (``dropDuplicatesWithinWatermark`` / R11) is what establishes
+  effectively-once, exactly as the reference relies on [U/H]. The
+  duplicate is bit-identical payload + attrs.
 - **Executor-side reads**: ``partitions()`` ships (segment, path)
   partitions; ``read()`` runs in the Python worker and reads its file
   with pyarrow — the driver never touches row data (the 100 TB
@@ -70,18 +75,16 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         self._plan = [(f, 1) for f in files]
         if redeliver:
             self._plan.append((files[0], 2))
-        self._served = 0  # high-water mark latestOffset has announced
 
     def initialOffset(self) -> dict:
         return {"entry": 0}
 
     def latestOffset(self) -> dict:
-        # advance one planned entry per trigger: a drained replay paces
-        # into len(plan) micro-batches (processAllAvailable keeps
-        # triggering until this stops moving)
-        if self._served < len(self._plan):
-            self._served += 1
-        return {"entry": self._served}
+        # STATELESS head report (see module docstring): a fresh reader
+        # after a checkpoint restart must never report an offset behind
+        # the committed one, and the only restart-safe monotone value an
+        # instance with no checkpoint view can produce is the plan head
+        return {"entry": len(self._plan)}
 
     def partitions(self, start: dict, end: dict):
         return [

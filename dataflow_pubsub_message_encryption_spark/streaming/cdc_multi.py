@@ -2,9 +2,13 @@
 
 ``cdc.py`` maintains ONE table per snapshot; a real CDC feed usually
 lands in several (header + detail, current-state + rollup). The
-cross-table atomicity requirement: a reader must never observe table A
-at batch b and table B at batch b-1, and a crash+replay must never fold
-a batch into one table twice or into only one of them.
+cross-table atomicity requirement: the ON-DISK state must never hold
+table A at batch b and table B at batch b-1 (a crash+replay must never
+fold a batch into one table twice or into only one of them). Readers
+that open the pair while no swap is running — the foreachBatch cadence
+— inherit that consistency; a reader racing a live swap needs the
+immutable-version commit log (:mod:`.versioned`) instead, see
+:func:`multi_current_view`.
 
 The design makes N-table atomicity STRUCTURAL rather than adding a
 multi-rename protocol: all N tables are children of ONE snapshot dir
@@ -103,7 +107,15 @@ def multi_upsert_sink(events: DataFrame, target_dir: str, checkpoint_dir: str):
 def multi_current_view(
     spark: SparkSession, target_dir: str
 ) -> dict[str, DataFrame]:
-    """Both member tables of the live snapshot — read under one root, so
-    the pair is always batch-consistent."""
+    """Both member tables of the live snapshot, read under one root.
+
+    Consistency contract: the pair is batch-consistent when no swap runs
+    concurrently (the foreachBatch sink swaps BETWEEN micro-batches;
+    read after the stream drains, or between triggers). The two reads
+    here are lazy and independent, so a reader racing a live swap could
+    resolve them against different batches — or hit deleted files once
+    the old umbrella is dropped. A concurrent-reader deployment wants
+    the commit-log format instead (:mod:`.versioned`): versions are
+    immutable, a reader pins one, and only ``vacuum`` drops it."""
     cur = os.path.join(target_dir, _SNAPSHOT)
     return {t: spark.read.parquet(os.path.join(cur, t)) for t in TABLES}

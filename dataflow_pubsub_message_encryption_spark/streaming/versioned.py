@@ -159,7 +159,10 @@ def read_version(
 def vacuum(target_dir: str, keep: int) -> list[int]:
     """Drop all but the newest ``keep`` committed versions (their v-dirs
     and log entries); returns the dropped version numbers. The committed
-    latest is never dropped."""
+    latest is never dropped — ``keep`` is clamped to >= 1, else keep=0
+    would delete the live version's log entry out from under the
+    ``_latest`` pointer and wedge the replay skip rule."""
+    keep = max(1, keep)
     n = latest_version(target_dir)
     dropped = []
     for v in range(max(0, n - keep + 1)):

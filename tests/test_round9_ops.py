@@ -45,7 +45,14 @@ def test_cdc_kernel_edge_payloads(spark):
     )
 
     docs = spark.createDataFrame(
-        [(1, ""), (2, "a"), (3, "abcdefg"), (4, "abcdefgh"), (5, "xy" * 40)],
+        [
+            (0, None),  # NULL payload: the defined no-rows contract
+            (1, ""),
+            (2, "a"),
+            (3, "abcdefg"),
+            (4, "abcdefgh"),
+            (5, "xy" * 40),
+        ],
         "doc_id long, text string",
     )
     hx = docs.select(
@@ -54,6 +61,7 @@ def test_cdc_kernel_edge_payloads(spark):
     k = _rows(_cdc_chunks(hx))
     e = _rows(_cdc_chunks_exploded(hx))
     assert k == e
+    assert not [t for t in k if t[0] == 0]  # NULL payload -> no rows
     # the empty payload emitted exactly one 0-byte chunk, not a crash
     empty = [t for t in k if t[0] == 1]
     assert len(empty) == 1 and empty[0][2] == 0
@@ -119,6 +127,7 @@ def test_winnow_kernel_edge_docs(spark):
     )
 
     texts = [
+        (0, None),  # NULL text: the defined no-rows contract
         (1, ""),
         (2, "short"),  # < k
         (3, "x" * (_WIN_K - 1)),
@@ -132,7 +141,7 @@ def test_winnow_kernel_edge_docs(spark):
     k = _rows(_winnow_fps(docs))
     e = _rows(_winnow_fps_exploded(docs))
     assert k == e
-    assert not [t for t in k if t[0] in (1, 2, 3)]  # sub-k docs: nothing
+    assert not [t for t in k if t[0] in (0, 1, 2, 3)]  # NULL/sub-k: nothing
     assert len([t for t in k if t[0] == 4]) == 1  # one k-gram -> one fp
 
 
