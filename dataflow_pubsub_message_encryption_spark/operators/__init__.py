@@ -27,84 +27,80 @@ _MODULES = [
 
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
-# therefore part of the driver contract, not cosmetics. Rounds 1-8 graded all
-# then-registered queries green (322/322 driver-proven after r8; no query has
-# ever failed the gate), so the round-9 window leads with this round's new
-# operators, then re-gate slots for the queries whose implementation changed
-# this round (the chunker/fingerprint ops rewritten onto Arrow mapInPandas
-# kernels — VERDICT r8 item 2 — and the empty-payload sequence guard), then
-# the STALEST greens: all 45 keys last graded in round 1 (the full relational
-# C-block), so no key's latest green ages out unproven (the r8 precedent).
-# Every remaining EXACT query follows in module order; oracle-less
-# (ROWS-class) queries always sort last so no graded slot is burned on a
-# `no_oracle` row.
+# therefore part of the driver contract, not cosmetics. Rounds 1-9 graded all
+# then-registered queries green (324/324 driver-proven after r9; no query has
+# ever failed the gate), so the round-10 window leads with this round's new
+# operator (the production-width graph-ANN build, VERDICT r9 item 1), then
+# re-gate slots for the queries whose implementation changed this round (the
+# winnowing census pinned to ONE kernel pass — VERDICT r9 residual 1 — and
+# the graph-ANN family re-gating on the width-parameterized oracle/SQL-gen
+# path), then the STALEST greens: the six round-1 residue keys that yielded
+# their slots in r8/r9, followed by 39 of the 43 keys last graded in rounds
+# 2-3 (the TPC-H block, the X-block text/similarity cohort, the curation
+# cohort — VERDICT r9 item 6 names exactly this cohort; the 4 deferred
+# behavior/cdc keys lead round 11's queue). Every remaining EXACT query
+# follows in module order; oracle-less (ROWS-class) queries always sort last
+# so no graded slot is burned on a `no_oracle` row.
 _WINDOW = [
-    # --- round-9 additions (never driver-graded) ---
-    "dedup_span_suffix_doubling",
-    "events_unconverted_clicks",
-    # --- re-gate: implementation changed since the green row (Arrow
-    # kernel rewrites of the byte-grain ops; fixed-stride guard; the
-    # two-pass percentile family's cumulative walks moved onto
-    # _global_cumsum after the build-side WindowExec catch) ---
+    # --- round-10 addition (never driver-graded) ---
+    "sim_ann_graph_topk_blocked_wide",
+    # --- re-gate: implementation changed since the green row (q24's
+    # winnowing census now reuses ONE pinned kernel pass; the graph-ANN
+    # oracle generator grew the tables parameter and the plane set is
+    # sliced per-width — the whole family re-proves on that path) ---
     "dedup_winnowing_fingerprints",
-    "multimodal_cdc_chunk_savings",
-    "multimodal_chunk_dedup_savings",
-    "agg_exact_median_twopass",
-    "agg_exact_percentiles_twopass",
-    "agg_exact_weighted_median",
-    # (graph-ANN body refactored into the shared _gr_blocked + the
-    # tables/n parameterization — both registered keys and the recall
-    # eval that calls through them re-gate on the refactored path)
     "sim_ann_graph_topk",
     "sim_ann_graph_topk_blocked",
     "sim_ann_graph_recall_eval",
-    # --- stalest-green re-proofs: every key below last graded green in
-    # round 1 — the r1 residue (src_scan_events, proj_attrs, filt_type —
-    # bare scan / pure projection / pushed filter, the narrowest r1
-    # greens — yielded their slots to the graph-ANN re-gates, the r8
-    # yielding rationale) ---
-    "json_parse_props",
-    "mac_verify_filter",
-    # (dek_cache — call-counter-tested — and the two window-count ops,
-    # whose streaming twins are pytest-covered, yielded their re-proof
-    # slots to the two-pass-family re-gates: the r8 yielding rationale)
-    "window_session_stats",
-    "envelope_map_attrs",
-    "scan_parquet",
-    "proj_expr",
-    "filt_pred",
-    "case_when",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "join_asof",
-    "join_cross",
-    "agg_hash_groupby",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "win_rank_topk",
-    "win_running_sum",
-    "win_lag_delta",
-    "sort_limit_topk",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "dedup_exact",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_array",
-    "scalar_map_json",
-    "udtf_surface",
-    "agg_percentile",
-    "agg_pivot",
-    "filt_scalar_subquery",
-    "win_range_frame",
-    "sql_entrypoint_q3",
+    # --- stalest-green re-proofs: the round-1 residue first (yielded
+    # their slots to re-gates in r8/r9, now the oldest greens in the
+    # table) ---
+    "src_scan_events",
+    "proj_attrs",
+    "filt_type",
+    "dek_cache",
+    "window_tumbling_counts",
+    "window_sliding_counts",
+    # --- then the round-2/3 cohort, stalest-first (VERDICT r9 item 6) ---
+    "agg_approx_distinct",
+    "udf_surface",
+    "join_multiway_q5",
+    "agg_having_subquery",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q10_returned_revenue",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_census",
+    "tpch_q18_large_volume_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_customers",
+    "text_tokenize_topterms",
+    "text_lang_stats",
+    "text_term_per_lang",
+    "text_langid",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_top3",
+    "dedup_exact_hash",
+    "dedup_minhash_signature",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "multimodal_columns",
+    "emb_quantize_int8",
+    "emb_norm_stats",
+    "multimodal_binary_meta",
+    "split_train_test",
+    "sample_stratified",
+    "text_repetition_filter",
+    "pack_sequences",
+    "text_chunk_windows",
+    "decontam_ngram_overlap",
+    "text_pii_scrub",
+    "agg_correlated_subquery",
+    "win_distribution",
 ]
 
 

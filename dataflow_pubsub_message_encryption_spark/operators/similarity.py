@@ -1908,9 +1908,11 @@ _GRB_TABLES = ((0, 4), (4, 8))
 
 def _lsh_slice_sql(col: str, lo: int, hi: int) -> str:
     """DuckDB: hyperplane sign bits for planes [lo, hi) — the slice analog
-    of ``_lsh_bucket_sql`` (prefix-only) for multi-table blocking."""
+    of ``_lsh_bucket_sql`` (prefix-only) for multi-table blocking. ``hi``
+    may exceed the fixture-tuned ``_N_PLANES`` (the wide-table oracle
+    inlines planes 0..13)."""
     parts = []
-    for plane in _planes()[lo:hi]:
+    for plane in _planes(hi)[lo:hi]:
         lit = "[" + ", ".join(str(x) for x in plane) + "]"
         parts.append(
             f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
@@ -1950,7 +1952,7 @@ def _gr_step_sql(t: int, l: int) -> str:
     )"""
 
 
-def _gr_sql(blocked: bool = False) -> str:
+def _gr_sql(blocked: bool = False, tables=None) -> str:
     steps, t = [], 0
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
@@ -1959,7 +1961,7 @@ def _gr_sql(blocked: bool = False) -> str:
     final = t
     bcols = ""
     if blocked:
-        (lo1, hi1), (lo2, hi2) = _GRB_TABLES
+        (lo1, hi1), (lo2, hi2) = tables if tables is not None else _GRB_TABLES
         bcols = (
             f", {_lsh_slice_sql('embedding', lo1, hi1)} AS b1"
             f", {_lsh_slice_sql('embedding', lo2, hi2)} AS b2"
@@ -2341,11 +2343,39 @@ def sim_ann_graph_topk_blocked_scaled(spark, sf_dir, bits: int):
     occupancy, so growing bits with log n holds per-bucket pair work
     CONSTANT and the total pair count ∝ n — measured: 10× vectors with
     bits 4→7 reads near-linear (slope table in tools/scale_slope.py
-    output / BASELINE.md). Unregistered because the EXACT oracle inlines
-    one fixed plane set; the wiring is law-pinned instead: bits=4
-    reproduces the registered result row-for-row
-    (tests/test_round9_ops.py)."""
+    output / BASELINE.md). The parameterized form stays unregistered
+    (one EXACT oracle inlines one fixed plane set); it is driver-proven
+    at TWO widths instead — bits=4 ≡ the registered
+    `sim_ann_graph_topk_blocked` row-for-row (law,
+    tests/test_round9_ops.py), and bits=7 IS the registered
+    `sim_ann_graph_topk_blocked_wide` (its own oracle inlines planes
+    0..13 — VERDICT r9 item 1)."""
     return _gr_blocked(spark, sf_dir, tables=((0, bits), (bits, 2 * bits)))
+
+
+_GRB_WIDE_BITS = 7  # log2(n/B) at the sf1 slope point (n≈50k, B≈400)
+_GRB_WIDE_TABLES = ((0, _GRB_WIDE_BITS), (_GRB_WIDE_BITS, 2 * _GRB_WIDE_BITS))
+
+
+@query(
+    "sim_ann_graph_topk_blocked_wide",
+    _gr_sql(blocked=True, tables=_GRB_WIDE_TABLES),
+)
+def sim_ann_graph_topk_blocked_wide(spark, sf_dir):
+    """Graph ANN, blocked build at the PRODUCTION table width (bits=7 —
+    the knob setting the round-9 scale-slope run proved restores linear
+    build cost at the 10× fixture decade; VERDICT r9 item 1: the scaled
+    form must be driver-proven, not just law-pinned). Identical machinery
+    to `sim_ann_graph_topk_blocked` — same walk, beam, levels, rerank —
+    with two independent 7-bit hyperplane tables (planes 0-6 / 7-13)
+    generating the candidate edges; the EXACT oracle inlines its own 14
+    plane literals and replays the wide build edge for edge, exactly as
+    the 4-bit oracle does. At fixture n the wide buckets are sparse
+    (mean occupancy ~4 vs ~31), so this row also pins that the walk's
+    recall machinery tolerates a thin candidate graph; the sf1 slope
+    harness measures THIS registered key (tools/scale_slope.py), closing
+    the loop from driver-proof to measured exponent."""
+    return _gr_blocked(spark, sf_dir, tables=_GRB_WIDE_TABLES)
 
 
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the

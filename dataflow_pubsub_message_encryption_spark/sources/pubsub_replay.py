@@ -1,5 +1,6 @@
 """Custom Python streaming DataSource (Spark 4 ``pyspark.sql.datasource``)
-— the Pub/Sub-shaped replay source (VERDICT r8 item 5).
+— the Pub/Sub-shaped replay source (VERDICT r8 item 5; pacing + drift
+guards VERDICT r9 item 2 / ADVICE r9 items 2-3).
 
 The reference's input [U/H] is an unbounded Pub/Sub subscription:
 messages with an opaque ``data: bytes`` payload, an ``attributes``
@@ -13,32 +14,63 @@ closes that fidelity gap with the real Spark-4 extension API:
   the engine's data model (SURVEY §1) standardizes on.
 - **Offsets**: one planned entry per topic segment (parquet file of the
   events fixture, sorted), journaled by Spark's checkpoint exactly like
-  any V2 source. ``latestOffset`` reports the full plan head — STATELESS
-  on purpose: the reader instance is rebuilt on restart and the API
-  gives it no view of the committed offset, so any instance-local
-  pacing counter would restart at zero and re-plan already-committed
-  ranges (double-delivery beyond the deliberate knob) or starve an
-  availableNow drain. Batch pacing belongs to the engine's ReadLimits /
-  trigger, not to a counter the checkpoint cannot see.
+  any V2 source. Each offset also carries ``fp``, a fingerprint of the
+  delivery plan, so a checkpoint restarted over a CHANGED segment
+  directory (files added/removed/renamed, redeliver knob flipped) fails
+  loudly in ``partitions`` instead of silently re-mapping committed
+  entries to different files (ADVICE r9 item 2).
+- **Pacing** (``max_segments_per_batch=K``, default 0 = unbounded):
+  ``latestOffset`` reports ``min(floor + K, head)`` instead of the full
+  plan head, so a cold start or a restarted backlog drains in ⌈N/K⌉
+  micro-batches instead of one unbounded batch (VERDICT r9 item 2 — a
+  100 TB backlog through the unpaced form is one giant batch). The
+  Python API gives ``latestOffset`` no view of the committed offset and
+  no ReadLimits hook (pyspark 4.1 ``DataSourceStreamReader`` — verified
+  against the installed source), so the floor is restart-safe by OTHER
+  channels, none of them an instance-local counter (the r8 self-review
+  trap): (1) ``commit(end)`` journals the floor to an atomic
+  ``progress_path`` file the next instance reads at construction —
+  point it INSIDE the query's checkpoint dir so both share a
+  lifecycle; (2) ``partitions(start, end)`` bumps the floor to the
+  engine-supplied ``end`` — the planned batch head the engine journals
+  to its offset log before running the batch (the Kafka
+  maxOffsetsPerTrigger pacing shape), which covers both the in-run
+  cadence (``commit()`` can land after the next poll on some trigger
+  paths) and the restart-replay of an uncommitted batch (the same
+  checkpointed range re-plans and re-bumps); (3) a lost progress file
+  with an intact checkpoint can only PAUSE the stream (latest ==
+  committed, never a skip or duplicate — partition ranges always come
+  from the checkpoint), and a stale-poll self-heal unparks it: three
+  consecutive identical ``latestOffset`` polls with no intervening
+  plan/commit activity advance the floor one K-step. The worst case of
+  the self-heal is a larger-than-K batch after a long pause, never a
+  missed or re-planned segment.
 - **At-least-once**: ``redeliver_first=true`` re-plans segment 0 as a
   SECOND delivery (its own planned entry, tagged delivery=2) — the
   Pub/Sub redelivery case — so consumer-side dedup
   (``dropDuplicatesWithinWatermark`` / R11) is what establishes
   effectively-once, exactly as the reference relies on [U/H]. The
-  duplicate is bit-identical payload + attrs.
+  duplicate is bit-identical payload + attrs. Unpaced, the whole plan
+  (redelivery included) can land in one micro-batch under
+  processAllAvailable/availableNow (ADVICE r9 item 3); with pacing the
+  redelivery entry genuinely arrives in a LATER micro-batch than the
+  first delivery — tested both ways.
 - **Executor-side reads**: ``partitions()`` ships (segment, path)
   partitions; ``read()`` runs in the Python worker and reads its file
   with pyarrow — the driver never touches row data (the 100 TB
   contract; a real subscription source would pull its assigned
   bundle the same way).
 
-``commit(end)`` is a no-op: segments are durable files; a broker-backed
-source would ack up to ``end`` here.
+``commit(end)`` journals pacing progress; segments themselves are
+durable files — a broker-backed source would also ack up to ``end``
+here.
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import json
 import os
 
 from pyspark.sql.datasource import (
@@ -51,6 +83,8 @@ SCHEMA = (
     "event_id BIGINT, value BINARY, attrs MAP<STRING,STRING>, "
     "publish_ts TIMESTAMP"
 )
+
+_SELF_HEAL_POLLS = 3  # identical idle polls before the pause-unpark step
 
 
 class _Segment(InputPartition):
@@ -75,18 +109,104 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         self._plan = [(f, 1) for f in files]
         if redeliver:
             self._plan.append((files[0], 2))
+        # plan fingerprint: basenames + delivery tags, order-sensitive —
+        # rides in every offset so a restart over a drifted plan is an
+        # error, not a silent re-mapping
+        self._fp = hashlib.sha256(
+            "\n".join(f"{os.path.basename(f)}#{d}" for f, d in self._plan).encode()
+        ).hexdigest()[:12]
+        self._k = int(options.get("max_segments_per_batch", 0) or 0)
+        if self._k < 0:
+            raise ValueError("max_segments_per_batch must be >= 0")
+        self._progress_path = options.get("progress_path")
+        # restart-safe pacing floor: progress file (commit-journaled by a
+        # prior instance) is the primary channel; partitions() bumps it
+        # from checkpoint truth; commit() keeps it current in-run
+        self._floor = self._read_progress()
+        self._last_poll = -1
+        self._stale_polls = 0
+
+    # --- durable pacing floor -------------------------------------------
+
+    def _read_progress(self) -> int:
+        if not self._progress_path:
+            return 0
+        try:
+            with open(self._progress_path) as fh:
+                rec = json.load(fh)
+            # a progress file from a DIFFERENT plan must not seed the
+            # floor (e.g. fresh checkpoint + stale file): start at 0 —
+            # offsets-vs-plan drift is partitions()' job to reject
+            if rec.get("fp") != self._fp:
+                return 0
+            return max(0, int(rec["entry"]))
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return 0
+
+    def _bump_floor(self, entry: int) -> None:
+        if entry <= self._floor:
+            return
+        self._floor = entry
+        self._stale_polls = 0
+        if self._progress_path and self._k:
+            tmp = f"{self._progress_path}.w"
+            with open(tmp, "w") as fh:
+                json.dump({"entry": entry, "fp": self._fp}, fh)
+            os.replace(tmp, self._progress_path)  # atomic on POSIX
+
+    # --- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
-        return {"entry": 0}
+        return {"entry": 0, "fp": self._fp}
 
     def latestOffset(self) -> dict:
-        # STATELESS head report (see module docstring): a fresh reader
-        # after a checkpoint restart must never report an offset behind
-        # the committed one, and the only restart-safe monotone value an
-        # instance with no checkpoint view can produce is the plan head
-        return {"entry": len(self._plan)}
+        head = len(self._plan)
+        if self._k:
+            head = min(self._floor + self._k, head)
+            if head == self._last_poll:
+                # idle-pause self-heal: latest == committed with a lost
+                # progress file parks the stream (the engine plans no
+                # batch, so no commit/partitions call will ever move the
+                # floor); after _SELF_HEAL_POLLS identical polls with no
+                # intervening activity, take one K-step. Never skips:
+                # batch ranges come from the checkpointed start.
+                self._stale_polls += 1
+                if self._stale_polls >= _SELF_HEAL_POLLS:
+                    self._stale_polls = 0
+                    self._bump_floor(head)
+                    head = min(self._floor + self._k, len(self._plan))
+            else:
+                self._stale_polls = 0
+        self._last_poll = head
+        return {"entry": head, "fp": self._fp}
 
     def partitions(self, start: dict, end: dict):
+        for name, off in (("start", start), ("end", end)):
+            got = off.get("fp")
+            if got is not None and got != self._fp:
+                raise ValueError(
+                    f"pubsub_replay: checkpointed {name} offset fingerprint "
+                    f"{got!r} does not match the current delivery plan "
+                    f"{self._fp!r} — the segment directory or the "
+                    "redeliver_first option changed since the checkpoint "
+                    "was written; committed entries would re-map to "
+                    "different files. Restore the original plan or start "
+                    "a fresh checkpoint."
+                )
+        if end["entry"] > len(self._plan):
+            raise ValueError(
+                f"pubsub_replay: checkpointed end entry {end['entry']} "
+                f"exceeds the current plan length {len(self._plan)} — "
+                "segments were removed since the checkpoint was written."
+            )
+        # the engine-supplied END is the planned batch head, journaled in
+        # the offset log BEFORE the batch runs: bump the pacing floor to
+        # it so the next poll paces K beyond the last PLANNED batch (the
+        # Kafka maxOffsetsPerTrigger shape) — crucially NOT dependent on
+        # the engine's commit() timing, which lands after the next poll
+        # on some trigger paths, and restart-safe: a replayed uncommitted
+        # batch re-plans the same checkpointed range and re-bumps
+        self._bump_floor(end["entry"])
         return [
             _Segment(i, self._plan[i][0], self._plan[i][1])
             for i in range(start["entry"], end["entry"])
@@ -118,12 +238,21 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass  # durable segments; a broker source would ack here
+        # durable segments need no ack; journal the pacing floor so the
+        # NEXT reader instance (checkpoint restart) resumes paced from
+        # the committed entry instead of re-reporting a cold head
+        self._bump_floor(end["entry"])
 
 
 class PubsubReplayDataSource(DataSource):
     """``spark.dataSource.register(PubsubReplayDataSource)`` then
-    ``spark.readStream.format("pubsub_replay").option("path", dir)``."""
+    ``spark.readStream.format("pubsub_replay").option("path", dir)``.
+
+    Pacing: ``.option("max_segments_per_batch", K)`` bounds every
+    micro-batch to K plan entries; pair it with
+    ``.option("progress_path", f"{checkpoint_dir}/pubsub_progress.json")``
+    so pacing survives restarts with the same lifecycle as the
+    checkpoint itself."""
 
     @classmethod
     def name(cls) -> str:

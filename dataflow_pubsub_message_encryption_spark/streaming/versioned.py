@@ -100,8 +100,11 @@ def committed_batch_id(target_dir: str) -> int:
 
 def recover(target_dir: str) -> None:
     """Roll back anything past the committed pointer: uncommitted log
-    entries, orphan v-dirs, torn write-asides. Re-runnable (each rule
-    re-derives the same state)."""
+    entries, orphan v-dirs, version claims, torn write-asides.
+    Re-runnable (each rule re-derives the same state). Recovery is a
+    QUIESCED operation — no live writer may hold a claim while it runs
+    (the same scoping every table format gives its maintenance ops):
+    sweeping a live writer's claim would hand its version to a rival."""
     for aside in glob.glob(os.path.join(target_dir, "*.w")) + glob.glob(
         os.path.join(target_dir, _LOG, "*.w")
     ):
@@ -111,6 +114,11 @@ def recover(target_dir: str) -> None:
         v = int(os.path.basename(p)[1:-5])
         if v > n:
             os.remove(p)  # uncommitted log entry: the pointer never moved
+    for p in glob.glob(os.path.join(target_dir, _LOG, "v*.json.claim")):
+        # crash-orphaned claim: its writer is gone (quiesced recovery).
+        # Claims above the pointer block that version; a claim AT the
+        # pointer is the post-swap/pre-cleanup crash leftover.
+        os.remove(p)
     for d in glob.glob(os.path.join(target_dir, "v*")):
         base = os.path.basename(d)
         if not os.path.isdir(d) or not base[1:].isdigit():
@@ -119,28 +127,71 @@ def recover(target_dir: str) -> None:
             shutil.rmtree(d, ignore_errors=True)  # orphan snapshot
 
 
+class CommitConflict(Exception):
+    """Another writer committed (or is committing) the version this
+    writer targeted — re-read the committed latest, recompute the batch
+    against it, and retry (optimistic concurrency, VERDICT r9 item 3)."""
+
+
 def commit(
     target_dir: str,
     batch_id: int,
     write_tables,  # Callable[[str], dict[str, str]]: version_dir -> {table: relpath}
+    parent: int | None = None,
 ) -> int:
     """Run one commit: ``write_tables(version_dir)`` materializes every
     member table under the new immutable version dir and returns the
     table->relative-path map; then the log entry and the pointer land in
     that order. Returns the new version. Caller must have applied the
-    replay skip rule first (``batch_id <= committed_batch_id`` -> skip)."""
-    version = latest_version(target_dir) + 1
-    vdir = os.path.join(target_dir, f"v{version}")
-    tables = write_tables(vdir)
+    replay skip rule first (``batch_id <= committed_batch_id`` -> skip).
+
+    Optimistic concurrency (VERDICT r9 item 3): ``parent`` is the
+    committed version the caller's merge READ (default: re-read here —
+    the single-writer convenience). The commit lands iff ``parent`` is
+    still the committed latest, checked under an exclusively-created
+    per-version CLAIM file (``_log/v{n}.json.claim``, ``O_EXCL`` — the
+    one atomic filesystem primitive this needs): whoever creates the
+    claim owns version ``parent+1``; a rival writer raises
+    :class:`CommitConflict` and retries against the new parent, so
+    concurrent writers serialize into a LINEAR history and a lost
+    update is impossible — the pointer never attests a snapshot built
+    from a stale parent. A claim left by a crashed writer is swept by
+    :func:`recover` (quiesced, like the other roll-back rules)."""
+    if parent is None:
+        parent = latest_version(target_dir)
+    version = parent + 1
     os.makedirs(os.path.join(target_dir, _LOG), exist_ok=True)
-    _write_atomic(
-        _log_path(target_dir, version),
-        json.dumps(
-            {"version": version, "batch_id": batch_id, "tables": tables}
-        ),
-    )
-    _write_atomic(os.path.join(target_dir, _LATEST), str(version))  # COMMIT
-    return version
+    claim = _log_path(target_dir, version) + ".claim"
+    try:
+        fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} is claimed by another writer"
+        ) from None
+    os.close(fd)
+    try:
+        # under the claim the pointer is frozen at the true latest (every
+        # writer must claim latest+1 before swapping), so one plain read
+        # decides the CAS: a stale parent means a rival already committed
+        # the version this batch was built against
+        if latest_version(target_dir) != parent:
+            raise CommitConflict(
+                f"parent {parent} is no longer the committed latest "
+                f"({latest_version(target_dir)})"
+            )
+        vdir = os.path.join(target_dir, f"v{version}")
+        tables = write_tables(vdir)
+        _write_atomic(
+            _log_path(target_dir, version),
+            json.dumps(
+                {"version": version, "batch_id": batch_id, "tables": tables}
+            ),
+        )
+        _write_atomic(os.path.join(target_dir, _LATEST), str(version))  # COMMIT
+        return version
+    finally:
+        if os.path.exists(claim):
+            os.remove(claim)
 
 
 def read_version(
@@ -188,26 +239,45 @@ def versioned_upsert_sink(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         recover(target_dir)
-        if batch_id <= committed_batch_id(target_dir):
-            return  # replayed batch: version already committed
         spark = batch_df.sparkSession
-        cur = (
-            read_version(spark, target_dir)
-            if latest_version(target_dir) >= 0
-            else {"users": None, "totals": None}
-        )
-        users = _merge(cur["users"], _batch_contrib(batch_df))
-        totals = _totals_merge(cur["totals"], _totals_contrib(batch_df))
-
-        def write_tables(vdir: str) -> dict[str, str]:
-            users.write.mode("overwrite").parquet(os.path.join(vdir, "users"))
-            totals.write.mode("overwrite").parquet(
-                os.path.join(vdir, "totals")
+        # optimistic-concurrency loop: read the committed parent, merge
+        # against it, CAS-commit; a rival's commit between read and swap
+        # raises CommitConflict and the batch recomputes from the NEW
+        # parent (in this sink's single-writer cadence the loop runs
+        # once; the retry path is the multi-writer contract, tested
+        # directly in tests/test_round10_ops.py)
+        for _ in range(5):
+            if batch_id <= committed_batch_id(target_dir):
+                return  # replayed batch: version already committed
+            parent = latest_version(target_dir)
+            cur = (
+                read_version(spark, target_dir, parent)
+                if parent >= 0
+                else {"users": None, "totals": None}
             )
-            base = os.path.basename(vdir)
-            return {"users": f"{base}/users", "totals": f"{base}/totals"}
+            users = _merge(cur["users"], _batch_contrib(batch_df))
+            totals = _totals_merge(
+                cur["totals"], _totals_contrib(batch_df)
+            )
 
-        commit(target_dir, batch_id, write_tables)
+            def write_tables(vdir: str) -> dict[str, str]:
+                users.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "users")
+                )
+                totals.write.mode("overwrite").parquet(
+                    os.path.join(vdir, "totals")
+                )
+                base = os.path.basename(vdir)
+                return {"users": f"{base}/users", "totals": f"{base}/totals"}
+
+            try:
+                commit(target_dir, batch_id, write_tables, parent=parent)
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"batch {batch_id}: gave up after 5 contended commit attempts"
+        )
 
     os.makedirs(target_dir, exist_ok=True)
     return (

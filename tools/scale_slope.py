@@ -61,7 +61,10 @@ MIX = [
     # the bits-∝-log-n variant of the blocked build: 4-bit tables at
     # sf0.1 (== the registered op), 7-bit at sf1 — the superlinearity
     # fix the first slope run demanded (fixed-width tables measured 15×
-    # at 10×: bucket occupancy ∝ n ⇒ bucket-mate pairs ∝ n²/2^bits)
+    # at 10×: bucket occupancy ∝ n ⇒ bucket-mate pairs ∝ n²/2^bits).
+    # Both widths are REGISTERED driver-graded keys since round 10
+    # (VERDICT r9 item 1): 4-bit = sim_ann_graph_topk_blocked,
+    # 7-bit = sim_ann_graph_topk_blocked_wide.
     ("q19_graph_ann_blocked_scaled", "__q19_scaled"),
     ("q23_suffix_array_span", "dedup_span_suffix_array"),
     ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
@@ -92,6 +95,15 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
             print(json.dumps({"stage": "generate", "table": table,
                               "skipped": "exists"}))
             continue
+        # stage into a temp dir and rename into place on completion
+        # (ADVICE r9 item 1: an interrupted append loop used to leave a
+        # partial <10-copy table that later runs silently treated as
+        # complete, corrupting every downstream slope)
+        stage = f"{out_dir}/.staging-{table}.parquet"
+        if os.path.isdir(stage):
+            import shutil
+
+            shutil.rmtree(stage)
         src = spark.read.parquet(f"{sf01_dir}/{table}.parquet")
         for k in range(_COPIES):
             df = src
@@ -131,7 +143,8 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
                 )
             df.repartition(8).write.mode(
                 "append" if k else "overwrite"
-            ).parquet(dst)
+            ).parquet(stage)
+        os.rename(stage, dst)  # completion marker: dst exists <=> all copies
         print(json.dumps({"stage": "generate", "table": table, "copies": _COPIES}))
 
 
@@ -145,15 +158,27 @@ def _run(queries, spark, key: str, sf_dir: str) -> float:
     return dt
 
 
-def measure(queries, spark, sf_dir: str, passes: int) -> dict[str, float]:
+def measure(
+    queries, spark, sf_dir: str, passes: int, medians=None
+) -> dict[str, float]:
+    """Per-query MIN of ``passes`` timed runs after one warm-up; when a
+    ``medians`` dict is supplied, the per-query median also lands there
+    (VERDICT r9 item 4 — bound run-to-run variance in the artifact, the
+    q19/sf1 reading spread 4× between runs)."""
+    import statistics
+
     out: dict[str, float] = {}
     for label, key in MIX:
         _run(queries, spark, key, sf_dir)  # warm (codegen/C2/Arrow fork)
-        out[label] = round(
-            min(_run(queries, spark, key, sf_dir) for _ in range(passes)), 3
-        )
-        print(json.dumps({"stage": "measure", "sf_dir": sf_dir,
-                          "query": label, "sec": out[label]}))
+        times = [_run(queries, spark, key, sf_dir) for _ in range(passes)]
+        out[label] = round(min(times), 3)
+        rec = {"stage": "measure", "sf_dir": sf_dir, "query": label,
+               "sec": out[label]}
+        if medians is not None:
+            medians[label] = round(statistics.median(times), 3)
+            rec["median_sec"] = medians[label]
+            rec["all_sec"] = [round(t, 3) for t in times]
+        print(json.dumps(rec))
     return out
 
 
@@ -189,22 +214,26 @@ def main() -> None:
     os.makedirs(args.sf1_dir, exist_ok=True)
     generate_sf1(spark, args.sf01_dir, args.sf1_dir)
 
-    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
-        sim_ann_graph_topk_blocked_scaled,
-    )
-
-    def _with_scaled(bits):
+    # both widths of the bits-knob are registered keys now (round 10):
+    # the small scale runs the 4-bit registered op, the big scale the
+    # 7-bit registered wide op — the slope row quotes driver-graded
+    # queries end to end (VERDICT r9 item 1)
+    def _with_scaled(which):
         q = dict(queries)
-        q["__q19_scaled"] = (
-            lambda s, d: sim_ann_graph_topk_blocked_scaled(s, d, bits)
-        )
+        q["__q19_scaled"] = queries[
+            "sim_ann_graph_topk_blocked"
+            if which == "small"
+            else "sim_ann_graph_topk_blocked_wide"
+        ]
         return q
 
+    med_small: dict[str, float] = {}
+    med_big: dict[str, float] = {}
     t_small = measure(
-        _with_scaled(_SCALED_BITS["small"]), spark, twin, args.passes
+        _with_scaled("small"), spark, twin, args.passes, med_small
     )
     t_big = measure(
-        _with_scaled(_SCALED_BITS["big"]), spark, args.sf1_dir, args.passes
+        _with_scaled("big"), spark, args.sf1_dir, args.passes, med_big
     )
 
     slopes = {}
@@ -213,10 +242,16 @@ def main() -> None:
         slopes[label] = {
             "sf0.1_sec": a,
             "sf1_sec": b,
+            "sf0.1_median_sec": med_small[label],
+            "sf1_median_sec": med_big[label],
             "ratio": round(b / a, 2),
             "exponent": round(math.log10(b / a), 3) if a > 0 else None,
         }
     slopes["q19_graph_ann_blocked_scaled"]["bits"] = _SCALED_BITS
+    slopes["q19_graph_ann_blocked_scaled"]["keys"] = {
+        "small": "sim_ann_graph_topk_blocked",
+        "big": "sim_ann_graph_topk_blocked_wide",
+    }
     spark.stop()
     print(
         json.dumps(
