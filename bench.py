@@ -89,6 +89,13 @@ HEADLINE = [
     # ~300k windowed-hash positions + per-doc lag + chunk census.
     ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
     ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
+    # round-10 mix extension: the PRODUCTION-width blocked graph-ANN build
+    # (two 7-bit tables, bits ≈ log2(n/B) — the knob that fixed the one
+    # measured superlinear op) made perf-visible beside the fixture-width
+    # q19 (legacy subtotals stay comparable — additions only). At sf0.1
+    # the wide buckets are sparse, so this also prices the thin-candidate
+    # walk; the sf1 slope harness measures the same registered key.
+    ("q26_graph_ann_blocked_wide", "sim_ann_graph_topk_blocked_wide"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

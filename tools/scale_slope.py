@@ -81,8 +81,13 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
+def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> None:
     from pyspark.sql import functions as F
+
+    # letter rotation is a bijection only for k < 26: beyond that, copy k
+    # and copy k-26 share text verbatim and dup clusters silently merge
+    # across copies, contaminating the slope with a data artifact
+    assert copies <= 26, "letter rotation supports at most 26 distinct copies"
 
     lower, upper, digits = (
         string.ascii_lowercase,
@@ -105,7 +110,7 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
 
             shutil.rmtree(stage)
         src = spark.read.parquet(f"{sf01_dir}/{table}.parquet")
-        for k in range(_COPIES):
+        for k in range(copies):
             df = src
             if table == "documents":
                 df = df.withColumn(
@@ -145,7 +150,7 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str) -> None:
                 "append" if k else "overwrite"
             ).parquet(stage)
         os.rename(stage, dst)  # completion marker: dst exists <=> all copies
-        print(json.dumps({"stage": "generate", "table": table, "copies": _COPIES}))
+        print(json.dumps({"stage": "generate", "table": table, "copies": copies}))
 
 
 def _run(queries, spark, key: str, sf_dir: str) -> float:
@@ -193,6 +198,14 @@ def main() -> None:
         "--sf01-dir",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
+    ap.add_argument(
+        "--copies",
+        type=int,
+        default=_COPIES,
+        help="fixture multiplier for the big scale (10 = the sf1 decade; "
+        "3 = an sf0.3 half-decade point for 3-point exponent fits — "
+        "pair with --sf1-dir /tmp/sparkgraft-sf0.3)",
+    )
     args = ap.parse_args()
 
     from dataflow_pubsub_message_encryption_spark.operators import registry
@@ -212,7 +225,7 @@ def main() -> None:
     bench.ensure_multifile_twin(spark, args.sf01_dir, twin)
 
     os.makedirs(args.sf1_dir, exist_ok=True)
-    generate_sf1(spark, args.sf01_dir, args.sf1_dir)
+    generate_sf1(spark, args.sf01_dir, args.sf1_dir, args.copies)
 
     # both widths of the bits-knob are registered keys now (round 10):
     # the small scale runs the 4-bit registered op, the big scale the
@@ -241,7 +254,7 @@ def main() -> None:
         a, b = t_small[label], t_big[label]
         slopes[label] = {
             "sf0.1_sec": a,
-            "sf1_sec": b,
+            "sf1_sec": b,  # 'sf1' = the --copies big scale (see 'copies')
             "sf0.1_median_sec": med_small[label],
             "sf1_median_sec": med_big[label],
             "ratio": round(b / a, 2),
@@ -257,7 +270,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "scale slope sf0.1 -> sf1 (10x), multifile layout",
-                "copies": _COPIES,
+                "copies": args.copies,
                 "passes": args.passes,
                 "slopes": slopes,
             }
