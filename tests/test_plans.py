@@ -489,3 +489,28 @@ def test_no_global_window_in_build_side_jobs(spark, sf_dir, capfd):
     assert not failures, (
         f"build-side single-partition window in: {failures}"
     )
+
+
+def test_pq_serving_rank_is_takeordered_bounded(spark, sf_dir):
+    """The PQ serving ops rank candidates with an UNPARTITIONED
+    row_number <= k — safe only because Catalyst rewrites it to a
+    distributed TakeOrderedAndProject (+ WindowGroupLimit pushdown), so
+    the single-partition WindowExec only ever sees <= k rows (the
+    'No Partition Defined' planning warning these ops log is this
+    bounded form, not a scale killer). Pin the rewrite: the final
+    Window must sit DIRECTLY above a TakeOrderedAndProject in both
+    plans — if a Spark upgrade or a query edit ever breaks the
+    pushdown, the global sort this would silently become must fail
+    here, not in a 100 TB run."""
+    import re
+
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        QUERIES as SQ,
+    )
+
+    for key in ("sim_pq_adc_topk", "sim_ivf_pq_topk"):
+        plan = formatted_plan(SQ[key](spark, sf_dir))
+        m = re.search(
+            r"Window \(\d+\)\s*\n\s*\+- TakeOrderedAndProject", plan
+        )
+        assert m, f"{key}: top-k window not TakeOrdered-bounded\n{plan[:2000]}"

@@ -352,3 +352,48 @@ def test_versioned_cas_claim_blocks_rivals_and_recover_sweeps(tmpdir):
     assert not os.path.exists(claim)
     assert V.commit(t, 1, _fs_writer("after")) == 1
     assert V.latest_version(t) == 1
+
+
+def test_pubsub_pacing_engine_level_restart_drill(spark, sf_dir, tmpdir):
+    """The REAL-engine restart proof of VERDICT r9 item 2(b): each
+    availableNow run captures one paced head, drains ONE K-segment
+    micro-batch, and terminates; the next run is a fresh reader
+    instance that must resume from the progress file + checkpoint.
+    Three runs drain all 6 segments with zero duplicates and zero
+    skips, a fourth run is a no-op, and the offset log reads exactly
+    [K, 2K, 3K]. (Uses a parquet sink — the memory sink refuses
+    checkpoint recovery.)"""
+    _register(spark)
+    src = f"{tmpdir}/src"
+    _stage_split(sf_dir, src, 6)
+    ckpt, out = f"{tmpdir}/ckpt", f"{tmpdir}/out"
+
+    def run_once():
+        stream = (
+            spark.readStream.format("pubsub_replay")
+            .option("path", src)
+            .option("max_segments_per_batch", "2")
+            .option("progress_path", f"{ckpt}/pubsub_progress.json")
+            .load()
+        )
+        q = (
+            stream.selectExpr("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    n = load_events(spark, sf_dir).count()
+    counts = [run_once() for _ in range(4)]
+    assert counts[2] == counts[3] == n, "3 paced runs drain; run 4 is a no-op"
+    assert counts[0] < counts[1] < counts[2], "each restart makes progress"
+    ids = [r.event_id for r in spark.read.parquet(out).collect()]
+    assert len(set(ids)) == len(ids) == n, "no duplicates, no skips"
+    assert _offsets_entries(ckpt) == [2, 4, 6]
