@@ -233,7 +233,17 @@ def versioned_upsert_sink(
     """The cdc_multi two-table MERGE retargeted at the commit log: each
     micro-batch commits a NEW immutable version of (users, totals) —
     atomic across both tables, time-travelable, exactly-once under
-    replay. Returns the unstarted ``DataStreamWriter``."""
+    replay. Returns the unstarted ``DataStreamWriter``.
+
+    Concurrency scoping (honest): the CAS in :func:`commit` makes the
+    COMMIT PRIMITIVE multi-writer safe (tested two-writer), but THIS
+    sink also calls :func:`recover` at every batch start — a quiesced
+    operation that would sweep a live rival's claim — so one streaming
+    query per target remains the sink's contract (exactly its
+    checkpointed cadence). Multiple independent writers sharing a
+    target must call ``commit(parent=...)`` directly and run recovery
+    only quiesced, the same discipline every table format demands of
+    its maintenance ops."""
     from .cdc import _batch_contrib, _merge
     from .cdc_multi import _totals_contrib, _totals_merge
 

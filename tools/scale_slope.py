@@ -94,6 +94,27 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
         string.ascii_uppercase,
         string.digits,
     )
+    # copies manifest: a dir generated at one multiplier must never be
+    # silently measured at another (--copies 3 against a leftover
+    # 10-copy dir would label sf1 numbers as sf0.3)
+    manifest = f"{out_dir}/_copies.json"
+    pre_existing = [
+        t for t in _TABLES if os.path.isdir(f"{out_dir}/{t}.parquet")
+    ]
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            have = json.load(fh)["copies"]
+        if have != copies:
+            raise SystemExit(
+                f"{out_dir} was generated with copies={have}, asked for "
+                f"{copies} — point --sf1-dir at a fresh directory"
+            )
+    elif pre_existing:
+        # legacy dir from before the manifest existed: its multiplier is
+        # unverifiable — say so rather than stamping the asked-for value
+        print(json.dumps({"stage": "generate",
+                          "warning": "pre-manifest dir; copies unverified",
+                          "tables": pre_existing}))
     for table in _TABLES:
         dst = f"{out_dir}/{table}.parquet"
         if os.path.isdir(dst):
@@ -151,6 +172,9 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
             ).parquet(stage)
         os.rename(stage, dst)  # completion marker: dst exists <=> all copies
         print(json.dumps({"stage": "generate", "table": table, "copies": copies}))
+    if not os.path.exists(manifest) and not pre_existing:
+        with open(manifest, "w") as fh:
+            json.dump({"copies": copies}, fh)
 
 
 def _run(queries, spark, key: str, sf_dir: str) -> float:
