@@ -24,6 +24,17 @@ Two ways to pin, one switch:
 
 ``tests/test_scale_ops.py`` exercises the reliable path end-to-end (same
 results as the default path on the rank/cumsum machinery).
+
+**Join-planning hazard (round-10 finding)**: a pinned frame's logical
+plan carries the PRE-pin size estimate, and a broadcast built directly
+from a checkpointed RDD has no shuffle stage for AQE to re-measure — so
+a join against a pinned side can be planned as a broadcast the runtime
+cannot revoke. An explode-undersized estimate did exactly that at 25×
+fixture scale (multi-GB "broadcast" → driver maxResultSize abort).
+Joins whose pinned side is data-grain BY CONSTRUCTION must pin the
+strategy too: ``.hint("merge")`` / ``.hint("shuffle_hash")`` (suffix
+family, graph-ANN build); bounded pinned sides (≤beam frontiers,
+≤_N_RANGE scalars) may broadcast freely.
 """
 
 from __future__ import annotations

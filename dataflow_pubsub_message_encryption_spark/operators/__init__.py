@@ -34,11 +34,14 @@ _MODULES = [
 # re-gate slots for the queries whose implementation changed this round (the
 # winnowing census pinned to ONE kernel pass — VERDICT r9 residual 1 — and
 # the graph-ANN family re-gating on the width-parameterized oracle/SQL-gen
-# path), then the STALEST greens: the six round-1 residue keys that yielded
-# their slots in r8/r9, followed by 39 of the 43 keys last graded in rounds
+# path, plus the suffix family re-proving on the hinted plans), then the
+# STALEST greens: the six round-1 residue keys that yielded
+# their slots in r8/r9, followed by 37 of the 43 keys last graded in rounds
 # 2-3 (the TPC-H block, the X-block text/similarity cohort, the curation
-# cohort — VERDICT r9 item 6 names exactly this cohort; the 4 deferred
-# behavior/cdc keys lead round 11's queue). Every remaining EXACT query
+# cohort — VERDICT r9 item 6 names exactly this cohort; the 6 deferred
+# keys — the behavior/cdc four plus agg_correlated_subquery and
+# win_distribution, which yielded to the suffix re-gates — lead round
+# 11's queue). Every remaining EXACT query
 # follows in module order; oracle-less (ROWS-class) queries always sort last
 # so no graded slot is burned on a `no_oracle` row.
 _WINDOW = [
@@ -47,11 +50,16 @@ _WINDOW = [
     # --- re-gate: implementation changed since the green row (q24's
     # winnowing census now reuses ONE pinned kernel pass; the graph-ANN
     # oracle generator grew the tables parameter and the plane set is
-    # sliced per-width — the whole family re-proves on that path) ---
+    # sliced per-width; the suffix family and the graph-ANN build gained
+    # merge/shuffle_hash hints after the sf2.5 probe caught the planner
+    # broadcasting a multi-GB pinned side — all re-prove on the hinted
+    # plans) ---
     "dedup_winnowing_fingerprints",
     "sim_ann_graph_topk",
     "sim_ann_graph_topk_blocked",
     "sim_ann_graph_recall_eval",
+    "dedup_span_suffix_array",
+    "dedup_span_suffix_doubling",
     # --- stalest-green re-proofs: the round-1 residue first (yielded
     # their slots to re-gates in r8/r9, now the oldest greens in the
     # table) ---
@@ -99,8 +107,6 @@ _WINDOW = [
     "text_chunk_windows",
     "decontam_ngram_overlap",
     "text_pii_scrub",
-    "agg_correlated_subquery",
-    "win_distribution",
 ]
 
 

@@ -1877,8 +1877,15 @@ def dedup_span_suffix_array(spark, sf_dir):
         F.col("suf").alias("sb"),
         (F.col("rk") - 1).alias("rk"),
     )
+    # merge hint: both sides are data-grain projections of the PINNED
+    # ranked table, and a pin (localCheckpoint) carries the PRE-pin size
+    # estimate — explode-undersized here — so the planner broadcast a
+    # multi-GB side at 25× fixture scale and died on driver maxResultSize
+    # (AQE can never correct it: a broadcast built straight from an RDD
+    # has no shuffle stage to re-measure). Adjacent-rank joins are never
+    # broadcastable at scale; pin the strategy, not the stats.
     adj = (
-        a.join(b, "rk")
+        a.join(b.hint("merge"), "rk")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "sa", "sb", F.lit(0).alias("l"))
     )
@@ -2003,10 +2010,14 @@ def dedup_span_suffix_doubling(spark, sf_dir):
     )
     keys = base.select("k").distinct()
     kr, _ = _global_rank(keys, "k")
+    # merge hints throughout the doubling chain: every join below pairs
+    # two data-grain frames, at least one a projection of a pinned table
+    # whose size stats are pre-pin estimates (see the adjacency-join
+    # comment in dedup_span_suffix_array — the sf2.5 probe that caught it)
     cur = pin(
-        base.join(kr.select("k", F.col("rk").alias("r")), "k").select(
-            "doc_id", "pos", "r"
-        )
+        base.join(
+            kr.select("k", F.col("rk").alias("r")).hint("merge"), "k"
+        ).select("doc_id", "pos", "r")
     )
     h = _SFX_CAP
     while h < _SFX_CAP2:
@@ -2014,7 +2025,7 @@ def dedup_span_suffix_doubling(spark, sf_dir):
             "doc_id", (F.col("pos") - h).alias("pos"), F.col("r").alias("r2")
         )
         pair = (
-            cur.join(nxt, ["doc_id", "pos"], "left")
+            cur.join(nxt.hint("merge"), ["doc_id", "pos"], "left")
             .select(
                 "doc_id",
                 "pos",
@@ -2025,8 +2036,10 @@ def dedup_span_suffix_doubling(spark, sf_dir):
         pk = pair.select("r", "r2").distinct()
         pkr, _ = _global_rank(pk, "r", "r2")
         cur = pin(
-            pair.join(pkr.select("r", "r2", F.col("rk").alias("nr")), ["r", "r2"])
-            .select("doc_id", "pos", F.col("nr").alias("r"))
+            pair.join(
+                pkr.select("r", "r2", F.col("rk").alias("nr")).hint("merge"),
+                ["r", "r2"],
+            ).select("doc_id", "pos", F.col("nr").alias("r"))
         )
         h *= 2
     ranked, _ = _global_rank(cur, "r", "doc_id", "pos")
@@ -2039,7 +2052,7 @@ def dedup_span_suffix_doubling(spark, sf_dir):
         (F.col("rk") - 1).alias("rk"),
     )
     adj = (
-        a.join(b, "rk")
+        a.join(b.hint("merge"), "rk")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "pos_a", "doc_b", "pos_b")
     )

@@ -2108,12 +2108,20 @@ def _grb_scored_pairs(nodes):
     system amortizes the BUILD across queries; this op rebuilds per call
     because the oracle replays the whole chain. Each side carries its lvl
     so the per-level filter is a narrow map over the scored pairs."""
+    # shuffle_hash hints on every build join: all sides are projections
+    # of the PINNED node table, and a pin carries pre-pin size estimates
+    # (the sf2.5 suffix-family probe showed the planner broadcasting a
+    # multi-GB pinned side to the driver on exactly this pattern). The
+    # bucket self-join and the vector rejoins are |V|-grain by
+    # construction — broadcast is categorically wrong at scale; shuffled
+    # hash keeps them distributed without a sort, and bucket-key skew is
+    # exactly what the table-width knob bounds.
     pairs = None
     for i in range(1, len(_GRB_TABLES) + 1):
         a = nodes.select(F.col("vec_id").alias("src"), F.col(f"b{i}").alias("k"))
         b = nodes.select(F.col("vec_id").alias("dst"), F.col(f"b{i}").alias("k"))
         p = (
-            a.join(b, "k")
+            a.join(b.hint("shuffle_hash"), "k")
             .filter(F.col("src") != F.col("dst"))
             .select("src", "dst")
         )
@@ -2150,8 +2158,8 @@ def _grb_scored_pairs(nodes):
 
     return (
         pairs.distinct()
-        .join(qa, "src")
-        .join(qb, "dst")
+        .join(qa.hint("shuffle_hash"), "src")
+        .join(qb.hint("shuffle_hash"), "dst")
         .select(
             "src",
             "dst",

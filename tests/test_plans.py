@@ -514,3 +514,58 @@ def test_pq_serving_rank_is_takeordered_bounded(spark, sf_dir):
             r"Window \(\d+\)\s*\n\s*\+- TakeOrderedAndProject", plan
         )
         assert m, f"{key}: top-k window not TakeOrdered-bounded\n{plan[:2000]}"
+
+
+def test_pinned_side_joins_never_broadcast(spark, sf_dir):
+    """Round-10 hazard class (materialize.py module doc): a pinned
+    frame's logical plan carries the PRE-pin size estimate, and a
+    broadcast built straight from a checkpointed RDD has no shuffle
+    stage for AQE to re-measure — at 25× fixture scale the planner
+    'broadcast' a multi-GB suffix table to the driver and aborted on
+    maxResultSize. The data-grain-by-construction joins now pin their
+    strategy (merge / shuffle_hash); assert no BroadcastHashJoin
+    survives in the suffix adjacency chain or the graph-ANN build."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _gr_nodes,
+        _grb_scored_pairs,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    def broadcasts_a_pinned_side(plan: str) -> bool:
+        # tree walk over the formatted plan: a BroadcastExchange whose
+        # subtree contains a pinned-RDD scan is the hazard shape (its
+        # size estimate is pre-pin and AQE cannot revoke the broadcast)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "BroadcastExchange" not in line:
+                continue
+            indent = len(line) - len(line.lstrip(" :+-"))
+            for sub in lines[i + 1 :]:
+                if not sub.strip() or sub.lstrip().startswith(("(", "=")):
+                    break
+                sub_indent = len(sub) - len(sub.lstrip(" :+-"))
+                if sub_indent <= indent:
+                    break
+                if "Scan ExistingRDD" in sub:
+                    return True
+        return False
+
+    for key in ("dedup_span_suffix_array", "dedup_span_suffix_doubling"):
+        plan = formatted_plan(DQ[key](spark, sf_dir))
+        # the rank-adjacency / doubling joins must be SortMergeJoin; the
+        # docs text-fetch and report joins may broadcast (their build
+        # sides are parquet scans with honest stats)
+        assert "SortMergeJoin" in plan, key
+        assert not broadcasts_a_pinned_side(plan), (
+            f"{key}: a pinned side is planned as broadcast\n{plan[:1500]}"
+        )
+
+    nodes = _gr_nodes(
+        load(spark, sf_dir, "embeddings"), blocked=True
+    ).localCheckpoint()
+    plan = formatted_plan(_grb_scored_pairs(nodes))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan

@@ -223,6 +223,12 @@ def main() -> None:
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
     ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated MIX label substrings to measure (e.g. "
+        "'q19,q23,q1_' for a targeted upper-scale point); empty = all",
+    )
+    ap.add_argument(
         "--copies",
         type=int,
         default=_COPIES,
@@ -231,6 +237,12 @@ def main() -> None:
         "pair with --sf1-dir /tmp/sparkgraft-sf0.3)",
     )
     args = ap.parse_args()
+    if args.only:
+        keep = [tok for tok in args.only.split(",") if tok]
+        global MIX
+        MIX = [(l, k) for l, k in MIX if any(t in l for t in keep)]
+        if not MIX:
+            raise SystemExit(f"--only {args.only!r} matches no MIX label")
 
     from dataflow_pubsub_message_encryption_spark.operators import registry
     from dataflow_pubsub_message_encryption_spark.session import get_session
