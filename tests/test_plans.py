@@ -303,7 +303,13 @@ def test_blocked_graph_ann_build_has_no_nested_loop(spark, sf_dir):
     plan = formatted_plan(_grb_edges(nodes, 0))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # since round 10 the build joins are hinted shuffle_hash (pinned-side
+    # broadcast hazard — see test_pinned_side_joins_never_broadcast)
+    assert (
+        "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_radius_search_has_no_sort(spark, sf_dir):
