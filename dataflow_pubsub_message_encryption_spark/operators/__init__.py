@@ -27,86 +27,78 @@ _MODULES = [
 
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
-# therefore part of the driver contract, not cosmetics. Rounds 1-9 graded all
-# then-registered queries green (324/324 driver-proven after r9; no query has
-# ever failed the gate), so the round-10 window leads with this round's new
-# operator (the production-width graph-ANN build, VERDICT r9 item 1), then
-# re-gate slots for the queries whose implementation changed this round (the
-# winnowing census pinned to ONE kernel pass — VERDICT r9 residual 1 — and
-# the graph-ANN family re-gating on the width-parameterized oracle/SQL-gen
-# path, plus the suffix family re-proving on the hinted plans), then the
-# STALEST greens: the six round-1 residue keys that yielded
-# their slots in r8/r9, followed by 37 of the 43 keys last graded in rounds
-# 2-3 (the TPC-H block, the X-block text/similarity cohort, the curation
-# cohort — VERDICT r9 item 6 names exactly this cohort; the 6 deferred
-# keys — the behavior/cdc four plus agg_correlated_subquery and
-# win_distribution, which yielded to the suffix re-gates — lead round
-# 11's queue). Every remaining EXACT query
-# follows in module order; oracle-less (ROWS-class) queries always sort last
-# so no graded slot is burned on a `no_oracle` row.
+# therefore part of the driver contract, not cosmetics. Rounds 1-10 graded all
+# then-registered queries green (325/325 driver-proven after r10; no query has
+# ever failed the gate), so the round-11 window leads with this round's new
+# operators (the auto-width graph-ANN build and the auto-sized learned IVF,
+# VERDICT r10 item 1 — the law tests tie the first to the two fixed-width
+# driver-proven keys; the second's oracle unrolls Lloyd at the derived k),
+# then the rotation debt VERDICT r10 item 2 names exactly: the six keys last
+# graded in round 3 (the behavior/cdc four that were queued from r10, plus
+# the two r10 slot-yielders agg_correlated_subquery / win_distribution),
+# then 42 of the 46 keys whose ONLY green is round 4 — the TPC-H
+# q2/q6/q8/q9/q11/q15/q20/q21 block, udaf_surface, the
+# simhash/knn/multiprobe/ivf similarity cohort, the multimodal decode/frame
+# pair, join_skew_salted, zorder_cluster, and the rest of that round's
+# additions. The 4 deferred r4-only keys (grouped_map_scale,
+# join_range_binned, agg_hll_partitioned_union, agg_quantile_sketch_union)
+# lead round 12's queue. Every remaining EXACT query follows in module
+# order; oracle-less (ROWS-class) queries always sort last so no graded slot
+# is burned on a `no_oracle` row.
 _WINDOW = [
-    # --- round-10 addition (never driver-graded) ---
-    "sim_ann_graph_topk_blocked_wide",
-    # --- re-gate: implementation changed since the green row (q24's
-    # winnowing census now reuses ONE pinned kernel pass; the graph-ANN
-    # oracle generator grew the tables parameter and the plane set is
-    # sliced per-width; the suffix family and the graph-ANN build gained
-    # merge/shuffle_hash hints after the sf2.5 probe caught the planner
-    # broadcasting a multi-GB pinned side — all re-prove on the hinted
-    # plans) ---
-    "dedup_winnowing_fingerprints",
-    "sim_ann_graph_topk",
-    "sim_ann_graph_topk_blocked",
-    "sim_ann_graph_recall_eval",
-    "dedup_span_suffix_array",
-    "dedup_span_suffix_doubling",
-    # --- stalest-green re-proofs: the round-1 residue first (yielded
-    # their slots to re-gates in r8/r9, now the oldest greens in the
-    # table) ---
-    "src_scan_events",
-    "proj_attrs",
-    "filt_type",
-    "dek_cache",
-    "window_tumbling_counts",
-    "window_sliding_counts",
-    # --- then the round-2/3 cohort, stalest-first (VERDICT r9 item 6) ---
-    "agg_approx_distinct",
-    "udf_surface",
-    "join_multiway_q5",
-    "agg_having_subquery",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_census",
-    "tpch_q18_large_volume_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_customers",
-    "text_tokenize_topterms",
-    "text_lang_stats",
-    "text_term_per_lang",
-    "text_langid",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_tfidf_top3",
-    "dedup_exact_hash",
-    "dedup_minhash_signature",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    "multimodal_columns",
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "multimodal_binary_meta",
-    "split_train_test",
-    "sample_stratified",
-    "text_repetition_filter",
-    "pack_sequences",
-    "text_chunk_windows",
-    "decontam_ngram_overlap",
-    "text_pii_scrub",
+    # --- round-11 additions (never driver-graded) ---
+    "sim_ann_graph_topk_blocked_auto",
+    "sim_ann_kmeans_ivf_topk_auto",
+    # --- stalest greens: the six round-3 keys (queued since r10) ---
+    "cdc_scd2_intervals",
+    "window_gapfill_counts",
+    "funnel_conversion",
+    "retention_cohorts",
+    "agg_correlated_subquery",
+    "win_distribution",
+    # --- the r4-only cohort (VERDICT r10 item 2), 42 of 46 ---
+    "mac_hmac_verify_filter",
+    "udaf_surface",
+    "agg_stats_moments",
+    "agg_collect_sorted",
+    "scalar_edit_distance",
+    "scalar_null_conditional",
+    "win_first_last",
+    "agg_approx_percentile",
+    "join_full_outer",
+    "unpivot_melt",
+    "set_intersect_all",
+    "set_except_all",
+    "agg_mode_per_user",
+    "tpch_q6_forecast_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_orders",
+    "dedup_simhash",
+    "dedup_containment_blocked",
+    "sim_knn_label_centroid",
+    "sim_ann_multiprobe_topk",
+    "sim_ann_ivf_topk",
+    "sim_knn_join",
+    "emb_dim_census",
+    "dedup_embedding_lsh",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "sample_weighted_k",
+    "graph_pagerank_int",
+    "window_gapfill_interp",
+    "anomaly_mad_outliers",
+    "sessionize_gap_sql",
+    "agg_value_histogram",
+    "market_basket_pairs",
+    "window_rollup_multires",
+    "events_transition_matrix",
+    "join_skew_salted",
+    "zorder_cluster",
 ]
 
 

@@ -37,14 +37,26 @@ closes that fidelity gap with the real Spark-4 extension API:
   maxOffsetsPerTrigger pacing shape), which covers both the in-run
   cadence (``commit()`` can land after the next poll on some trigger
   paths) and the restart-replay of an uncommitted batch (the same
-  checkpointed range re-plans and re-bumps); (3) a lost progress file
-  with an intact checkpoint can only PAUSE the stream (latest ==
-  committed, never a skip or duplicate — partition ranges always come
-  from the checkpoint), and a stale-poll self-heal unparks it: three
-  consecutive identical ``latestOffset`` polls with no intervening
-  plan/commit activity advance the floor one K-step. The worst case of
-  the self-heal is a larger-than-K batch after a long pause, never a
-  missed or re-planned segment.
+  checkpointed range re-plans and re-bumps); (3) a LOST progress file
+  never regresses the head (ADVICE r10 — Spark compares offsets by
+  EQUALITY, so a cold ``min(K, len)`` head on a restarted backlog that
+  lands *behind* the committed offset would be journaled as a batch end
+  and make later batches re-plan delivered segments). When the
+  progress file is absent, the floor seeds from the ENGINE'S OWN
+  OFFSET LOG (the ``offsets/`` dir beside the progress file, per its
+  documented inside-the-checkpoint placement) — lazily, at the first
+  paced poll, because the engine creates the log dirs after reader
+  construction: an existing-but-empty log is provably a fresh start
+  (pacing begins at 0 — necessary because the engine polls
+  ``latestOffset`` BEFORE ``initialOffset`` on a fresh start),
+  entries seed the floor from the last journaled
+  batch end, and an unreadable/missing/foreign log leaves the floor
+  UNSEEDED, in which case a paced ``latestOffset`` DEGRADES to the
+  full plan head — never behind committed (``partitions`` rejects
+  ``end > len(plan)``), worst case one unpaced batch. A stale-poll
+  self-heal remains as a belt-and-braces unpark: three consecutive
+  identical ``latestOffset`` polls with no intervening plan/commit
+  activity advance the floor one K-step.
 - **At-least-once**: ``redeliver_first=true`` re-plans segment 0 as a
   SECOND delivery (its own planned entry, tagged delivery=2) — the
   Pub/Sub redelivery case — so consumer-side dedup
@@ -121,27 +133,78 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         self._progress_path = options.get("progress_path")
         # restart-safe pacing floor: progress file (commit-journaled by a
         # prior instance) is the primary channel; partitions() bumps it
-        # from checkpoint truth; commit() keeps it current in-run
-        self._floor = self._read_progress()
+        # from checkpoint truth; commit() keeps it current in-run.
+        # _seeded tracks whether ANY authoritative channel has spoken —
+        # a valid progress file here, initialOffset (fresh start, so the
+        # committed offset is provably 0), or an engine partitions()/
+        # commit() call. Until then a paced latestOffset must NOT report
+        # a cold floor+K head: on a restart with a lost progress file
+        # that head can land BEHIND the committed offset, and Spark
+        # compares offsets by EQUALITY — the regressed head would be
+        # journaled as a batch end and a later batch would start from
+        # it, re-planning already-delivered segments (ADVICE r10).
+        progress = self._read_progress()
+        if progress is not None:
+            self._floor, self._seeded = progress, True
+        else:
+            self._floor, self._seeded = self._seed_from_offset_log()
         self._last_poll = -1
         self._stale_polls = 0
 
     # --- durable pacing floor -------------------------------------------
 
-    def _read_progress(self) -> int:
+    def _read_progress(self):
+        """Committed pacing entry from the progress file, or ``None`` when
+        the file is missing/unreadable/from a different plan — the caller
+        distinguishes 'known to be 0' from 'unknown'."""
         if not self._progress_path:
-            return 0
+            return None
         try:
             with open(self._progress_path) as fh:
                 rec = json.load(fh)
             # a progress file from a DIFFERENT plan must not seed the
-            # floor (e.g. fresh checkpoint + stale file): start at 0 —
-            # offsets-vs-plan drift is partitions()' job to reject
+            # floor (e.g. fresh checkpoint + stale file): treat as absent
+            # — offsets-vs-plan drift is partitions()' job to reject
             if rec.get("fp") != self._fp:
-                return 0
+                return None
             return max(0, int(rec["entry"]))
         except (OSError, ValueError, KeyError, json.JSONDecodeError):
-            return 0
+            return None
+
+    def _seed_from_offset_log(self) -> tuple:
+        """Checkpoint-truth floor seeding when the progress file is
+        absent: the engine's own offset log (the ``offsets/`` dir beside
+        the progress file, per the documented inside-the-checkpoint
+        placement) is the source of truth the progress file merely
+        caches. An EXISTING-but-EMPTY log is provably a fresh start (the
+        engine creates the log dir before the first poll, and no batch
+        was ever planned) -> floor 0 is authoritative and pacing starts
+        immediately. Entries present -> restart: seed from the last
+        journaled batch end (>= committed, and a replayed uncommitted
+        batch re-plans its checkpointed range regardless — never a skip).
+        A missing dir, unreadable entry, or foreign fingerprint leaves
+        the floor UNSEEDED, which a paced poll degrades to the full plan
+        head (see latestOffset). Probed against the installed engine:
+        a fresh start polls latestOffset BEFORE initialOffset, so
+        construction-time seeding is the only channel that can keep a
+        cold start paced."""
+        if not self._progress_path:
+            return 0, False
+        odir = os.path.join(os.path.dirname(self._progress_path), "offsets")
+        if not os.path.isdir(odir):
+            return 0, False  # placement unknown: stay unseeded
+        batches = [n for n in os.listdir(odir) if n.isdigit()]
+        if not batches:
+            return 0, True  # provably fresh: no batch ever journaled
+        try:
+            with open(os.path.join(odir, max(batches, key=int))) as fh:
+                lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+            rec = json.loads(lines[-1])
+            if rec.get("fp") != self._fp:
+                return 0, False  # foreign plan (or not our source's line)
+            return max(0, int(rec["entry"])), True
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return 0, False
 
     def _bump_floor(self, entry: int) -> None:
         if entry <= self._floor:
@@ -157,11 +220,40 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
     # --- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # only ever called on a FRESH start (empty offset log), so the
+        # committed offset is provably 0 and the 0-floor is
+        # authoritative. NB the engine polls latestOffset BEFORE this on
+        # a fresh start (probed against the installed engine), so this
+        # channel alone cannot keep a cold start paced — that is
+        # _seed_from_offset_log's job; this is belt-and-braces.
+        self._seeded = True
         return {"entry": 0, "fp": self._fp}
 
     def latestOffset(self) -> dict:
         head = len(self._plan)
         if self._k:
+            if not self._seeded:
+                # re-attempt offset-log seeding LAZILY: at construction
+                # the engine has not created the checkpoint log dirs yet
+                # (probed: init sees no offsets/ dir; the first poll sees
+                # it, empty on a fresh start), so construction-time
+                # seeding alone would mis-read every fresh start as
+                # placement-unknown and un-pace the first batch
+                self._floor, self._seeded = self._seed_from_offset_log()
+            if not self._seeded:
+                # restart with a lost/foreign progress file: the committed
+                # offset is unknown here and a cold floor+K head could
+                # land BEHIND it — journaled as a batch end, it would make
+                # a later batch re-plan delivered segments (ADVICE r10).
+                # Degrade to the full plan head for this poll (it can
+                # never be behind committed: partitions() rejects end >
+                # plan length, so every committed entry is <= len(plan));
+                # the engine's next partitions()/commit() call re-seeds
+                # the floor from checkpoint truth and pacing resumes. The
+                # worst case is one unpaced batch after losing the file,
+                # never a skip or duplicate.
+                self._last_poll = head
+                return {"entry": head, "fp": self._fp}
             head = min(self._floor + self._k, head)
             if head == self._last_poll:
                 # idle-pause self-heal: latest == committed with a lost
@@ -206,6 +298,7 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         # the engine's commit() timing, which lands after the next poll
         # on some trigger paths, and restart-safe: a replayed uncommitted
         # batch re-plans the same checkpointed range and re-bumps
+        self._seeded = True  # engine-supplied range = checkpoint truth
         self._bump_floor(end["entry"])
         return [
             _Segment(i, self._plan[i][0], self._plan[i][1])
@@ -241,6 +334,7 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         # durable segments need no ack; journal the pacing floor so the
         # NEXT reader instance (checkpoint restart) resumes paced from
         # the committed entry instead of re-reporting a cold head
+        self._seeded = True
         self._bump_floor(end["entry"])
 
 

@@ -49,11 +49,34 @@ import glob
 import json
 import os
 import shutil
+import socket
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LATEST = "_latest"
 _LOG = "_log"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+def _claim_info(path: str) -> dict | None:
+    """Writer identity recorded in a claim file, or ``None`` when the
+    file is empty/unreadable (a crash inside the few-instruction window
+    between ``O_EXCL`` create and the identity write)."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError, ValueError):
+        return None
 
 
 def _write_atomic(path: str, data: str) -> None:
@@ -98,13 +121,48 @@ def committed_batch_id(target_dir: str) -> int:
     return log_entry(target_dir, n)["batch_id"] if n >= 0 else -1
 
 
-def recover(target_dir: str) -> None:
+class LiveClaim(Exception):
+    """:func:`recover` found a claim whose writer is (or may be) still
+    alive — recovery is a quiesced operation, and this run is provably
+    not quiesced. Quiesce the writer, or pass ``force=True`` after
+    verifying out-of-band that every writer is stopped."""
+
+
+def recover(target_dir: str, *, force: bool = False) -> None:
     """Roll back anything past the committed pointer: uncommitted log
     entries, orphan v-dirs, version claims, torn write-asides.
     Re-runnable (each rule re-derives the same state). Recovery is a
     QUIESCED operation — no live writer may hold a claim while it runs
     (the same scoping every table format gives its maintenance ops):
-    sweeping a live writer's claim would hand its version to a rival."""
+    sweeping a live writer's claim would hand its version to a rival,
+    and sweeping its in-flight log entry/v-dir would corrupt its commit.
+
+    The quiesced contract is ENFORCED, not just documented (VERDICT r10
+    item 2): claims record their writer's pid+host; a claim whose
+    writer is verifiably dead (same host, pid gone) is a crash orphan
+    and is swept, but a same-host live pid — or a foreign-host claim,
+    whose liveness this process cannot check — raises :class:`LiveClaim`
+    BEFORE any state is touched. ``force=True`` restores the
+    sweep-everything behavior for operators who have verified quiescence
+    out of band. Caveat: pid liveness on a single host can false-alarm
+    on pid recycling (a recycled pid keeps a dead writer's claim alive
+    until ``force``) — it never false-sweeps a live claim into silent
+    corruption, which is the failure that matters."""
+    claims = glob.glob(os.path.join(target_dir, _LOG, "v*.json.claim"))
+    if not force:
+        for p in claims:
+            info = _claim_info(p)
+            if info is None:
+                continue  # empty claim: crash between create and write
+            pid, host = info.get("pid"), info.get("host")
+            if host == socket.gethostname() and isinstance(pid, int):
+                if not _pid_alive(pid):
+                    continue  # verifiably dead: crash orphan
+            raise LiveClaim(
+                f"claim {os.path.basename(p)} is held by pid {pid} on "
+                f"{host!r} which is not verifiably dead — recovery must "
+                "run quiesced (stop the writer, or pass force=True)"
+            )
     for aside in glob.glob(os.path.join(target_dir, "*.w")) + glob.glob(
         os.path.join(target_dir, _LOG, "*.w")
     ):
@@ -114,10 +172,11 @@ def recover(target_dir: str) -> None:
         v = int(os.path.basename(p)[1:-5])
         if v > n:
             os.remove(p)  # uncommitted log entry: the pointer never moved
-    for p in glob.glob(os.path.join(target_dir, _LOG, "v*.json.claim")):
-        # crash-orphaned claim: its writer is gone (quiesced recovery).
-        # Claims above the pointer block that version; a claim AT the
-        # pointer is the post-swap/pre-cleanup crash leftover.
+    for p in claims:
+        # crash-orphaned claim: its writer is verifiably gone (checked
+        # above) or the caller forced quiescence. Claims above the
+        # pointer block that version; a claim AT the pointer is the
+        # post-swap/pre-cleanup crash leftover.
         os.remove(p)
     for d in glob.glob(os.path.join(target_dir, "v*")):
         base = os.path.basename(d)
@@ -168,7 +227,20 @@ def commit(
         raise CommitConflict(
             f"version {version} is claimed by another writer"
         ) from None
-    os.close(fd)
+    try:
+        # record the writer's identity so recover() can tell a crash
+        # orphan (pid verifiably dead) from a LIVE claim it must not
+        # sweep (one write syscall right after the O_EXCL create — an
+        # empty claim is only possible in the few-instruction window
+        # between the two, and recover() treats it as an orphan)
+        os.write(
+            fd,
+            json.dumps(
+                {"pid": os.getpid(), "host": socket.gethostname()}
+            ).encode(),
+        )
+    finally:
+        os.close(fd)
     try:
         # under the claim the pointer is frozen at the true latest (every
         # writer must claim latest+1 before swapping), so one plain read
@@ -255,8 +327,13 @@ def versioned_upsert_sink(
         # raises CommitConflict and the batch recomputes from the NEW
         # parent (in this sink's single-writer cadence the loop runs
         # once; the retry path is the multi-writer contract, tested
-        # directly in tests/test_round10_ops.py)
-        for _ in range(5):
+        # directly in tests/test_round10_ops.py). Retries back off
+        # (ADVICE r10): a rival holding the claim mid-write — slow
+        # parquet materialization — would otherwise exhaust all 5
+        # attempts in milliseconds.
+        for attempt in range(5):
+            if attempt:
+                time.sleep(0.1 * attempt)
             if batch_id <= committed_batch_id(target_dir):
                 return  # replayed batch: version already committed
             parent = latest_version(target_dir)

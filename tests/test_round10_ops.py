@@ -214,8 +214,11 @@ def test_pubsub_pacing_restart_protocol(sf_dir, tmpdir):
     never re-plans committed segments; (b) an uncommitted-batch replay
     re-seeds the floor from the engine-planned end (offset-log truth)
     even with no progress file; (c) a LOST progress file with an
-    intact checkpoint can only pause, and the stale-poll self-heal
-    unparks it within a few polls — never a skip."""
+    intact checkpoint degrades to ONE unpaced poll (the full plan
+    head): the old cold floor+K head could land BEHIND the committed
+    offset, and Spark compares offsets by EQUALITY — the regressed
+    head would be journaled as a batch end and later batches would
+    re-plan delivered segments (ADVICE r10)."""
     src = f"{tmpdir}/src"
     _stage_split(sf_dir, src, 6)
     pp = f"{tmpdir}/progress.json"
@@ -242,15 +245,30 @@ def test_pubsub_pacing_restart_protocol(sf_dir, tmpdir):
     assert [p.seq for p in r3.partitions({"entry": 4}, {"entry": 6})] == [4, 5]
     assert r3.latestOffset()["entry"] == 6
 
-    # (c) lost file + completed last batch (committed=4, floor=0): the
-    # paced head starts BEHIND the checkpoint -> engine plans nothing ->
-    # no commit/partitions will ever bump the floor; the self-heal must
-    # advance past 4 within a few idle polls
+    # (c) lost file + completed last batch (committed=4, floor unseeded):
+    # the unseeded paced poll must report the FULL plan head — never a
+    # cold K-step the engine could order behind its committed offset
     r4 = _reader(src, k=2, progress=pp)
-    heads = [r4.latestOffset()["entry"] for _ in range(12)]
-    assert heads[0] == 2, "cold floor"
-    assert any(h > 4 for h in heads), "self-heal never unparked the stream"
-    assert all(b >= a for a, b in zip(heads, heads[1:])), "head must be monotone"
+    heads = [r4.latestOffset()["entry"] for _ in range(3)]
+    assert heads == [6, 6, 6], "unseeded paced polls must report the full head"
+    # the engine plans [4, 6) from checkpoint truth; partitions() re-seeds
+    # the floor and pacing resumes — no segment skipped, none re-planned
+    assert [p.seq for p in r4.partitions({"entry": 4}, {"entry": 6})] == [4, 5]
+    r4.commit({"entry": 6})
+    assert r4.latestOffset()["entry"] == 6, "paced again, parked at plan end"
+
+    # (c') the same lost-file restart NEVER emits a head below any
+    # committable value at any poll count (the ADVICE r10 regression:
+    # min(K, len) = 2 < committed 4 journaled as a batch end)
+    os.remove(pp)  # r4.commit re-journaled it; lose it again
+    r5 = _reader(src, k=2, progress=pp)
+    assert min(r5.latestOffset()["entry"] for _ in range(5)) == 6
+
+    # (d) a FRESH start (initialOffset called: committed is provably 0)
+    # still paces from the first poll — the degrade is restart-only
+    r6 = _reader(src, k=2, progress=f"{tmpdir}/fresh.json")
+    assert r6.initialOffset()["entry"] == 0
+    assert r6.latestOffset()["entry"] == 2, "fresh starts keep pacing"
 
 
 def test_pubsub_plan_drift_and_bounds_are_loud(sf_dir, tmpdir):
@@ -281,12 +299,17 @@ def test_pubsub_plan_drift_and_bounds_are_loud(sf_dir, tmpdir):
     with pytest.raises(ValueError, match="exceeds the current plan length"):
         r2.partitions({"entry": 0}, {"entry": 99})
 
-    # a stale progress file from a DIFFERENT plan must not seed the floor
+    # a stale progress file from a DIFFERENT plan must not seed the floor:
+    # the reader treats it as ABSENT — and with no offset log beside it to
+    # re-seed from, a paced poll degrades to the full head (2 after the
+    # removal above), never a foreign-floor K-step (ADVICE r10 contract)
     pp = f"{tmpdir}/progress.json"
     with open(pp, "w") as fh:
         json.dump({"entry": 2, "fp": off["fp"]}, fh)
     r4 = _reader(src, k=1, progress=pp)
-    assert r4.latestOffset()["entry"] == 1, "foreign-plan floor must be ignored"
+    assert r4.latestOffset()["entry"] == 2, "foreign floor must not seed/pace"
+    r4.commit({"entry": 0})  # engine channel seeds the floor (checkpoint truth)
+    assert r4.latestOffset()["entry"] == 1, "pacing resumes once seeded"
 
 
 # --- VERDICT r9 item 3: optimistic concurrency on the commit-log pointer ----

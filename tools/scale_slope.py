@@ -66,6 +66,11 @@ MIX = [
     # (VERDICT r9 item 1): 4-bit = sim_ann_graph_topk_blocked,
     # 7-bit = sim_ann_graph_topk_blocked_wide.
     ("q19_graph_ann_blocked_scaled", "__q19_scaled"),
+    # the self-tuning form (round 11, VERDICT r10 item 1): derives its
+    # width from a build-time corpus count — the registered key runs
+    # AS-IS at every scale, no per-scale key swap needed; its exponent
+    # should track the hand-scaled row above
+    ("q19_graph_ann_auto", "sim_ann_graph_topk_blocked_auto"),
     ("q23_suffix_array_span", "dedup_span_suffix_array"),
     ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
     ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
@@ -96,7 +101,11 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
     )
     # copies manifest: a dir generated at one multiplier must never be
     # silently measured at another (--copies 3 against a leftover
-    # 10-copy dir would label sf1 numbers as sf0.3)
+    # 10-copy dir would label sf1 numbers as sf0.3). Written BEFORE any
+    # table is generated (ADVICE r10): a generation interrupted after
+    # renaming some tables used to leave a manifest-less dir that a rerun
+    # at a different --copies would warn about, then fill the missing
+    # tables at the NEW multiplier — a silently mixed-scale directory.
     manifest = f"{out_dir}/_copies.json"
     pre_existing = [
         t for t in _TABLES if os.path.isdir(f"{out_dir}/{t}.parquet")
@@ -110,11 +119,19 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
                 f"{copies} — point --sf1-dir at a fresh directory"
             )
     elif pre_existing:
-        # legacy dir from before the manifest existed: its multiplier is
-        # unverifiable — say so rather than stamping the asked-for value
-        print(json.dumps({"stage": "generate",
-                          "warning": "pre-manifest dir; copies unverified",
-                          "tables": pre_existing}))
+        # tables exist but no manifest: the multiplier is unverifiable, so
+        # refuse — filling in missing tables at the asked-for value could
+        # mix scales (the exact failure class the staging fix targets)
+        raise SystemExit(
+            f"{out_dir} has tables ({', '.join(pre_existing)}) but no "
+            f"_copies.json manifest — its multiplier is unverifiable; "
+            f"point --sf1-dir at a fresh directory"
+        )
+    else:
+        # stamp the INTENDED multiplier up front so any interruption from
+        # here on leaves a dir that later runs validate, never guess
+        with open(manifest, "w") as fh:
+            json.dump({"copies": copies}, fh)
     for table in _TABLES:
         dst = f"{out_dir}/{table}.parquet"
         if os.path.isdir(dst):
@@ -172,9 +189,6 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
             ).parquet(stage)
         os.rename(stage, dst)  # completion marker: dst exists <=> all copies
         print(json.dumps({"stage": "generate", "table": table, "copies": copies}))
-    if not os.path.exists(manifest) and not pre_existing:
-        with open(manifest, "w") as fh:
-            json.dump({"copies": copies}, fh)
 
 
 def _run(queries, spark, key: str, sf_dir: str) -> float:
@@ -188,17 +202,22 @@ def _run(queries, spark, key: str, sf_dir: str) -> float:
 
 
 def measure(
-    queries, spark, sf_dir: str, passes: int, medians=None
+    queries, spark, sf_dir: str, passes: int, medians=None, warmups: int = 1
 ) -> dict[str, float]:
-    """Per-query MIN of ``passes`` timed runs after one warm-up; when a
-    ``medians`` dict is supplied, the per-query median also lands there
-    (VERDICT r9 item 4 — bound run-to-run variance in the artifact, the
-    q19/sf1 reading spread 4× between runs)."""
+    """Per-query MIN of ``passes`` timed runs after ``warmups`` warm-up
+    passes; when a ``medians`` dict is supplied, the per-query median also
+    lands there (VERDICT r9 item 4 — bound run-to-run variance in the
+    artifact, the q19/sf1 reading spread 4× between runs). At the top
+    stress scale, where generation immediately precedes measurement, use
+    ``warmups=2`` — the r10 sf2.5 passes read monotone-decreasing
+    (113/88/53 s) because the page cache was still warming in after the
+    generation write (VERDICT r10 item 6)."""
     import statistics
 
     out: dict[str, float] = {}
     for label, key in MIX:
-        _run(queries, spark, key, sf_dir)  # warm (codegen/C2/Arrow fork)
+        for _ in range(max(1, warmups)):  # warm (codegen/C2/Arrow/page cache)
+            _run(queries, spark, key, sf_dir)
         times = [_run(queries, spark, key, sf_dir) for _ in range(passes)]
         out[label] = round(min(times), 3)
         rec = {"stage": "measure", "sf_dir": sf_dir, "query": label,
@@ -235,6 +254,14 @@ def main() -> None:
         help="fixture multiplier for the big scale (10 = the sf1 decade; "
         "3 = an sf0.3 half-decade point for 3-point exponent fits — "
         "pair with --sf1-dir /tmp/sparkgraft-sf0.3)",
+    )
+    ap.add_argument(
+        "--warmups",
+        type=int,
+        default=1,
+        help="warm-up passes per query before the timed passes; use 2 at "
+        "the top stress scale where generation immediately precedes "
+        "measurement (page-cache warm-in, VERDICT r10 item 6)",
     )
     args = ap.parse_args()
     if args.only:
@@ -279,10 +306,12 @@ def main() -> None:
     med_small: dict[str, float] = {}
     med_big: dict[str, float] = {}
     t_small = measure(
-        _with_scaled("small"), spark, twin, args.passes, med_small
+        _with_scaled("small"), spark, twin, args.passes, med_small,
+        warmups=args.warmups,
     )
     t_big = measure(
-        _with_scaled("big"), spark, args.sf1_dir, args.passes, med_big
+        _with_scaled("big"), spark, args.sf1_dir, args.passes, med_big,
+        warmups=args.warmups,
     )
 
     slopes = {}
@@ -294,20 +323,48 @@ def main() -> None:
             "sf0.1_median_sec": med_small[label],
             "sf1_median_sec": med_big[label],
             "ratio": round(b / a, 2),
-            "exponent": round(math.log10(b / a), 3) if a > 0 else None,
+            # a true scaling exponent: t1/t0 = copies^e — log10 only when
+            # the span is a decade (ADVICE r10: the sf0.3 logs recorded
+            # log10 values ~2.4× smaller than the real 3×-span exponent)
+            "exponent": (
+                round(math.log(b / a) / math.log(args.copies), 3)
+                if a > 0 and args.copies > 1
+                else None
+            ),
         }
-    slopes["q19_graph_ann_blocked_scaled"]["bits"] = _SCALED_BITS
-    slopes["q19_graph_ann_blocked_scaled"]["keys"] = {
-        "small": "sim_ann_graph_topk_blocked",
-        "big": "sim_ann_graph_topk_blocked_wide",
-    }
+    if "q19_graph_ann_blocked_scaled" in slopes:
+        slopes["q19_graph_ann_blocked_scaled"]["bits"] = _SCALED_BITS
+        slopes["q19_graph_ann_blocked_scaled"]["keys"] = {
+            "small": "sim_ann_graph_topk_blocked",
+            "big": "sim_ann_graph_topk_blocked_wide",
+        }
+    if "q19_graph_ann_auto" in slopes:
+        # record the widths the auto rule derived at each scale (the rule
+        # is deterministic in the corpus count, so this is the measured
+        # run's configuration, not a guess)
+        from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+            _grb_auto_bits,
+        )
+
+        n_small = spark.read.parquet(f"{twin}/embeddings.parquet").count() - 1
+        n_big = (
+            spark.read.parquet(f"{args.sf1_dir}/embeddings.parquet").count() - 1
+        )
+        slopes["q19_graph_ann_auto"]["bits"] = {
+            "small": _grb_auto_bits(n_small),
+            "big": _grb_auto_bits(n_big),
+        }
     spark.stop()
     print(
         json.dumps(
             {
-                "metric": "scale slope sf0.1 -> sf1 (10x), multifile layout",
+                "metric": (
+                    f"scale slope sf0.1 -> sf{args.copies / 10:g} "
+                    f"({args.copies}x span), multifile layout"
+                ),
                 "copies": args.copies,
                 "passes": args.passes,
+                "warmups": args.warmups,
                 "slopes": slopes,
             }
         )

@@ -5,11 +5,23 @@ here the cached unwrap makes decrypt compute-bound).
 
 Usage: python tools/soak.py [seconds] [rows_per_second]
        python tools/soak.py --topic TOPIC_DIR [seconds]
+       python tools/soak.py --paced [segments] [K]
 Prints one JSON line with rows processed and sustained events/sec.
 
 ``--topic`` consumes a topic written by tools/publish.py (the reference's
 publisher/pipeline split): Kafka-wire layout in, headers -> cached unwrap ->
 AES decrypt -> MAC verify in flight — no in-flight envelope synthesis.
+
+``--paced`` measures the pubsub_replay custom source's backpressure path
+(VERDICT r10 item 4: the pacing machinery — per-batch latestOffset
+planning, progress-journal write, fingerprint check — has correctness
+drills but no sustained-throughput number). It stages ``segments``
+copies of the sf0.1 events fixture (event_id-shifted) as one segment
+file each, then drains the backlog twice through the real engine with
+processAllAvailable: once paced at ``max_segments_per_batch=K`` (the
+⌈S/K⌉-micro-batch backpressure path) and once unpaced (one giant
+batch), reporting events/s for both — the delta IS the per-batch
+planning overhead.
 """
 
 from __future__ import annotations
@@ -22,9 +34,102 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _paced_soak(segments: int, k: int) -> None:
+    """Drain a ``segments``-file backlog through pubsub_replay paced at
+    K vs unpaced; see module docstring."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dataflow_pubsub_message_encryption_spark.session import get_session
+    from dataflow_pubsub_message_encryption_spark.sources.pubsub_replay import (
+        PubsubReplayDataSource,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = f"/tmp/sparkgraft-paced-src-{segments}"
+    marker = f"{src}/_segments.json"
+    if not (
+        os.path.exists(marker)
+        and json.load(open(marker))["segments"] == segments
+    ):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet")
+        shift = 10_000_000
+        for i in range(segments):
+            seg = tbl.set_column(
+                tbl.schema.get_field_index("event_id"),
+                "event_id",
+                pc.add(tbl["event_id"], i * shift),
+            )
+            pq.write_table(seg, f"{src}/part{i:04d}.parquet")
+        with open(marker, "w") as fh:
+            json.dump({"segments": segments, "rows_each": tbl.num_rows}, fh)
+
+    spark = get_session("soak-paced")
+    spark.dataSource.register(PubsubReplayDataSource)
+
+    def drain(pace: int) -> dict:
+        ckpt = tempfile.mkdtemp(prefix="sparkgraft-paced-ckpt-")
+        reader = (
+            spark.readStream.format("pubsub_replay").option("path", src)
+        )
+        if pace:
+            reader = reader.option("max_segments_per_batch", str(pace)).option(
+                "progress_path", f"{ckpt}/pubsub_progress.json"
+            )
+        q = (
+            reader.load()
+            .selectExpr("event_id", "attrs['event_type'] AS event_type")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        t0 = time.time()
+        q.processAllAvailable()
+        elapsed = time.time() - t0
+        total = sum(p["numInputRows"] for p in q.recentProgress)
+        batches = sum(1 for p in q.recentProgress if p["numInputRows"])
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return {
+            "events": total,
+            "seconds": round(elapsed, 1),
+            "events_per_sec": round(total / elapsed),
+            "micro_batches": batches,
+        }
+
+    drain(k)  # warm: Python-worker fork, codegen, page cache
+    paced = drain(k)
+    unpaced = drain(0)
+    print(
+        json.dumps(
+            {
+                "metric": "pubsub_replay backlog drain: paced vs unpaced",
+                "segments": segments,
+                "max_segments_per_batch": k,
+                "paced": paced,
+                "unpaced": unpaced,
+                "pacing_overhead_pct": round(
+                    100 * (paced["seconds"] / unpaced["seconds"] - 1), 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
     topic_dir = None
+    if args and args[0] == "--paced":
+        segments = int(args[1]) if len(args) > 1 else 64
+        k = int(args[2]) if len(args) > 2 else 4
+        _paced_soak(segments, k)
+        return
     if args and args[0] == "--topic":
         topic_dir = args[1]
         args = args[2:]
