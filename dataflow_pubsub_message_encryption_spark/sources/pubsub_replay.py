@@ -306,29 +306,49 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _Segment):
-        # executor-side: read ONLY this partition's segment
+        # executor-side: read ONLY this partition's segment, and hand the
+        # engine Arrow RecordBatches instead of per-row tuples (the
+        # documented fast path of pyspark.sql.datasource — the round-11
+        # paced-drain soak measured the tuple path at ~0.9M rows/s across
+        # 32 workers, serializer-bound; columnar assembly removes the
+        # per-row Python loop entirely)
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(
             partition.path,
             columns=["event_id", "ts", "user_id", "event_type", "props"],
         )
-        ids = tbl["event_id"].to_pylist()
-        ts = tbl["ts"].to_pandas()  # ns timestamps -> pandas datetime64
-        users = tbl["user_id"].to_pylist()
-        types = tbl["event_type"].to_pylist()
-        props = tbl["props"].to_pylist()
-        for i in range(tbl.num_rows):
-            yield (
-                ids[i],
-                (props[i] or "").encode("utf-8"),
-                {
-                    "event_type": types[i],
-                    "user_id": str(users[i]),
-                    "delivery": str(partition.delivery),
-                },
-                ts.iloc[i].to_pydatetime(),
-            )
+        n = tbl.num_rows
+        value = pc.cast(
+            pc.fill_null(tbl["props"].combine_chunks(), ""), pa.binary()
+        )
+        # attrs MAP<STRING,STRING>: 3 fixed keys per row, values
+        # interleaved columnar (object-dtype strided assignment — no
+        # per-row dict construction)
+        keys = np.empty(3 * n, dtype=object)
+        keys[0::3], keys[1::3], keys[2::3] = "event_type", "user_id", "delivery"
+        items = np.empty(3 * n, dtype=object)
+        items[0::3] = tbl["event_type"].to_pylist()
+        items[1::3] = pc.cast(tbl["user_id"].combine_chunks(), pa.string()).to_pylist()
+        items[2::3] = str(partition.delivery)
+        attrs = pa.MapArray.from_arrays(
+            pa.array(np.arange(0, 3 * n + 3, 3, dtype=np.int32)[: n + 1]),
+            pa.array(keys, pa.string()),
+            pa.array(items, pa.string()),
+        )
+        publish_ts = pc.cast(tbl["ts"].combine_chunks(), pa.timestamp("us"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.cast(tbl["event_id"].combine_chunks(), pa.int64()),
+                value,
+                attrs,
+                publish_ts,
+            ],
+            names=["event_id", "value", "attrs", "publish_ts"],
+        )
 
     def commit(self, end: dict) -> None:
         # durable segments need no ack; journal the pacing floor so the
