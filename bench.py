@@ -96,6 +96,14 @@ HEADLINE = [
     # the wide buckets are sparse, so this also prices the thin-candidate
     # walk; the sf1 slope harness measures the same registered key.
     ("q26_graph_ann_blocked_wide", "sim_ann_graph_topk_blocked_wide"),
+    # round-11 mix extension: the SELF-TUNING forms (VERDICT r10 item 1)
+    # made perf-visible beside the fixed-width keys they derive from
+    # (legacy subtotals stay comparable — additions only). q27 derives
+    # its table width (bits=4 at fixture n) and q28 its (k, nprobe)
+    # (22/5) from a build-time corpus count, so the in-mix delta vs
+    # q19/q26 prices the derivation's extra count() pass.
+    ("q27_graph_ann_auto", "sim_ann_graph_topk_blocked_auto"),
+    ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,
