@@ -104,6 +104,13 @@ HEADLINE = [
     # q19/q26 prices the derivation's extra count() pass.
     ("q27_graph_ann_auto", "sim_ann_graph_topk_blocked_auto"),
     ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
+    # round-12 mix extension: the threshold-derived LSH banding (VERDICT
+    # r11 item 4) made perf-visible beside the hand-banded q8 it derives
+    # from (legacy subtotals stay comparable — additions only). The
+    # derivation is pure arithmetic on tau (no extra data pass), so the
+    # in-mix delta vs q8 should read ~1.0x — pricing the claim that
+    # self-tuning here is free at run time.
+    ("q29_minhash_lsh_auto", "dedup_minhash_lsh_pairs_auto"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

@@ -27,78 +27,75 @@ _MODULES = [
 
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
-# therefore part of the driver contract, not cosmetics. Rounds 1-10 graded all
-# then-registered queries green (325/325 driver-proven after r10; no query has
-# ever failed the gate), so the round-11 window leads with this round's new
-# operators (the auto-width graph-ANN build and the auto-sized learned IVF,
-# VERDICT r10 item 1 — the law tests tie the first to the two fixed-width
-# driver-proven keys; the second's oracle unrolls Lloyd at the derived k),
-# then the rotation debt VERDICT r10 item 2 names exactly: the six keys last
-# graded in round 3 (the behavior/cdc four that were queued from r10, plus
-# the two r10 slot-yielders agg_correlated_subquery / win_distribution),
-# then 42 of the 46 keys whose ONLY green is round 4 — the TPC-H
-# q2/q6/q8/q9/q11/q15/q20/q21 block, udaf_surface, the
-# simhash/knn/multiprobe/ivf similarity cohort, the multimodal decode/frame
-# pair, join_skew_salted, zorder_cluster, and the rest of that round's
-# additions. The 4 deferred r4-only keys (grouped_map_scale,
-# join_range_binned, agg_hll_partitioned_union, agg_quantile_sketch_union)
-# lead round 12's queue. Every remaining EXACT query follows in module
-# order; oracle-less (ROWS-class) queries always sort last so no graded slot
-# is burned on a `no_oracle` row.
+# therefore part of the driver contract, not cosmetics. Rounds 1-11 graded
+# every then-registered query green (327/327 driver-proven after r11; no
+# query has ever failed the gate), so the round-12 window leads with this
+# round's new operator (the threshold-derived LSH banding, VERDICT r11
+# item 4 — its oracle is the generalized banded SQL frozen at the derived
+# 2x8 split and the law tests tie it to the driver-proven fixed key), then
+# clears the LAST rotation debt exactly as VERDICT r11 item 1 orders: the 4
+# keys whose only green is round 4 (deferred from r11's window), then all 44
+# keys whose newest green is round 5, then the stalest r6-newest key
+# (orders_cohort_ltv_curve, COVERAGE.md order) to fill slot 50 with zero
+# already-fresh fillers. After this round no key's newest green predates r6.
+# Every remaining EXACT query follows in module order; oracle-less
+# (ROWS-class) queries always sort last so no graded slot is burned on a
+# `no_oracle` row.
 _WINDOW = [
-    # --- round-11 additions (never driver-graded) ---
-    "sim_ann_graph_topk_blocked_auto",
-    "sim_ann_kmeans_ivf_topk_auto",
-    # --- stalest greens: the six round-3 keys (queued since r10) ---
-    "cdc_scd2_intervals",
-    "window_gapfill_counts",
-    "funnel_conversion",
-    "retention_cohorts",
-    "agg_correlated_subquery",
-    "win_distribution",
-    # --- the r4-only cohort (VERDICT r10 item 2), 42 of 46 ---
-    "mac_hmac_verify_filter",
-    "udaf_surface",
-    "agg_stats_moments",
-    "agg_collect_sorted",
-    "scalar_edit_distance",
-    "scalar_null_conditional",
-    "win_first_last",
-    "agg_approx_percentile",
-    "join_full_outer",
-    "unpivot_melt",
-    "set_intersect_all",
-    "set_except_all",
-    "agg_mode_per_user",
-    "tpch_q6_forecast_revenue",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q15_top_supplier",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_orders",
-    "dedup_simhash",
-    "dedup_containment_blocked",
-    "sim_knn_label_centroid",
-    "sim_ann_multiprobe_topk",
-    "sim_ann_ivf_topk",
-    "sim_knn_join",
-    "emb_dim_census",
-    "dedup_embedding_lsh",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "sample_weighted_k",
-    "graph_pagerank_int",
-    "window_gapfill_interp",
-    "anomaly_mad_outliers",
-    "sessionize_gap_sql",
-    "agg_value_histogram",
-    "market_basket_pairs",
-    "window_rollup_multires",
-    "events_transition_matrix",
-    "join_skew_salted",
-    "zorder_cluster",
+    # --- round-12 addition (never driver-graded) ---
+    "dedup_minhash_lsh_pairs_auto",
+    # --- the 4 r4-only keys (deferred from r11; VERDICT r11 item 1) ---
+    "grouped_map_scale",
+    "join_range_binned",
+    "agg_hll_partitioned_union",
+    "agg_quantile_sketch_union",
+    # --- the full r5-newest cohort (44 keys, COVERAGE.md order) ---
+    "envelope_key_rotation",
+    "win_time_range_sum",
+    "agg_cube",
+    "profile_table_stats",
+    "join_asof_nearest",
+    "sql_recursive_date_spine",
+    "supplier_lead_time",
+    "events_hourly_seasonality",
+    "orders_priority_mix_shift",
+    "text_unigram_logprob",
+    "text_bpe_merges",
+    "text_repetition_stats",
+    "text_bpe_encode",
+    "text_feature_hash",
+    "text_langid_confusion",
+    "vocab_growth_curve",
+    "dedup_shingle_minhash_lsh",
+    "dedup_lsh_recall_eval",
+    "dedup_lsh_band_tuning",
+    "dedup_minhash_estimator_quality",
+    "sim_ann_kmeans_ivf_topk",
+    "sim_search_batch_topk",
+    "emb_pca_power_iteration",
+    "embedding_index_pipeline",
+    "multimodal_audio_energy",
+    "multimodal_payload_entropy",
+    "corpus_temperature_resample",
+    "corpus_training_manifest",
+    "corpus_source_mix",
+    "graph_triangle_count",
+    "dedup_cluster_summary",
+    "events_pattern_match",
+    "window_rolling_zscore",
+    "funnel_time_to_convert",
+    "orders_backlog_daily",
+    "audience_overlap_matrix",
+    "events_iat_stats",
+    "events_longest_streaks",
+    "join_bucketed_colocated",
+    "agg_incremental_merge",
+    "topk_per_group_twolevel",
+    "dedup_exact_hierarchical",
+    "agg_bitmap_distinct",
+    "join_partition_pruned_dpp",
+    # --- slot 50: stalest r6-newest key ---
+    "orders_cohort_ltv_curve",
 ]
 
 

@@ -431,6 +431,174 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+def _lsh_auto_bands(tau: float, n_perms: int = _N_PERMS) -> tuple[int, int]:
+    """Derive the LSH banding split (bands, rows_per_band) from the target
+    Jaccard threshold ``tau`` via the standard S-curve fit: a (b, r)
+    banding's collision probability for similarity s is 1-(1-s^r)^b, whose
+    inflection sits at t = (1/b)^(1/r) [P: Leskovec/Rajaraman/Ullman, MMDS
+    ch.3]. Among the divisor splits of the ``n_perms``-slot signature,
+    pick the one whose threshold t is CLOSEST to tau, tie-breaking toward
+    more bands (higher recall) — the rule a human reads off the
+    ``dedup_lsh_band_tuning`` sweep, now computed instead of hand-set
+    (VERDICT r11 item 4: third self-tuning instance). Pure arithmetic on
+    (tau, n_perms): no data pass, same derivation on the driver and in the
+    frozen oracle. At tau=0.9/16 slots it lands on (2, 8) — exactly the
+    production cascade's hand-picked split, which the law tests pin."""
+    best_key, best = None, None
+    for b in range(1, n_perms + 1):
+        if n_perms % b:
+            continue
+        r = n_perms // b
+        t = (1.0 / b) ** (1.0 / r)
+        key = (abs(t - tau), -b)
+        if best_key is None or key < best_key:
+            best_key, best = key, (b, r)
+    return best
+
+
+def _lsh_candidates_n(banded, nb: int):
+    """``_lsh_candidates`` generalized to ``nb`` bands: explode each doc to
+    (band_idx, band_hash) rows, one self-equi-join on (idx, hash), and
+    emit-once — a pair colliding in several bands is produced only by its
+    FIRST matching band (idx k requires bands 0..k-2 to differ), so the
+    output is disjoint by construction and needs no distinct. Shuffle
+    volume is nb x (doc_id + nb band hashes) per doc — still ids+hashes
+    only, never payloads; the nb carried band columns are what buys the
+    distinct-free emit."""
+    band_cols = [f"band{b}" for b in range(nb)]
+    exploded = banded.select(
+        "doc_id",
+        *band_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b + 1).alias("idx"), F.col(f"band{b}").alias("h")
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id", *band_cols, F.col("e.idx").alias("idx"), F.col("e.h").alias("h")
+    )
+    a, b_ = exploded.alias("a"), exploded.alias("b")
+    emit_once = None
+    for k in range(nb):
+        cond = F.col("a.idx") == k + 1
+        for j in range(k):
+            cond = cond & (F.col(f"a.band{j}") != F.col(f"b.band{j}"))
+        emit_once = cond if emit_once is None else (emit_once | cond)
+    return a.join(
+        b_,
+        (F.col("a.idx") == F.col("b.idx"))
+        & (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & emit_once,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+    )
+
+
+def _lsh_pairs_banded_sql(nb: int, r: int, tau: float) -> str:
+    """EXACT oracle for a (nb, r) banded MinHash-LSH near-dup pass —
+    the fixed key's SQL generalized to any divisor split."""
+    band_exprs = [
+        f"sha256(concat({', '.join(f'mh{b * r + k}' for k in range(r))}))"
+        f" AS band{b}"
+        for b in range(nb)
+    ]
+    joins = [
+        f"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.toks AS toks_a, b.toks AS toks_b
+      FROM banded a JOIN banded b
+        ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"""
+        for b in range(nb)
+    ]
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks,
+             {', '.join(_minhash_sql_cols())}
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, toks, {', '.join(band_exprs)}
+      FROM sig
+    ),
+    cand AS (
+      {' UNION '.join(joins)}
+    )
+    SELECT doc_a, doc_b, jac FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(len(list_intersect(toks_a, toks_b)) AS DOUBLE)
+                   / (len(toks_a) + len(toks_b)
+                      - len(list_intersect(toks_a, toks_b))), 6) AS jac
+      FROM cand
+    ) WHERE jac >= {tau}
+    """
+
+
+@query(
+    "dedup_minhash_lsh_pairs_auto",
+    _lsh_pairs_banded_sql(*_lsh_auto_bands(_LSH_TAU), _LSH_TAU),
+)
+def dedup_minhash_lsh_pairs_auto(spark, sf_dir, tau: float = _LSH_TAU):
+    """MinHash-LSH near-dup with the banding split DERIVED from the target
+    threshold — the third self-tuning knob (VERDICT r11 item 4, after the
+    auto-width graph-ANN and auto-sized IVF): ``dedup_minhash_lsh_pairs``
+    pins 2 bands x 8 rows by fiat and ``dedup_lsh_band_tuning`` sweeps the
+    (b, r) grid for a human to read; here ``_lsh_auto_bands`` computes the
+    split from tau via the (1/b)^(1/r) S-curve inflection, so changing the
+    dedup policy's tau re-derives the banding instead of requiring a
+    re-tune. At tau={tau} the rule lands on the production 2x8 — the EXACT
+    oracle is the generalized banded SQL frozen at the derived split, and
+    the law tests pin auto ≡ the fixed key there plus the rule's values at
+    other taus (tests/test_round12_ops.py).
+
+    Scale shape: identical to the fixed key for any derived (b, r) —
+    signature is a narrow map, candidates come from ONE exploded
+    (band_idx, hash) equi-join shuffling ids+hashes only, emit-once keeps
+    the candidate set distinct-free, and only candidates pay the
+    fingerprint-intersect verify. More bands (lower tau) means b rows per
+    doc in the band shuffle — linear in b, never quadratic in n."""
+    nb, r = _lsh_auto_bands(tau)
+    docs = _parallel(spark, load(spark, sf_dir, "documents"))
+    banded = (
+        docs.select("doc_id", _minhash_sig().alias("sig"))
+        .select("doc_id", *_minhash_cols())
+        .select(
+            "doc_id",
+            *[
+                F.sha2(
+                    F.concat(*[f"mh{b * r + k}" for k in range(r)]), 256
+                ).alias(f"band{b}")
+                for b in range(nb)
+            ],
+        )
+    )
+    cand = _lsh_candidates_n(banded, nb)
+    toks = docs.select("doc_id", fp64(distinct_tokens("text")).alias("toks"))
+    cand = cand.join(
+        toks.withColumnsRenamed({"doc_id": "doc_a", "toks": "toks_a"}), "doc_a"
+    ).join(
+        toks.withColumnsRenamed({"doc_id": "doc_b", "toks": "toks_b"}), "doc_b"
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = F.round(
+        inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter),
+        6,
+    )
+    return cand.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= tau
+    )
+
+
+dedup_minhash_lsh_pairs_auto.__doc__ = dedup_minhash_lsh_pairs_auto.__doc__.format(
+    tau=_LSH_TAU
+)
+
+
 _SHINGLE_SQL = (
     "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
     "i -> concat(string_split(text,' ')[i], '_', string_split(text,' ')[i+1], "

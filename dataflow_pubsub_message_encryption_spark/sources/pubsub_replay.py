@@ -148,6 +148,16 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
             self._floor, self._seeded = progress, True
         else:
             self._floor, self._seeded = self._seed_from_offset_log()
+        # A present progress file is a CACHE of checkpoint truth, not the
+        # truth itself: one restored from backup (or rewound by an
+        # operator) can sit BEHIND the engine's committed offset, and a
+        # floor seeded from it alone would report a behind-committed head
+        # — journaled as a batch end, the offset log would REGRESS (the
+        # ADVICE r10 failure mode, which the r11 fix closed only for the
+        # ABSENT-file case). The first paced poll therefore also consults
+        # the engine's own offset log and takes the max of both channels
+        # (_merge_offset_log_floor); _log_merged tracks that one-shot.
+        self._log_merged = False
         self._last_poll = -1
         self._stale_polls = 0
 
@@ -229,9 +239,24 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         self._seeded = True
         return {"entry": 0, "fp": self._fp}
 
+    def _merge_offset_log_floor(self) -> None:
+        """One-shot on the first paced poll: lift the floor to the engine
+        offset log's last journaled batch end if that is AHEAD of the
+        progress-file floor (rewound/restored progress file — see the
+        constructor comment). Only marks itself done once the log has
+        spoken authoritatively, so a poll that races the engine's log-dir
+        creation retries on the next poll."""
+        entry, seeded = self._seed_from_offset_log()
+        if seeded:
+            self._log_merged = True
+            if entry > self._floor:
+                self._floor = entry
+
     def latestOffset(self) -> dict:
         head = len(self._plan)
         if self._k:
+            if self._seeded and not self._log_merged:
+                self._merge_offset_log_floor()
             if not self._seeded:
                 # re-attempt offset-log seeding LAZILY: at construction
                 # the engine has not created the checkpoint log dirs yet
@@ -299,6 +324,7 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         # on some trigger paths, and restart-safe: a replayed uncommitted
         # batch re-plans the same checkpointed range and re-bumps
         self._seeded = True  # engine-supplied range = checkpoint truth
+        self._log_merged = True  # ...so the log merge is moot from here on
         self._bump_floor(end["entry"])
         return [
             _Segment(i, self._plan[i][0], self._plan[i][1])
@@ -332,6 +358,11 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         keys[0::3], keys[1::3], keys[2::3] = "event_type", "user_id", "delivery"
         items = np.empty(3 * n, dtype=object)
         items[0::3] = tbl["event_type"].to_pylist()
+        # Edge semantics pinned explicitly (ADVICE r11): a NULL user_id
+        # yields a NULL map value (valueContainsNull), NOT the literal
+        # string 'None' the retired tuple path's str() produced — null
+        # propagation is the semantics a Spark reader expects from a map
+        # built over a nullable column.
         items[1::3] = pc.cast(tbl["user_id"].combine_chunks(), pa.string()).to_pylist()
         items[2::3] = str(partition.delivery)
         attrs = pa.MapArray.from_arrays(
@@ -339,7 +370,14 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
             pa.array(keys, pa.string()),
             pa.array(items, pa.string()),
         )
-        publish_ts = pc.cast(tbl["ts"].combine_chunks(), pa.timestamp("us"))
+        # safe=False: truncate sub-microsecond components instead of
+        # raising ArrowInvalid on ns-precision inputs — the engine schema
+        # is µs and the retired tuple path's to_pydatetime() truncated
+        # silently, so a ns-timestamped segment must keep draining
+        # (ADVICE r11).
+        publish_ts = pc.cast(
+            tbl["ts"].combine_chunks(), pa.timestamp("us"), safe=False
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pc.cast(tbl["event_id"].combine_chunks(), pa.int64()),
@@ -355,6 +393,7 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
         # NEXT reader instance (checkpoint restart) resumes paced from
         # the committed entry instead of re-reporting a cold head
         self._seeded = True
+        self._log_merged = True  # engine call = checkpoint truth
         self._bump_floor(end["entry"])
 
 

@@ -68,6 +68,26 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+def _pid_start(pid: int) -> int | None:
+    """Start time of ``pid`` in clock ticks since boot (field 22 of
+    ``/proc/<pid>/stat``), or ``None`` when unreadable (non-Linux, or the
+    process exited mid-read). (pid, start-time) is a unique process
+    identity on one boot: a recycled pid never reproduces the dead
+    writer's start tick, so :func:`recover` can tell a crash orphan whose
+    pid happens to be live again from the original, actually-live writer
+    (ADVICE r11 — without this a recycled pid wedged the streaming sink's
+    per-batch recover() with LiveClaim until a manual force=True)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        # comm (field 2) may contain spaces/parens — fields are positional
+        # only after the LAST ')'; starttime is field 22, i.e. index 19 of
+        # the remainder (state=field 3 is index 0)
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _claim_info(path: str) -> dict | None:
     """Writer identity recorded in a claim file, or ``None`` when the
     file is empty/unreadable (a crash inside the few-instruction window
@@ -144,10 +164,13 @@ def recover(target_dir: str, *, force: bool = False) -> None:
     whose liveness this process cannot check — raises :class:`LiveClaim`
     BEFORE any state is touched. ``force=True`` restores the
     sweep-everything behavior for operators who have verified quiescence
-    out of band. Caveat: pid liveness on a single host can false-alarm
-    on pid recycling (a recycled pid keeps a dead writer's claim alive
-    until ``force``) — it never false-sweeps a live claim into silent
-    corruption, which is the failure that matters."""
+    out of band. Pid recycling is disambiguated by the claim's recorded
+    process start time (:func:`_pid_start`): a live pid whose start tick
+    differs from the claim's is a recycled pid, i.e. the writer is dead
+    and the claim is swept. Only a claim lacking a start tick (legacy
+    claim, or /proc unreadable) falls back to pid-liveness alone and can
+    false-alarm into ``LiveClaim`` — it never false-sweeps a live claim
+    into silent corruption, which is the failure that matters."""
     claims = glob.glob(os.path.join(target_dir, _LOG, "v*.json.claim"))
     if not force:
         for p in claims:
@@ -158,6 +181,9 @@ def recover(target_dir: str, *, force: bool = False) -> None:
             if host == socket.gethostname() and isinstance(pid, int):
                 if not _pid_alive(pid):
                     continue  # verifiably dead: crash orphan
+                start = info.get("start")
+                if start is not None and _pid_start(pid) != start:
+                    continue  # pid recycled: the original writer is dead
             raise LiveClaim(
                 f"claim {os.path.basename(p)} is held by pid {pid} on "
                 f"{host!r} which is not verifiably dead — recovery must "
@@ -236,7 +262,13 @@ def commit(
         os.write(
             fd,
             json.dumps(
-                {"pid": os.getpid(), "host": socket.gethostname()}
+                {
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                    # start tick makes the identity recycling-proof —
+                    # see recover()/_pid_start
+                    "start": _pid_start(os.getpid()),
+                }
             ).encode(),
         )
     finally:

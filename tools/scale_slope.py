@@ -74,6 +74,13 @@ MIX = [
     ("q23_suffix_array_span", "dedup_span_suffix_array"),
     ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
     ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
+    # round 12 (VERDICT r11 item 2): the non-ANN heavy families whose only
+    # slope points were <=10x — weighted-jaccard pairing and the
+    # auto-sized Lloyd train (which derives k=round(sqrt(n)) from a live
+    # count, so the registered key runs AS-IS at every scale: k=71/nprobe=8
+    # at sf0.1's 5k vectors, k=354/nprobe=19 at sf2.5's 125k)
+    ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
+    ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
 ]
 
 _SCALED_BITS = {"small": 4, "big": 7}  # log2(10×) ≈ +3.3 bits

@@ -51,10 +51,18 @@ def _paced_soak(segments: int, k: int) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     src = f"/tmp/sparkgraft-paced-src-{segments}"
     marker = f"{src}/_segments.json"
-    if not (
-        os.path.exists(marker)
-        and json.load(open(marker))["segments"] == segments
-    ):
+
+    def _marker_fresh() -> bool:
+        # The staged backlog is only reusable if it was built from the SAME
+        # fixture: a marker that matches on segment count alone would
+        # silently reuse rows staged from a different SPARK_GRAFT_SF_DIR
+        # (ADVICE r11). sf_dir must match too.
+        if not os.path.exists(marker):
+            return False
+        meta = json.load(open(marker))
+        return meta.get("segments") == segments and meta.get("sf_dir") == sf_dir
+
+    if not _marker_fresh():
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src)
         tbl = pq.read_table(f"{sf_dir}/events.parquet")
@@ -67,10 +75,25 @@ def _paced_soak(segments: int, k: int) -> None:
             )
             pq.write_table(seg, f"{src}/part{i:04d}.parquet")
         with open(marker, "w") as fh:
-            json.dump({"segments": segments, "rows_each": tbl.num_rows}, fh)
+            json.dump(
+                {
+                    "segments": segments,
+                    "rows_each": tbl.num_rows,
+                    "sf_dir": sf_dir,
+                },
+                fh,
+            )
 
     spark = get_session("soak-paced")
     spark.dataSource.register(PubsubReplayDataSource)
+    # Spark keeps only the last `numRecentProgressUpdates` progress objects
+    # (default 100); totalling events via q.recentProgress would silently
+    # undercount a drain of >100 micro-batches (e.g. --paced 512 4 = 129
+    # batches) and misstate the pacing overhead (ADVICE r11). Size the
+    # buffer to the worst case (K=1 → `segments` batches) plus slack.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(segments + 16)
+    )
 
     def drain(pace: int) -> dict:
         ckpt = tempfile.mkdtemp(prefix="sparkgraft-paced-ckpt-")
@@ -93,6 +116,12 @@ def _paced_soak(segments: int, k: int) -> None:
         elapsed = time.time() - t0
         total = sum(p["numInputRows"] for p in q.recentProgress)
         batches = sum(1 for p in q.recentProgress if p["numInputRows"])
+        expected = segments * json.load(open(marker))["rows_each"]
+        if total != expected:
+            raise RuntimeError(
+                f"drain undercount: recentProgress totalled {total} rows, "
+                f"staged backlog holds {expected} — progress buffer too small?"
+            )
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
         return {
