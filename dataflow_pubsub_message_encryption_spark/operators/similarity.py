@@ -463,16 +463,28 @@ def _km_iter_sql(prev_c: str, a: str, cur_c: str) -> str:
 def _km_assign(e_q, cents):
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
     score every vector against every cell, keep the per-vector argmax
-    (6dp-rounded cosine, cell tie-break)."""
+    (6dp-rounded cosine, cell tie-break: max cs, then smallest cell —
+    ``max_by`` over an orderable struct, where -cell makes the
+    lexicographic max pick the smallest cell id on cs ties).
+
+    Shape (round 12): ``max_by`` is a partial-aggregable reduction, so
+    the n*k scored rows collapse map-side to one row per vector before
+    the exchange — the previous row_number window shuffled and SORTED all
+    n*k rows per assign, the dominant train cost once k grows as sqrt(n)
+    (the auto key at sf2.5: 50k vectors x 224 cells = 11M rows per
+    assign, 3 assigns per train)."""
     cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cell")
     return (
         e_q.join(F.broadcast(cents))
         .select(
             "vec_id", "cell", F.round(cosine(F.col("de"), cd), 6).alias("cs")
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cell", F.struct(F.col("cs"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        )
         .select("vec_id", "cell")
     )
 
@@ -2311,7 +2323,14 @@ def sim_ann_graph_topk_blocked(spark, sf_dir):
     edge (the OR of the two table keys ≡ the union-distinct of the two
     equi-joins), so the EXACT gate grades the blocked semantics.
     Recall@10 vs the brute-force truth is pinned exactly in
-    tests/test_ext_ops.py alongside the naive build's."""
+    tests/test_ext_ops.py alongside the naive build's.
+
+    NOTE: the 4-bit width here is FIXTURE-TUNED and deliberately kept as
+    the superlinear contrast row in the slope harness (bucket occupancy
+    grows with n at fixed width — measured exponent ~1.08). Production
+    use is `sim_ann_graph_topk_blocked_auto`, which derives the width
+    from a corpus count (bits ≈ log2(n/160)) and measured 0.39-0.40 at
+    3x/10x/25x."""
     return _gr_blocked(spark, sf_dir)
 
 

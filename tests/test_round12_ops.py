@@ -362,3 +362,53 @@ def test_arrow_read_null_user_id_yields_null_attr(tmpdir):
     assert m0["user_id"] is None  # null propagates, no 'None' literal
     assert m1["user_id"] == "42"
     assert m0["event_type"] == "click"
+
+
+# --- VERDICT r11 item 5: SinglePartition plan-audit classification ----------
+
+
+def test_single_partition_audit_classifier():
+    """The audit counts Exchange SinglePartition nodes and classifies the
+    keyless-aggregate final merge as benign, anything else as
+    needs-review — so the PLANS.md header can never again claim 'zero
+    single-partition exchanges' while plans carry benign merges."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from explain_all import audit_single_partition
+
+    benign_plan = """(3) Exchange
+Input [1]: [min#1L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+
+(4) HashAggregate
+Input [1]: [min#1L]
+Keys: []
+Functions [1]: [min(x#0L)]"""
+    t, b, review = audit_single_partition(benign_plan)
+    assert (t, b, review) == (1, 1, [])
+
+    trap_plan = """(3) Exchange
+Input [2]: [a#1L, b#2L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+
+(4) Sort
+Input [2]: [a#1L, b#2L]
+Arguments: [a#1L ASC NULLS FIRST], false, 0"""
+    t, b, review = audit_single_partition(trap_plan)
+    assert (t, b) == (1, 0)
+    assert review and "Sort" in review[0]
+
+    # a KEYED aggregate consumer is NOT the benign keyless merge
+    keyed_plan = benign_plan.replace("Keys: []", "Keys: [k#7L]")
+    t, b, review = audit_single_partition(keyed_plan)
+    assert (t, b) == (1, 0)
+
+    # hash-partitioned exchanges are not counted at all
+    hash_plan = benign_plan.replace(
+        "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]",
+        "Arguments: hashpartitioning(k#7L, 32), ENSURE_REQUIREMENTS, [plan_id=1]",
+    )
+    assert audit_single_partition(hash_plan) == (0, 0, [])
