@@ -111,6 +111,11 @@ HEADLINE = [
     # in-mix delta vs q8 should read ~1.0x — pricing the claim that
     # self-tuning here is free at run time.
     ("q29_minhash_lsh_auto", "dedup_minhash_lsh_pairs_auto"),
+    # ...and the sample-capped IVF train beside the full-train q28 it
+    # derives from: the in-mix delta prices the train-on-a-stride-sample
+    # saving (s = n//(8k): 5 at sf0.1's 2000 vectors) at the same
+    # full-corpus final assignment.
+    ("q30_kmeans_ivf_sampled", "sim_ann_kmeans_ivf_topk_auto_sampled"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

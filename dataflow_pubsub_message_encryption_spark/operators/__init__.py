@@ -30,20 +30,22 @@ _MODULES = [
 # therefore part of the driver contract, not cosmetics. Rounds 1-11 graded
 # every then-registered query green (327/327 driver-proven after r11; no
 # query has ever failed the gate), so the round-12 window leads with this
-# round's new operator (the threshold-derived LSH banding, VERDICT r11
+# round's new operators (the threshold-derived LSH banding, VERDICT r11
 # item 4 — its oracle is the generalized banded SQL frozen at the derived
-# 2x8 split and the law tests tie it to the driver-proven fixed key), then
+# 2x8 split and the law tests tie it to the driver-proven fixed key — and
+# the sample-capped IVF train, whose oracle unrolls the sampled Lloyd
+# chain at the derived k=22/nprobe=5/stride=2), then
 # clears the LAST rotation debt exactly as VERDICT r11 item 1 orders: the 4
 # keys whose only green is round 4 (deferred from r11's window), then all 44
-# keys whose newest green is round 5, then the stalest r6-newest key
-# (orders_cohort_ltv_curve, COVERAGE.md order) to fill slot 50 with zero
+# keys whose newest green is round 5 — 2 + 4 + 44 = 50 slots, zero
 # already-fresh fillers. After this round no key's newest green predates r6.
 # Every remaining EXACT query follows in module order; oracle-less
 # (ROWS-class) queries always sort last so no graded slot is burned on a
 # `no_oracle` row.
 _WINDOW = [
-    # --- round-12 addition (never driver-graded) ---
+    # --- round-12 additions (never driver-graded) ---
     "dedup_minhash_lsh_pairs_auto",
+    "sim_ann_kmeans_ivf_topk_auto_sampled",
     # --- the 4 r4-only keys (deferred from r11; VERDICT r11 item 1) ---
     "grouped_map_scale",
     "join_range_binned",
@@ -94,8 +96,6 @@ _WINDOW = [
     "dedup_exact_hierarchical",
     "agg_bitmap_distinct",
     "join_partition_pruned_dpp",
-    # --- slot 50: stalest r6-newest key ---
-    "orders_cohort_ltv_curve",
 ]
 
 

@@ -412,3 +412,57 @@ Arguments: [a#1L ASC NULLS FIRST], false, 0"""
         "Arguments: hashpartitioning(k#7L, 32), ENSURE_REQUIREMENTS, [plan_id=1]",
     )
     assert audit_single_partition(hash_plan) == (0, 0, [])
+
+
+# --- round-12 second key: sample-capped IVF train ----------------------------
+
+
+def test_km_auto_stride_rule():
+    """stride = max(1, n // (8k)) keeps ~8 train vectors per centroid;
+    small corpora degenerate to the full train (stride 1)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _km_auto_k,
+        _km_auto_stride,
+    )
+
+    assert _km_auto_stride(500, _km_auto_k(500)) == 2  # the fixture derivation
+    assert _km_auto_stride(100, _km_auto_k(100)) == 1  # 8k >= n: full train
+    assert _km_auto_stride(2000, _km_auto_k(2000)) == 5  # sf0.1
+    n = 50_000  # sf2.5
+    k = _km_auto_k(n)
+    s = _km_auto_stride(n, k)
+    assert s == n // (8 * k)
+    # the sampled train stays ~8 vectors per centroid at every scale
+    assert 4 * k <= n // s <= 16 * k
+
+
+def test_kmeans_sampled_stride1_equals_auto(spark, sf_dir):
+    """stride=1 must reproduce the unsampled auto body bit for bit (the
+    law that ties the sampled key's machinery to the driver-proven
+    full-train key)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _km_ivf_auto_body,
+    )
+
+    full = sorted(map(tuple, _km_ivf_auto_body(spark, sf_dir, 22, 5).collect()))
+    s1 = sorted(
+        map(tuple, _km_ivf_auto_body(spark, sf_dir, 22, 5, stride=1).collect())
+    )
+    assert full == s1 and len(full) == 10
+
+
+def test_kmeans_sampled_agreement_with_full_train(spark, sf_dir):
+    """The sampled-train index must stay close to the full-train index at
+    fixture scale: measured overlap of the two top-10s is 7/10 at
+    sf0.001 (9/10 at sf0.01) — pinned here so a regression in the sample
+    rule (e.g. a stride that starves cells) fails loudly."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    Q, _ = registry()
+    a = {r.vec_id for r in Q["sim_ann_kmeans_ivf_topk_auto"](spark, sf_dir).collect()}
+    s = {
+        r.vec_id
+        for r in Q["sim_ann_kmeans_ivf_topk_auto_sampled"](spark, sf_dir).collect()
+    }
+    assert len(a) == len(s) == 10
+    assert len(a & s) >= 7

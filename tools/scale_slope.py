@@ -81,6 +81,10 @@ MIX = [
     # at sf0.1's 5k vectors, k=354/nprobe=19 at sf2.5's 125k)
     ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
     ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
+    # the sample-capped train twin (stride = n//(8k) derived from the same
+    # count): train cost O(8k^2) = O(n) instead of O(n*k) = O(n^1.5) —
+    # the slope delta vs q28 is the measured value of the sample cap
+    ("q30_kmeans_ivf_sampled", "sim_ann_kmeans_ivf_topk_auto_sampled"),
 ]
 
 _SCALED_BITS = {"small": 4, "big": 7}  # log2(10×) ≈ +3.3 bits
