@@ -466,3 +466,95 @@ def test_kmeans_sampled_agreement_with_full_train(spark, sf_dir):
     }
     assert len(a) == len(s) == 10
     assert len(a & s) >= 7
+
+
+# --- plan-shape contracts for the two round-12 keys --------------------------
+
+
+def test_lsh_auto_candidate_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The generalized b-band candidate join must plan as an equi-join on
+    (band_idx, hash) with the emit-once predicate riding as a residual —
+    a BroadcastNestedLoopJoin here would be the all-pairs scale bug the
+    banding exists to avoid."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs_auto,
+    )
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+
+    plan = formatted_plan(dedup_minhash_lsh_pairs_auto(spark, sf_dir, tau=0.7))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampled_ivf_plan_is_nested_loop_free_and_broadcasts_centroids(
+    spark, sf_dir
+):
+    """The sampled-train IVF's only joins are the broadcast-centroid
+    argmax and id equi-joins — nothing quadratic in n, no cartesian."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+
+    Q, _ = registry()
+    plan = formatted_plan(Q["sim_ann_kmeans_ivf_topk_auto_sampled"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the final argmax collapses map-side: a partial_max_by must appear
+    # before the exchange (the round-12 window->max_by rewrite)
+    assert "partial_max_by" in plan or "max_by" in plan
+
+
+# --- property tests: the derivation rules' invariants -------------------------
+
+
+def test_lsh_auto_bands_properties():
+    """Rule invariants over the whole tau domain: valid divisor split,
+    and monotone — a HIGHER threshold never derives MORE bands (more
+    bands = lower collision threshold = higher recall, only justified by
+    a lower tau)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        _lsh_auto_bands,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        tau=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        n=st.sampled_from([8, 16, 32, 64]),
+    )
+    def check(tau, n):
+        b, r = _lsh_auto_bands(tau, n)
+        assert b * r == n and b >= 1 and r >= 1
+        # monotonicity against a clearly-higher tau
+        hi = min(1.0, tau + 0.25)
+        b_hi, _ = _lsh_auto_bands(hi, n)
+        assert b_hi <= b
+
+    check()
+
+
+def test_km_auto_stride_properties():
+    """Stride invariants across the n domain: the sampled train always
+    retains >= the seeding k vectors (no starved quantizer) and at most
+    ~16k (the budget the factor-8 rule targets, x2 slack for rounding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _km_auto_k,
+        _km_auto_stride,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=50_000_000))
+    def check(n):
+        k = _km_auto_k(n)
+        s = _km_auto_stride(n, k)
+        assert s >= 1
+        retained = (n + s - 1) // s  # ceil(n/s): ids 0, s, 2s, ...
+        assert retained >= min(n, k), "sample must hold >= k train vectors"
+        if s > 1:
+            assert retained >= 4 * k, "sample must keep >=4 vectors/cell"
+            assert retained <= 16 * k + s, "sample must stay bounded"
+
+    check()
