@@ -558,3 +558,25 @@ def test_km_auto_stride_properties():
             assert retained <= 16 * k + s, "sample must stay bounded"
 
     check()
+
+
+def test_arrow_read_empty_segment(tmpdir):
+    """A zero-row segment (compacted-away topic tail) must yield a valid
+    empty RecordBatch, not an Arrow length error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    seg = f"{tmpdir}/part0.parquet"
+    pq.write_table(tbl, seg)
+    batch = _read_segment(seg)
+    assert batch.num_rows == 0
+    assert batch.schema.names == ["event_id", "value", "attrs", "publish_ts"]
