@@ -34,11 +34,13 @@ _MODULES = [
 # item 4 — its oracle is the generalized banded SQL frozen at the derived
 # 2x8 split and the law tests tie it to the driver-proven fixed key — and
 # the sample-capped IVF train, whose oracle unrolls the sampled Lloyd
-# chain at the derived k=22/nprobe=5/stride=2), then
-# clears the LAST rotation debt exactly as VERDICT r11 item 1 orders: the 4
-# keys whose only green is round 4 (deferred from r11's window), then all 44
-# keys whose newest green is round 5 — 2 + 4 + 44 = 50 slots, zero
-# already-fresh fillers. After this round no key's newest green predates r6.
+# chain at the derived k=22/nprobe=5/stride=2, and the tau=0.7 banding
+# point that driver-proves the generalized 4-band machinery), then
+# clears the rotation debt exactly as VERDICT r11 item 1 orders: the 4
+# keys whose only green is round 4 (deferred from r11's window), then 43
+# of the 44 keys whose newest green is round 5 — 3 + 4 + 43 = 50 slots,
+# zero already-fresh fillers. After this round no key's newest green
+# predates round 5, and only join_partition_pruned_dpp remains at r5.
 # Every remaining EXACT query follows in module order; oracle-less
 # (ROWS-class) queries always sort last so no graded slot is burned on a
 # `no_oracle` row.
@@ -46,6 +48,7 @@ _WINDOW = [
     # --- round-12 additions (never driver-graded) ---
     "dedup_minhash_lsh_pairs_auto",
     "sim_ann_kmeans_ivf_topk_auto_sampled",
+    "dedup_minhash_lsh_pairs_auto_t70",
     # --- the 4 r4-only keys (deferred from r11; VERDICT r11 item 1) ---
     "grouped_map_scale",
     "join_range_binned",
@@ -95,7 +98,10 @@ _WINDOW = [
     "topk_per_group_twolevel",
     "dedup_exact_hierarchical",
     "agg_bitmap_distinct",
-    "join_partition_pruned_dpp",
+    # join_partition_pruned_dpp (the 44th r5-newest key, COVERAGE order)
+    # yields its slot to the third round-12 key and leads round 13's
+    # queue — the same new-keys-first trade round 11 made with the 4
+    # r4-only keys.
 ]
 
 

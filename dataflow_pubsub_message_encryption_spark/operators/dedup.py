@@ -599,6 +599,35 @@ dedup_minhash_lsh_pairs_auto.__doc__ = dedup_minhash_lsh_pairs_auto.__doc__.form
 )
 
 
+_LSH_TAU_LOOSE = 0.7  # a second, looser dedup policy: the rule derives 4x4
+
+
+@query(
+    "dedup_minhash_lsh_pairs_auto_t70",
+    _lsh_pairs_banded_sql(*_lsh_auto_bands(_LSH_TAU_LOOSE), _LSH_TAU_LOOSE),
+)
+def dedup_minhash_lsh_pairs_auto_t70(spark, sf_dir):
+    """The threshold-derived LSH banding at a SECOND policy point,
+    tau=0.7 — where the (1/b)^(1/r) rule derives 4 bands x 4 rows
+    instead of the production 2x8. Registered as its own key so the
+    GENERALIZED nb-band machinery (`_lsh_candidates_n`'s
+    first-matching-band emit-once across 4 carried band columns, the
+    4-way banded-union oracle) is DRIVER-proven end to end, not only
+    law-tested: `dedup_minhash_lsh_pairs_auto` grades the derivation at
+    the 2-band point where it coincides with the fixed key, and this key
+    grades the code path that only exists beyond it. The looser tau is
+    the realistic near-dup policy for noisier corpora (more bands =
+    collision threshold 0.707 = higher recall at more candidates — the
+    S-curve trade the rule encodes).
+
+    Scale shape: identical to the auto key at any derived (b, r) — band
+    explode is b rows per doc (ids+hashes only), ONE equi-join, verify
+    on candidates only. The b band columns carried for emit-once cost
+    b x 32 bytes per exploded row, the price of a distinct-free
+    candidate set."""
+    return dedup_minhash_lsh_pairs_auto(spark, sf_dir, tau=_LSH_TAU_LOOSE)
+
+
 _SHINGLE_SQL = (
     "list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1), "
     "i -> concat(string_split(text,' ')[i], '_', string_split(text,' ')[i+1], "
