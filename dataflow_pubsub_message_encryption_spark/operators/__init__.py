@@ -45,63 +45,60 @@ _MODULES = [
 # (ROWS-class) queries always sort last so no graded slot is burned on a
 # `no_oracle` row.
 _WINDOW = [
-    # --- round-12 additions (never driver-graded) ---
-    "dedup_minhash_lsh_pairs_auto",
-    "sim_ann_kmeans_ivf_topk_auto_sampled",
-    "dedup_minhash_lsh_pairs_auto_t70",
-    # --- the 4 r4-only keys (deferred from r11; VERDICT r11 item 1) ---
-    "grouped_map_scale",
-    "join_range_binned",
-    "agg_hll_partitioned_union",
-    "agg_quantile_sketch_union",
-    # --- the full r5-newest cohort (44 keys, COVERAGE.md order) ---
-    "envelope_key_rotation",
-    "win_time_range_sum",
-    "agg_cube",
-    "profile_table_stats",
-    "join_asof_nearest",
-    "sql_recursive_date_spine",
-    "supplier_lead_time",
-    "events_hourly_seasonality",
-    "orders_priority_mix_shift",
-    "text_unigram_logprob",
-    "text_bpe_merges",
-    "text_repetition_stats",
-    "text_bpe_encode",
-    "text_feature_hash",
-    "text_langid_confusion",
-    "vocab_growth_curve",
-    "dedup_shingle_minhash_lsh",
-    "dedup_lsh_recall_eval",
-    "dedup_lsh_band_tuning",
-    "dedup_minhash_estimator_quality",
-    "sim_ann_kmeans_ivf_topk",
-    "sim_search_batch_topk",
-    "emb_pca_power_iteration",
-    "embedding_index_pipeline",
-    "multimodal_audio_energy",
-    "multimodal_payload_entropy",
-    "corpus_temperature_resample",
-    "corpus_training_manifest",
-    "corpus_source_mix",
-    "graph_triangle_count",
-    "dedup_cluster_summary",
-    "events_pattern_match",
-    "window_rolling_zscore",
-    "funnel_time_to_convert",
-    "orders_backlog_daily",
-    "audience_overlap_matrix",
-    "events_iat_stats",
-    "events_longest_streaks",
-    "join_bucketed_colocated",
-    "agg_incremental_merge",
-    "topk_per_group_twolevel",
-    "dedup_exact_hierarchical",
-    "agg_bitmap_distinct",
-    # join_partition_pruned_dpp (the 44th r5-newest key, COVERAGE order)
-    # yields its slot to the third round-12 key and leads round 13's
-    # queue — the same new-keys-first trade round 11 made with the 4
-    # r4-only keys.
+    # --- round-13 additions + changed implementations (re-grade) ---
+    "corpus_dsir_importance_topk",
+    "dedup_minhash_lsh_pairs_auto",  # sliced-prefix band join (r12 item 5)
+    "dedup_minhash_lsh_pairs_auto_t70",  # same rewrite at the 4x4 point
+    # --- the one r5-only key (deferred from r12; VERDICT r12 item 2) ---
+    "join_partition_pruned_dpp",
+    # --- the full r6-newest cohort (44 keys, COVERAGE.md order) ---
+    "orders_cohort_ltv_curve",
+    "customer_segment_migration",
+    "orders_gmv_daily_7dma",
+    "join_asof_tolerance",
+    "src_scan_csv_roundtrip",
+    "src_scan_jsonl_roundtrip",
+    "src_scan_orc_roundtrip",
+    "supplier_hhi_concentration",
+    "text_bigram_logprob",
+    "text_boilerplate_ngrams",
+    "text_entropy_char",
+    "tokenizer_fertility_by_lang",
+    "dedup_minhash_bbit",
+    "dedup_span_exact",
+    "sim_ann_recall_eval",
+    "sim_pq_adc_topk",
+    "emb_pca_project",
+    "emb_centroid_drift",
+    "emb_duplicate_vectors_exact",
+    "sim_radius_search",
+    "emb_truncation_fidelity",
+    "emb_covariance_isotropy",
+    "multimodal_shot_boundaries",
+    "split_temporal_holdout",
+    "corpus_source_quality_report",
+    "dq_rule_violations",
+    "decontam_span_max",
+    "corpus_budget_waterfill",
+    "join_point_in_time_scd2",
+    "corpus_dedup_priority_keep",
+    "graph_kcore_membership",
+    "graph_label_propagation",
+    "events_growth_accounting",
+    "events_bot_score_flags",
+    "basket_affinity_lift",
+    "events_rapid_repeat_pairs",
+    "events_top_paths",
+    "events_rolling_distinct_users",
+    "join_bloom_prefilter",
+    "customer_value_quartiles_scalable",
+    "rfm_segmentation_scalable",
+    "join_bloom_prefilter_fast",
+    "win_ntile_scalable",
+    "corpus_perplexity_buckets_scalable",
+    # --- head of the r7-newest cohort fills the remaining slots ---
+    "pipeline_end_to_end",
+    "win_ntile",
 ]
 
 

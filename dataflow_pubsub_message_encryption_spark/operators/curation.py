@@ -1663,3 +1663,112 @@ def corpus_filter_attrition_report(spark, sf_dir):
             F.expr("CAST(n_docs * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+_DSIR_TARGET_SRC = "src0"  # the "target domain" sample the selector aims at
+_DSIR_BUCKETS = 256  # hashed-feature space: first 2 hex chars of sha256(token)
+
+
+@query(
+    "corpus_dsir_importance_topk",
+    f"""
+    WITH bk AS (
+      SELECT doc_id, source, substr(sha256(t), 1, 2) AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+    ),
+    raw AS (SELECT b, count(*) AS nr FROM bk GROUP BY b),
+    tgt AS (SELECT b, count(*) AS nt FROM bk
+            WHERE source = '{_DSIR_TARGET_SRC}' GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bk) AS tr,
+                   (SELECT count(*) FROM bk
+                    WHERE source = '{_DSIR_TARGET_SRC}') AS tt),
+    lr AS (
+      SELECT raw.b,
+             ln((coalesce(nt, 0) + 1) / (tt + {_DSIR_BUCKETS}.0))
+               - ln((nr + 1) / (tr + {_DSIR_BUCKETS}.0)) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot
+    ),
+    db AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b),
+    w AS (
+      SELECT doc_id, round(sum(c * lr), 6) AS dsir_logweight
+      FROM db JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT w.doc_id, d.source, w.dsir_logweight
+    FROM w JOIN documents d ON w.doc_id = d.doc_id
+    ORDER BY w.dsir_logweight DESC, w.doc_id LIMIT 100
+    """,
+)
+def corpus_dsir_importance_topk(spark, sf_dir, target: str | None = None):
+    """DSIR-style data selection via importance resampling [P: Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023]: score every raw-corpus document by the log importance
+    ratio between a TARGET-domain unigram distribution (here the
+    ``{src}`` source, standing in for a curated high-quality sample) and
+    the RAW-corpus distribution, both estimated over a hashed feature
+    space — tokens bucketed to {nb} cells by the first 2 hex chars of
+    sha256 (the paper's hashed n-gram trick, which bounds the model size
+    regardless of vocabulary) with add-one smoothing. Documents whose
+    token mix looks most like the target float to the top; sampling
+    proportional to these weights is the paper's selection step, and the
+    ranked top-k here is its deterministic, oracle-checkable core.
+
+    Scale shape (100 TB): the only corpus-sized shuffle is the
+    (doc_id, bucket) count — ids + 2-char buckets, never text. Both
+    distribution estimates aggregate to <= {nb} rows and broadcast back,
+    so the per-doc scoring join is map-side; the final global top-k is a
+    TakeOrdered, not a full sort. Everything is one linear pass over the
+    token stream — the same budget as tokenizing the corpus at all —
+    and the hashed space keeps the importance model O(1) memory no
+    matter how large the vocabulary grows.
+
+    ``target`` widens/narrows the target-domain predicate for the law
+    tests (default {src!r}; ``"*"`` means target = the whole raw corpus,
+    under which P_target ≡ P_raw and every log-weight is EXACTLY 0.0 —
+    the self-consistency law tests/test_round13_ops.py pins)."""
+    if target is None:
+        target = _DSIR_TARGET_SRC
+    is_target = F.lit(True) if target == "*" else F.col("source") == target
+    docs = load(spark, sf_dir, "documents")
+    bk = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens("text")).alias("t"),
+    ).select(
+        "doc_id", "source", F.substring(F.sha2(F.col("t"), 256), 1, 2).alias("b")
+    )
+    raw = bk.groupBy("b").agg(F.count("*").alias("nr"))
+    tgt = bk.filter(is_target).groupBy("b").agg(F.count("*").alias("nt"))
+    tot = bk.agg(
+        F.count("*").alias("tr"),
+        F.count_if(is_target).alias("tt"),
+    )
+    nb = F.lit(float(_DSIR_BUCKETS))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("nt", F.lit(0)) + 1) / (F.col("tt") + nb))
+                - F.log((F.col("nr") + 1) / (F.col("tr") + nb))
+            ).alias("lr"),
+        )
+    )
+    db = bk.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_logweight"))
+    )
+    return (
+        w.join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("dsir_logweight"), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "dsir_logweight")
+    )
+
+
+corpus_dsir_importance_topk.__doc__ = corpus_dsir_importance_topk.__doc__.format(
+    src=_DSIR_TARGET_SRC, nb=_DSIR_BUCKETS
+)

@@ -2627,7 +2627,14 @@ def sim_ann_kmeans_ivf_topk_auto(spark, sf_dir, n_override: int = None):
 
     Scale shape: identical to `sim_ann_kmeans_ivf_topk` — per round one
     broadcast-centroid argmax + one (cell, pos)-keyed partial-agg
-    shuffle; plus the one extra corpus count (the two-pass idiom)."""
+    shuffle; plus the one extra corpus count (the two-pass idiom).
+
+    PRODUCTION BUILD: use `sim_ann_kmeans_ivf_topk_auto_sampled` — its
+    stride-sampled Lloyd train is O(n) where this full-corpus train is
+    O(n·k) = O(n^1.5) at k=√n (measured at 25×: exponent 0.46 vs 0.72,
+    11.96 s vs 25.89 s). This key stays registered as the contrast row
+    proving what the sample cap buys, the same convention the graph-ANN
+    family uses (`sim_ann_graph_topk_blocked` vs `_wide`/`_auto`)."""
     e = load(spark, sf_dir, "embeddings")
     n = n_override if n_override is not None else e.count()
     if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
@@ -2732,7 +2739,9 @@ def sim_ann_kmeans_ivf_topk_auto_sampled(spark, sf_dir, n_override: int = None):
     Scale shape: the train iterations shuffle only the ~8k-row sample;
     the one full-corpus stage per build is the final broadcast-centroid
     argmax (map-side `max_by` collapse, §17) — exactly the index-build
-    pass a 100 TB deployment pays anyway."""
+    pass a 100 TB deployment pays anyway. THIS is the production IVF
+    build; `sim_ann_kmeans_ivf_topk_auto` is kept as the full-train
+    contrast row (VERDICT r12 item 3)."""
     e = load(spark, sf_dir, "embeddings")
     n = n_override if n_override is not None else e.count()
     if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):

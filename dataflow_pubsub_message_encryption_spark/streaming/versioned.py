@@ -167,10 +167,17 @@ def recover(target_dir: str, *, force: bool = False) -> None:
     out of band. Pid recycling is disambiguated by the claim's recorded
     process start time (:func:`_pid_start`): a live pid whose start tick
     differs from the claim's is a recycled pid, i.e. the writer is dead
-    and the claim is swept. Only a claim lacking a start tick (legacy
-    claim, or /proc unreadable) falls back to pid-liveness alone and can
-    false-alarm into ``LiveClaim`` — it never false-sweeps a live claim
-    into silent corruption, which is the failure that matters."""
+    and the claim is swept — but only when the CURRENT start tick is
+    actually readable. A live pid whose ``/proc/<pid>/stat`` is
+    unreadable (hidepid mount, another user's process that
+    :func:`_pid_alive` confirms via EPERM) is inconclusive and
+    false-alarms into ``LiveClaim`` instead of being treated as recycled
+    (ADVICE r12 — ``None != start`` used to sweep exactly the live
+    claims this contract protects). Likewise a claim lacking a start
+    tick (legacy claim) falls back to pid-liveness alone. Both
+    directions can false-alarm into ``LiveClaim``; neither false-sweeps
+    a live claim into silent corruption, which is the failure that
+    matters."""
     claims = glob.glob(os.path.join(target_dir, _LOG, "v*.json.claim"))
     if not force:
         for p in claims:
@@ -182,8 +189,17 @@ def recover(target_dir: str, *, force: bool = False) -> None:
                 if not _pid_alive(pid):
                     continue  # verifiably dead: crash orphan
                 start = info.get("start")
-                if start is not None and _pid_start(pid) != start:
-                    continue  # pid recycled: the original writer is dead
+                if start is not None:
+                    cur = _pid_start(pid)
+                    if cur is not None and cur != start:
+                        continue  # pid recycled: the writer is dead
+                    if cur is None and not _pid_alive(pid):
+                        continue  # exited between the two checks: orphan
+                    # cur == start (the original writer, live), or the
+                    # start tick is unreadable for a still-live pid
+                    # (hidepid mount / EPERM stat): inconclusive — fall
+                    # through to LiveClaim rather than risk sweeping a
+                    # live writer's claim (ADVICE r12).
             raise LiveClaim(
                 f"claim {os.path.basename(p)} is held by pid {pid} on "
                 f"{host!r} which is not verifiably dead — recovery must "

@@ -1,0 +1,248 @@
+"""Round-13 tests (VERDICT r12 items 5/6 + ADVICE r12 items 1/3):
+the DSIR importance-resampling self-consistency law, the sliced-prefix
+band-join equivalence, recover()'s unreadable-start-tick conservatism
+(live claims are never false-swept), and the plan audit's tree-header
+consumer resolution (left-subtree-terminal exchanges)."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import sys
+
+import pytest
+
+from tests.test_round11_ops import _dead_pid
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+
+# --- DSIR importance resampling ----------------------------------------------
+
+
+def test_dsir_identity_target_is_zero(spark, sf_dir):
+    """With target = the whole raw corpus, P_target ≡ P_raw bucket for
+    bucket, so every document's log importance weight is EXACTLY 0.0 —
+    not approximately: each bucket's term is ln(x) - ln(x) on identical
+    doubles. Pins the estimator's self-consistency independent of the
+    frozen-oracle path."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        corpus_dsir_importance_topk,
+    )
+
+    rows = corpus_dsir_importance_topk(spark, sf_dir, target="*").collect()
+    assert len(rows) == 100
+    assert all(r.dsir_logweight == 0.0 for r in rows)
+    # identical weights -> the deterministic tie-break is doc_id order
+    assert [r.doc_id for r in rows] == sorted(r.doc_id for r in rows)
+
+
+def test_dsir_topk_shape(spark, sf_dir):
+    """Ranked output: weights non-increasing, doc_id breaks ties, no
+    duplicate docs, and the weight column is the round-6 canonical form."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        corpus_dsir_importance_topk,
+    )
+
+    rows = corpus_dsir_importance_topk(spark, sf_dir).collect()
+    assert len(rows) == 100
+    assert len({r.doc_id for r in rows}) == 100
+    ws = [r.dsir_logweight for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        if a.dsir_logweight == b.dsir_logweight:
+            assert a.doc_id < b.doc_id
+    assert all(round(w, 6) == w for w in ws)
+
+
+# --- sliced-prefix band join (VERDICT r12 item 5) -----------------------------
+
+
+def test_lsh_auto_still_matches_fixed_key(spark, sf_dir):
+    """The carried-width trim may not change a single emitted pair: at
+    tau=0.9 the derived 2x8 banding must still reproduce the fixed
+    production key bit for bit (the law VERDICT r12 item 5 requires to
+    keep holding)."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+        dedup_minhash_lsh_pairs_auto,
+    )
+
+    fixed = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in dedup_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    auto = {
+        (r.doc_a, r.doc_b, r.jac)
+        for r in dedup_minhash_lsh_pairs_auto(spark, sf_dir).collect()
+    }
+    assert fixed == auto and fixed
+
+
+def test_lsh_candidates_emit_once_no_duplicates(spark, sf_dir):
+    """The generalized 4-band join's candidate set must stay disjoint by
+    construction after the prefix-slice rewrite: no (doc_a, doc_b) pair
+    may be emitted by two bands."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs_auto,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_pairs_auto(spark, sf_dir, tau=0.7).collect()
+    ]
+    assert len(pairs) == len(set(pairs)) and pairs
+
+
+# --- recover(): unreadable start tick never false-sweeps (ADVICE r12) --------
+
+
+def _claim_dir(tmp_path, pid: int, start):
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, versioned._LOG), exist_ok=True)
+    claim = os.path.join(d, versioned._LOG, "v0.json.claim")
+    info = {"pid": pid, "host": socket.gethostname()}
+    if start is not None:
+        info["start"] = start
+    with open(claim, "w") as fh:
+        json.dump(info, fh)
+    return d, claim
+
+
+def test_recover_unreadable_start_tick_raises_liveclaim(tmp_path, monkeypatch):
+    """A LIVE pid whose /proc/<pid>/stat is unreadable (hidepid mount,
+    EPERM on another user's process) is INCONCLUSIVE: recover() must
+    raise LiveClaim, not treat `None != start` as a recycled pid and
+    sweep a possibly-live writer's claim (ADVICE r12 item 1)."""
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned
+
+    d, claim = _claim_dir(tmp_path, os.getpid(), start=12345)
+    monkeypatch.setattr(versioned, "_pid_start", lambda pid: None)
+    with pytest.raises(versioned.LiveClaim):
+        versioned.recover(d)
+    assert os.path.exists(claim)  # nothing was touched
+
+
+def test_recover_exit_between_checks_sweeps(tmp_path, monkeypatch):
+    """If the writer exits BETWEEN the liveness probe and the start-tick
+    read (alive -> stat unreadable -> re-probe dead), the claim is a
+    crash orphan and is swept without force."""
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned
+
+    d, claim = _claim_dir(tmp_path, os.getpid(), start=12345)
+    alive_answers = iter([True, False])
+    monkeypatch.setattr(versioned, "_pid_alive", lambda pid: next(alive_answers))
+    monkeypatch.setattr(versioned, "_pid_start", lambda pid: None)
+    versioned.recover(d)
+    assert not os.path.exists(claim)
+
+
+def test_recover_recycled_pid_still_sweeps(tmp_path):
+    """The r11 behavior the fix must preserve: a dead pid's claim (or a
+    live recycled pid whose READABLE start tick mismatches) is swept."""
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned
+
+    d, claim = _claim_dir(tmp_path, _dead_pid(), start=12345)
+    versioned.recover(d)
+    assert not os.path.exists(claim)
+
+    d2, claim2 = _claim_dir(tmp_path, os.getpid(), start=-1)  # impossible tick
+    versioned.recover(d2)  # readable current tick != -1 -> recycled -> sweep
+    assert not os.path.exists(claim2)
+
+
+def test_recover_matching_start_tick_raises(tmp_path):
+    """A live pid whose readable start tick MATCHES the claim is the
+    original writer — LiveClaim, before any state is touched."""
+    from dataflow_pubsub_message_encryption_spark.streaming import versioned
+
+    me = os.getpid()
+    d, claim = _claim_dir(tmp_path, me, start=versioned._pid_start(me))
+    with pytest.raises(versioned.LiveClaim):
+        versioned.recover(d)
+    assert os.path.exists(claim)
+
+
+# --- plan audit: consumer by tree header (ADVICE r12 item 3) ------------------
+
+_LEFT_TERMINAL_PLAN = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- BroadcastNestedLoopJoin Inner (8)
+   :- HashAggregate (4)
+   :  +- Exchange (3)
+   :     +- HashAggregate (2)
+   :        +- Scan parquet  (1)
+   +- BroadcastExchange (7)
+      +- Project (6)
+         +- Scan parquet  (5)
+
+
+(1) Scan parquet
+Output [1]: [x#1]
+
+(2) HashAggregate
+Keys: []
+Functions [1]: [partial_count(1)]
+
+(3) Exchange
+Input [1]: [count#10L]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]
+
+(5) Scan parquet
+Output [1]: [y#2]
+
+(6) Project
+Output [1]: [y#2]
+
+(7) BroadcastExchange
+Input [1]: [y#2]
+
+(4) HashAggregate
+Keys: []
+Functions [1]: [count(1)]
+
+(8) BroadcastNestedLoopJoin
+Join condition: None
+
+(9) AdaptiveSparkPlan
+Arguments: isFinalPlan=false
+"""
+
+
+def test_audit_left_subtree_terminal_exchange():
+    """When a SinglePartition Exchange ends a join's left subtree, the
+    NEXT detail block is the right subtree's leaf — positional adjacency
+    would flag a benign keyless-agg merge as NEEDS REVIEW (ADVICE r12
+    item 3). The tree-header parent map must resolve the true consumer."""
+    from explain_all import _parent_map, audit_single_partition
+
+    parents = _parent_map(_LEFT_TERMINAL_PLAN)
+    assert parents[3] == 4  # Exchange -> its aggregate, not block order
+    assert parents[7] == 8 and parents[4] == 8
+    total, benign, review = audit_single_partition(_LEFT_TERMINAL_PLAN)
+    assert (total, benign, review) == (1, 1, [])
+
+
+def test_parent_map_ignores_detail_noise():
+    """Detail-block lines (colon-bearing attributes, bracketed lists)
+    must not register as tree nodes even when they end in (N)."""
+    from explain_all import _parent_map
+
+    plan = """== Physical Plan ==
+HashAggregate (2)
++- Scan parquet  (1)
+
+
+(1) Scan parquet
+Location: InMemoryFileIndex [file:/tmp/x (1)]
+Arguments: stuff (2)
+
+(2) HashAggregate
+Keys: []
+"""
+    assert _parent_map(plan) == {1: 2}

@@ -31,19 +31,35 @@ def audit_single_partition(plan: str) -> tuple[int, int, list[str]]:
     that the old audit printed only a boolean-ish claim ("zero
     single-partition exchanges") while PLANS.md carried 10 such nodes —
     all benign on manual inspection, but the wording overclaimed. This
-    prints both numbers so it can't."""
-    # formatted explain lists node-detail blocks in consumer order: the
-    # block immediately after an Exchange is the operator consuming it
+    prints both numbers so it can't.
+
+    The consumer is resolved by node id from the plan's tree-art header,
+    not by positional adjacency of the detail blocks: when an Exchange
+    is the last node of a join's left subtree, the next detail block is
+    the right subtree's leaf, and positional adjacency would misreport a
+    benign keyless-aggregate merge on that branch as NEEDS REVIEW
+    (ADVICE r12)."""
+    parents = _parent_map(plan)
     blocks = re.split(r"\n\n+", plan)
+    by_id: dict[int, str] = {}
+    for b in blocks:
+        m = re.match(r"^\((\d+)\) ", b)
+        if m:
+            by_id[int(m.group(1))] = b
     total = benign = 0
     review: list[str] = []
     for i, b in enumerate(blocks):
-        if not re.search(r"^\(\d+\) Exchange", b, re.M):
+        m = re.search(r"^\((\d+)\) Exchange", b, re.M)
+        if not m:
             continue
         if "Arguments: SinglePartition" not in b:
             continue
         total += 1
-        nxt = blocks[i + 1] if i + 1 < len(blocks) else ""
+        pid = parents.get(int(m.group(1)))
+        if pid is not None and pid in by_id:
+            nxt = by_id[pid]
+        else:  # tree header unparsable: fall back to adjacency
+            nxt = blocks[i + 1] if i + 1 < len(blocks) else ""
         head = nxt.splitlines()[0] if nxt else "<none>"
         if any(a in head for a in _AGG_NODES) and re.search(
             r"^Keys: \[\]", nxt, re.M
@@ -52,6 +68,27 @@ def audit_single_partition(plan: str) -> tuple[int, int, list[str]]:
         else:
             review.append(head.strip())
     return total, benign, review
+
+
+def _parent_map(plan: str) -> dict[int, int]:
+    """``node id -> consumer (parent) node id``, parsed from the
+    tree-art header(s) of a formatted explain. A node's parent is the
+    nearest preceding tree line drawn at a shallower indent; every
+    tree's root sits at indent 0, so a new section (main plan, each
+    subquery) naturally clears the stack."""
+    parents: dict[int, int] = {}
+    stack: list[tuple[int, int]] = []  # (indent, node id)
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+\-]*)(?:\* )?[A-Za-z][\w .\-]*\((\d+)\)\s*$", line)
+        if m is None:
+            continue
+        depth, nid = len(m.group(1)), int(m.group(2))
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            parents[nid] = stack[-1][1]
+        stack.append((depth, nid))
+    return parents
 
 
 def main() -> None:

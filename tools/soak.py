@@ -117,10 +117,20 @@ def _paced_soak(segments: int, k: int) -> None:
         total = sum(p["numInputRows"] for p in q.recentProgress)
         batches = sum(1 for p in q.recentProgress if p["numInputRows"])
         expected = segments * json.load(open(marker))["rows_each"]
-        if total != expected:
+        if total < expected:
             raise RuntimeError(
                 f"drain undercount: recentProgress totalled {total} rows, "
                 f"staged backlog holds {expected} — progress buffer too small?"
+            )
+        if total > expected:
+            # A retried/replayed micro-batch can land twice in
+            # recentProgress — legitimate at-least-once accounting, not
+            # the buffer-truncation failure this check targets (ADVICE
+            # r12): log and keep going.
+            print(
+                f"note: recentProgress overcounted ({total} > {expected}); "
+                "a micro-batch was likely retried — continuing",
+                file=sys.stderr,
             )
         q.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
