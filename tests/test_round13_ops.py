@@ -246,3 +246,117 @@ Arguments: stuff (2)
 Keys: []
 """
     assert _parent_map(plan) == {1: 2}
+
+
+# --- VERDICT r12 item 6: crash-during-write on the segment files themselves --
+
+_WRITE_POINTS = [
+    "aside_torn",            # producer died mid-write of a '.w' aside
+    "torn_segment_repaired", # producer violated the atomic-stage protocol
+    "zero_row_segment",      # producer committed a valid but empty segment
+]
+
+
+@pytest.mark.parametrize("point", _WRITE_POINTS)
+def test_segment_write_crash_matrix_converges(spark, sf_dir, tmpdir, point):
+    """The r12 matrix drilled the CHECKPOINT-side crash states; this
+    drills the SEGMENT files themselves (VERDICT r12 item 6). A torn
+    '.w' aside (the atomic-stage protocol working as designed) must be
+    invisible to the plan; a torn file under the real '*.parquet' name
+    (protocol violated) must fail LOUDLY naming the segment and then
+    converge with no dup/skip once the bytes are restored and the
+    checkpointed batch replays; a valid zero-row segment mid-plan must
+    drain through (its batch journaled, not skipped)."""
+    import pyarrow.parquet as pq
+
+    from tests.test_round10_ops import _offsets_entries, _register
+    from tests.test_streaming_r9 import _stage_split
+
+    _register(spark)
+    src = f"{tmpdir}/src"
+    _stage_split(sf_dir, src, 6)
+    ckpt, out = f"{tmpdir}/ckpt", f"{tmpdir}/out"
+
+    from dataflow_pubsub_message_encryption_spark.sources import load_events
+
+    n = load_events(spark, sf_dir).count()
+    plan_len = 6
+
+    good = pq.read_table(f"{src}/part0.parquet")
+    if point == "aside_torn":
+        # mid-write crash under the protocol: garbage bytes, '.w' name
+        with open(f"{src}/part6.parquet.w", "wb") as fh:
+            fh.write(b"PAR1 torn mid-write, no footer")
+    elif point == "torn_segment_repaired":
+        # protocol violation: valid bytes truncated under the real name
+        pq.write_table(good, f"{src}/part6.parquet")
+        size = os.path.getsize(f"{src}/part6.parquet")
+        with open(f"{src}/part6.parquet", "r+b") as fh:
+            fh.truncate(size // 2)
+        n += good.num_rows  # repaired later; its rows must arrive once
+        plan_len = 7
+    elif point == "zero_row_segment":
+        # valid parquet, zero rows, sorted mid-plan (between part2/part3)
+        pq.write_table(good.slice(0, 0), f"{src}/part2z.parquet")
+        plan_len = 7
+
+    def run_once():
+        stream = (
+            spark.readStream.format("pubsub_replay")
+            .option("path", src)
+            .option("max_segments_per_batch", "2")
+            .option("progress_path", f"{ckpt}/pubsub_progress.json")
+            .load()
+        )
+        q = (
+            stream.selectExpr("event_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    counts, failures = [], 0
+    for _ in range(8):
+        try:
+            counts.append(run_once())
+        except Exception as e:
+            failures += 1
+            assert point == "torn_segment_repaired", f"{point}: {e}"
+            assert "unreadable" in str(e) and "part6.parquet" in str(e)
+            # producer repairs via the documented protocol: full bytes
+            # to the '.w' aside, then an atomic replace into place
+            pq.write_table(good, f"{src}/part6.parquet.w")
+            os.replace(f"{src}/part6.parquet.w", f"{src}/part6.parquet")
+        if counts and counts[-1] == n:
+            break
+    if point == "torn_segment_repaired":
+        assert failures >= 1, "the torn segment must fail the query loudly"
+    else:
+        assert failures == 0, f"{point}: no run may fail"
+
+    counts.append(run_once())  # parked: one more run must not change it
+    assert counts == sorted(counts), f"{point}: drain must be monotone"
+    assert counts[-2] == counts[-1] == n, f"{point}: got {counts}"
+
+    ids = [r.event_id for r in spark.read.parquet(out).collect()]
+    if point == "torn_segment_repaired":
+        # part6 is a byte-copy of part0: ITS ids arrive exactly twice
+        # (both planned deliveries), every other segment's exactly once
+        from collections import Counter
+
+        freq = Counter(ids)
+        dup_ids = set(good["event_id"].to_pylist())
+        assert all(freq[i] == 2 for i in dup_ids)
+        assert all(c == 1 for i, c in freq.items() if i not in dup_ids)
+        assert len(ids) == n
+    else:
+        assert len(set(ids)) == len(ids) == n, f"{point}: duplicates or skips"
+
+    ends = _offsets_entries(ckpt)
+    assert ends == sorted(set(ends)), f"{point}: offset log regressed"
+    assert ends[-1] == plan_len  # zero-row/torn batches journal, not skip

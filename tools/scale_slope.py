@@ -74,6 +74,14 @@ MIX = [
     ("q23_suffix_array_span", "dedup_span_suffix_array"),
     ("q24_winnowing_fingerprints", "dedup_winnowing_fingerprints"),
     ("q25_cdc_chunking", "multimodal_cdc_chunk_savings"),
+    # round 13 (VERDICT r12 item 1): the last heavies without a 25x
+    # point — BPE merge training (fixed merge count over a corpus-wide
+    # pair census), the composed IVF-PQ serving index (fixed k/M — watch
+    # for the fixed-parameter superlinearity the 4-bit graph build had),
+    # and the 5-fold held-out bigram perplexity DAG
+    ("q13_bpe_train", "text_bpe_merges"),
+    ("q21_ivf_pq_topk", "sim_ivf_pq_topk"),
+    ("q22_heldout_perplexity", "text_heldout_perplexity"),
     # round 12 (VERDICT r11 item 2): the non-ANN heavy families whose only
     # slope points were <=10x — weighted-jaccard pairing and the
     # auto-sized Lloyd train (which derives k=round(sqrt(n)) from a live
