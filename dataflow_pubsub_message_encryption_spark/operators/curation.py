@@ -1668,11 +1668,10 @@ def corpus_filter_attrition_report(spark, sf_dir):
 _DSIR_TARGET_SRC = "src0"  # the "target domain" sample the selector aims at
 _DSIR_BUCKETS = 256  # hashed-feature space: first 2 hex chars of sha256(token)
 
-
-@query(
-    "corpus_dsir_importance_topk",
-    f"""
-    WITH bk AS (
+# shared oracle CTE chain: per-doc DSIR log importance weight + source
+# (wsrc is the hand-off both DSIR oracles read from)
+_DSIR_WEIGHTS_SQL = f"""
+    bk AS (
       SELECT doc_id, source, substr(sha256(t), 1, 2) AS b
       FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
             FROM documents)
@@ -1693,41 +1692,19 @@ _DSIR_BUCKETS = 256  # hashed-feature space: first 2 hex chars of sha256(token)
     w AS (
       SELECT doc_id, round(sum(c * lr), 6) AS dsir_logweight
       FROM db JOIN lr USING (b) GROUP BY doc_id
-    )
-    SELECT w.doc_id, d.source, w.dsir_logweight
-    FROM w JOIN documents d ON w.doc_id = d.doc_id
-    ORDER BY w.dsir_logweight DESC, w.doc_id LIMIT 100
-    """,
-)
-def corpus_dsir_importance_topk(spark, sf_dir, target: str | None = None):
-    """DSIR-style data selection via importance resampling [P: Xie et al.,
-    "Data Selection for Language Models via Importance Resampling",
-    NeurIPS 2023]: score every raw-corpus document by the log importance
-    ratio between a TARGET-domain unigram distribution (here the
-    ``{src}`` source, standing in for a curated high-quality sample) and
-    the RAW-corpus distribution, both estimated over a hashed feature
-    space — tokens bucketed to {nb} cells by the first 2 hex chars of
-    sha256 (the paper's hashed n-gram trick, which bounds the model size
-    regardless of vocabulary) with add-one smoothing. Documents whose
-    token mix looks most like the target float to the top; sampling
-    proportional to these weights is the paper's selection step, and the
-    ranked top-k here is its deterministic, oracle-checkable core.
+    ),
+    wsrc AS (
+      SELECT w.doc_id, d.source, w.dsir_logweight
+      FROM w JOIN documents d ON w.doc_id = d.doc_id
+    )"""
 
-    Scale shape (100 TB): the only corpus-sized shuffle is the
-    (doc_id, bucket) count — ids + 2-char buckets, never text. Both
-    distribution estimates aggregate to <= {nb} rows and broadcast back,
-    so the per-doc scoring join is map-side; the final global top-k is a
-    TakeOrdered, not a full sort. Everything is one linear pass over the
-    token stream — the same budget as tokenizing the corpus at all —
-    and the hashed space keeps the importance model O(1) memory no
-    matter how large the vocabulary grows.
 
-    ``target`` widens/narrows the target-domain predicate for the law
-    tests (default {src!r}; ``"*"`` means target = the whole raw corpus,
-    under which P_target ≡ P_raw and every log-weight is EXACTLY 0.0 —
-    the self-consistency law tests/test_round13_ops.py pins)."""
-    if target is None:
-        target = _DSIR_TARGET_SRC
+def _dsir_weights(spark, sf_dir, target: str):
+    """Per-document DSIR log importance weight (doc_id, source,
+    dsir_logweight) — the shared body of the two DSIR keys; see
+    :func:`corpus_dsir_importance_topk` for the estimator and its scale
+    shape. ``target == "*"`` widens the target to the whole corpus (the
+    law-test identity point)."""
     is_target = F.lit(True) if target == "*" else F.col("source") == target
     docs = load(spark, sf_dir, "documents")
     bk = docs.select(
@@ -1761,8 +1738,50 @@ def corpus_dsir_importance_topk(spark, sf_dir, target: str | None = None):
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("dsir_logweight"))
     )
+    return w.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source", "dsir_logweight"
+    )
+
+
+@query(
+    "corpus_dsir_importance_topk",
+    f"""
+    WITH {_DSIR_WEIGHTS_SQL}
+    SELECT doc_id, source, dsir_logweight FROM wsrc
+    ORDER BY dsir_logweight DESC, doc_id LIMIT 100
+    """,
+)
+def corpus_dsir_importance_topk(spark, sf_dir, target: str | None = None):
+    """DSIR-style data selection via importance resampling [P: Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023]: score every raw-corpus document by the log importance
+    ratio between a TARGET-domain unigram distribution (here the
+    ``{src}`` source, standing in for a curated high-quality sample) and
+    the RAW-corpus distribution, both estimated over a hashed feature
+    space — tokens bucketed to {nb} cells by the first 2 hex chars of
+    sha256 (the paper's hashed n-gram trick, which bounds the model size
+    regardless of vocabulary) with add-one smoothing. Documents whose
+    token mix looks most like the target float to the top; sampling
+    proportional to these weights is the paper's selection step, and the
+    ranked top-k here is its deterministic, oracle-checkable core.
+
+    Scale shape (100 TB): the only corpus-sized shuffle is the
+    (doc_id, bucket) count — ids + 2-char buckets, never text. Both
+    distribution estimates aggregate to <= {nb} rows and broadcast back,
+    so the per-doc scoring join is map-side; the final global top-k is a
+    TakeOrdered, not a full sort. Everything is one linear pass over the
+    token stream — the same budget as tokenizing the corpus at all —
+    and the hashed space keeps the importance model O(1) memory no
+    matter how large the vocabulary grows.
+
+    ``target`` widens/narrows the target-domain predicate for the law
+    tests (default {src!r}; ``"*"`` means target = the whole raw corpus,
+    under which P_target ≡ P_raw and every log-weight is EXACTLY 0.0 —
+    the self-consistency law tests/test_round13_ops.py pins)."""
+    if target is None:
+        target = _DSIR_TARGET_SRC
     return (
-        w.join(docs.select("doc_id", "source"), "doc_id")
+        _dsir_weights(spark, sf_dir, target)
         .orderBy(F.desc("dsir_logweight"), "doc_id")
         .limit(100)
         .select("doc_id", "source", "dsir_logweight")
@@ -1772,3 +1791,97 @@ def corpus_dsir_importance_topk(spark, sf_dir, target: str | None = None):
 corpus_dsir_importance_topk.__doc__ = corpus_dsir_importance_topk.__doc__.format(
     src=_DSIR_TARGET_SRC, nb=_DSIR_BUCKETS
 )
+
+
+@query(
+    "corpus_dsir_resample_mix_shift",
+    f"""
+    WITH {_DSIR_WEIGHTS_SQL},
+    wint AS (
+      SELECT doc_id, source,
+             CAST(round(dsir_logweight * 1000000) AS BIGINT) AS wi
+      FROM wsrc
+    ),
+    thr AS (SELECT count(*) AS na, sum(wi) AS s FROM wint),
+    sel AS (SELECT source FROM wint, thr WHERE wi * na > s),
+    n_sel AS (SELECT count(*) AS ns FROM sel),
+    base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    selc AS (SELECT source, count(*) AS n_selected FROM sel GROUP BY source)
+    SELECT b.source,
+           b.n_docs,
+           CAST(coalesce(sc.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(b.n_docs * 1000000 // na AS BIGINT) AS share_before_ppm,
+           CAST(CASE WHEN ns = 0 THEN 0
+                ELSE coalesce(sc.n_selected, 0) * 1000000 // ns END AS BIGINT)
+             AS share_after_ppm,
+           CAST(coalesce(sc.n_selected, 0) * 1000000 // b.n_docs AS BIGINT)
+             AS keep_rate_ppm
+    FROM base b LEFT JOIN selc sc ON b.source = sc.source, thr, n_sel
+    ORDER BY b.source
+    """,
+)
+def corpus_dsir_resample_mix_shift(spark, sf_dir):
+    """The DSIR selection ACTION and its audit in one DAG: keep every
+    document whose log importance weight is STRICTLY ABOVE the corpus
+    mean (the centered acceptance rule — the raw-corpus expectation of
+    the log ratio is -KL(raw||target) < 0, so a fixed zero cut
+    degenerates to near-empty on any corpus whose sources are close;
+    above-mean selects the target-leaning half at every scale), then
+    report the per-source mix shift: corpus share before vs among the
+    survivors, plus each source's keep rate. This is the table a corpus
+    team reads after importance selection — did the selector tilt the
+    mix toward the target domain, and at what attrition per source
+    ([P: Xie et al., NeurIPS 2023] §5 reports exactly this
+    selected-composition audit).
+
+    The acceptance boundary is computed in EXACT integer arithmetic:
+    weights are round-6 canonical, so `wi = round(w * 1e6)` is a lossless
+    micro-unit integer and the above-mean test `wi * n > sum(wi)` is an
+    integer comparison — order-insensitive and bit-identical in Spark
+    and DuckDB, where a floating mean would make the boundary depend on
+    summation order. All output columns are integers (counts and
+    DIV-ppm shares): zero float-sum sensitivity end to end.
+
+    Scale shape (100 TB): the threshold form is deliberately chosen over
+    a top-fraction cut — above-mean is a narrow map over the weights
+    table against one broadcast 2-scalar aggregate (no global sort, no
+    single-partition TakeOrdered of half the corpus), so the whole DAG
+    inherits `corpus_dsir_importance_topk`'s linear budget: one
+    (doc_id, bucket) shuffle, broadcast distribution tables, then two
+    source-keyed counts whose partial aggs collapse map-side."""
+    w = _dsir_weights(spark, sf_dir, _DSIR_TARGET_SRC)
+    docs = load(spark, sf_dir, "documents")
+    wint = w.select(
+        "source",
+        F.round(F.col("dsir_logweight") * 1000000, 0).cast("long").alias("wi"),
+    )
+    thr = wint.agg(F.count("*").alias("na"), F.sum("wi").alias("s"))
+    sel = (
+        wint.crossJoin(F.broadcast(thr))
+        .filter(F.col("wi") * F.col("na") > F.col("s"))
+        .select("source")
+    )
+    n_sel = sel.agg(F.count("*").alias("ns"))
+    base = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    selc = sel.groupBy("source").agg(F.count("*").alias("n_selected"))
+    return (
+        base.join(selc, "source", "left")
+        .crossJoin(F.broadcast(thr.select("na")))
+        .crossJoin(F.broadcast(n_sel))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.expr("CAST(n_docs * 1000000 DIV na AS BIGINT)").alias(
+                "share_before_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN ns = 0 THEN 0 "
+                "ELSE coalesce(n_selected, 0) * 1000000 DIV ns END AS BIGINT)"
+            ).alias("share_after_ppm"),
+            F.expr(
+                "CAST(coalesce(n_selected, 0) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("keep_rate_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -360,3 +360,41 @@ def test_segment_write_crash_matrix_converges(spark, sf_dir, tmpdir, point):
     ends = _offsets_entries(ckpt)
     assert ends == sorted(set(ends)), f"{point}: offset log regressed"
     assert ends[-1] == plan_len  # zero-row/torn batches journal, not skip
+
+
+# --- DSIR selection: the above-mean acceptance rule ---------------------------
+
+
+def test_dsir_mix_shift_consistency(spark, sf_dir):
+    """The mix-shift report must agree with an independent recompute of
+    the acceptance rule from the shared weights builder: survivors are
+    exactly the docs whose micro-unit integer weight strictly exceeds
+    the corpus mean (wi * n > sum(wi)), per source; the shares are
+    integer-DIV ppm of structurally consistent denominators."""
+    from dataflow_pubsub_message_encryption_spark.operators.curation import (
+        _DSIR_TARGET_SRC,
+        _dsir_weights,
+        corpus_dsir_resample_mix_shift,
+    )
+
+    rows = corpus_dsir_resample_mix_shift(spark, sf_dir).collect()
+    w = _dsir_weights(spark, sf_dir, _DSIR_TARGET_SRC).collect()
+
+    wi = {r.doc_id: round(r.dsir_logweight * 1_000_000) for r in w}
+    n, s = len(wi), sum(wi.values())
+    sel_by_src: dict[str, int] = {}
+    for r in w:
+        if wi[r.doc_id] * n > s:
+            sel_by_src[r.source] = sel_by_src.get(r.source, 0) + 1
+
+    assert sum(r.n_docs for r in rows) == n
+    ns = sum(r.n_selected for r in rows)
+    assert ns == sum(sel_by_src.values()) and 0 < ns < n
+    for r in rows:
+        assert r.n_selected == sel_by_src.get(r.source, 0)
+        assert r.share_before_ppm == r.n_docs * 1_000_000 // n
+        assert r.share_after_ppm == r.n_selected * 1_000_000 // ns
+        assert r.keep_rate_ppm == r.n_selected * 1_000_000 // r.n_docs
+    # the selector must tilt the mix TOWARD the target source
+    tgt = next(r for r in rows if r.source == _DSIR_TARGET_SRC)
+    assert tgt.share_after_ppm >= tgt.share_before_ppm
