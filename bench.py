@@ -116,6 +116,12 @@ HEADLINE = [
     # saving (s = n//(8k): 5 at sf0.1's 2000 vectors) at the same
     # full-corpus final assignment.
     ("q30_kmeans_ivf_sampled", "sim_ann_kmeans_ivf_topk_auto_sampled"),
+    # round-13 mix extension: the DSIR importance-selection composite
+    # (weights -> integer above-mean acceptance -> per-source mix-shift
+    # audit) made perf-visible (legacy subtotals stay comparable —
+    # additions only). One (doc_id, bucket) shuffle + broadcast
+    # distribution tables price the whole selection pass.
+    ("q31_dsir_mix_shift", "corpus_dsir_resample_mix_shift"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

@@ -82,6 +82,10 @@ MIX = [
     ("q13_bpe_train", "text_bpe_merges"),
     ("q21_ivf_pq_topk", "sim_ivf_pq_topk"),
     ("q22_heldout_perplexity", "text_heldout_perplexity"),
+    # the round-13 DSIR selection composite: claimed linear (one
+    # (doc_id, bucket) shuffle + broadcast distribution tables) — measured
+    # rather than asserted
+    ("q31_dsir_mix_shift", "corpus_dsir_resample_mix_shift"),
     # round 12 (VERDICT r11 item 2): the non-ANN heavy families whose only
     # slope points were <=10x — weighted-jaccard pairing and the
     # auto-sized Lloyd train (which derives k=round(sqrt(n)) from a live
