@@ -122,6 +122,12 @@ HEADLINE = [
     # additions only). One (doc_id, bucket) shuffle + broadcast
     # distribution tables price the whole selection pass.
     ("q31_dsir_mix_shift", "corpus_dsir_resample_mix_shift"),
+    # ...and the auto-width embedding-LSH beside the fixed-width q11 it
+    # derives from: the round-13 25x census measured q11's fixed 4-bit
+    # prefix at exponent 1.60 (the pairs-per-bucket blowup); the auto
+    # twin reads 0.31 at the same span. In-mix delta vs q11 prices the
+    # derivation's count() pass at fixture scale, where both run 4 bits.
+    ("q32_embedding_lsh_auto", "dedup_embedding_lsh_auto"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

@@ -48,6 +48,7 @@ _WINDOW = [
     # --- round-13 additions + changed implementations (re-grade) ---
     "corpus_dsir_importance_topk",
     "corpus_dsir_resample_mix_shift",
+    "dedup_embedding_lsh_auto",  # the slope-census finding's fix (q11 1.60)
     "dedup_minhash_lsh_pairs_auto",  # sliced-prefix band join (r12 item 5)
     "dedup_minhash_lsh_pairs_auto_t70",  # same rewrite at the 4x4 point
     # --- the one r5-only key (deferred from r12; VERDICT r12 item 2) ---
@@ -97,8 +98,6 @@ _WINDOW = [
     "join_bloom_prefilter_fast",
     "win_ntile_scalable",
     "corpus_perplexity_buckets_scalable",
-    # --- head of the r7-newest cohort fills the last slot ---
-    "pipeline_end_to_end",
 ]
 
 

@@ -398,3 +398,53 @@ def test_dsir_mix_shift_consistency(spark, sf_dir):
     # the selector must tilt the mix TOWARD the target source
     tgt = next(r for r in rows if r.source == _DSIR_TARGET_SRC)
     assert tgt.share_after_ppm >= tgt.share_before_ppm
+
+
+# --- embedding-LSH auto width (the round-13 slope-census finding) -------------
+
+
+def test_emb_lsh_auto_equals_fixed_at_fixture(spark, sf_dir):
+    """At fixture n the sizing rule clamps to the fixed key's 4 bits, so
+    the auto key must reproduce it row for row (the derivation is what
+    the driver grade then proves end to end)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_auto,
+    )
+
+    fixed = {tuple(r) for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    auto = {tuple(r) for r in dedup_embedding_lsh_auto(spark, sf_dir).collect()}
+    assert fixed == auto and fixed
+
+
+def test_emb_lsh_wider_prefix_refines(spark, sf_dir):
+    """Planes are index-derived, so a wider prefix REFINES the bucketing:
+    the pair set at bits=6 must be a strict-or-equal subset of bits=4,
+    and every surviving pair's cos_sim must be unchanged (the blocking
+    key never touches the verify arithmetic)."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _emb_lsh_pairs_body,
+    )
+
+    p4 = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in _emb_lsh_pairs_body(spark, sf_dir, 4).collect()
+    }
+    p6 = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in _emb_lsh_pairs_body(spark, sf_dir, 6).collect()
+    }
+    assert set(p6) <= set(p4) and p6
+    assert all(p4[k] == v for k, v in p6.items())
+
+
+def test_emb_lsh_auto_bits_rule_points():
+    """The auto key shares the graph family's proven sizing rule: the
+    fixture clamps to 4, the sf2.5 stress scale derives 9."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _BLOCK_BITS,
+        _grb_auto_bits,
+    )
+
+    assert _grb_auto_bits(500) == _BLOCK_BITS == 4
+    assert _grb_auto_bits(50_000) == 9
