@@ -1804,9 +1804,10 @@ corpus_dsir_importance_topk.__doc__ = corpus_dsir_importance_topk.__doc__.format
     ),
     thr AS (SELECT count(*) AS na, sum(wi) AS s FROM wint),
     sel AS (SELECT source FROM wint, thr WHERE wi * na > s),
-    n_sel AS (SELECT count(*) AS ns FROM sel),
     base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-    selc AS (SELECT source, count(*) AS n_selected FROM sel GROUP BY source)
+    selc AS (SELECT source, count(*) AS n_selected FROM sel GROUP BY source),
+    n_sel AS (SELECT coalesce(sum(n_selected), 0) AS ns FROM selc),
+    n_all AS (SELECT sum(n_docs) AS na FROM base)
     SELECT b.source,
            b.n_docs,
            CAST(coalesce(sc.n_selected, 0) AS BIGINT) AS n_selected,
@@ -1816,7 +1817,7 @@ corpus_dsir_importance_topk.__doc__ = corpus_dsir_importance_topk.__doc__.format
              AS share_after_ppm,
            CAST(coalesce(sc.n_selected, 0) * 1000000 // b.n_docs AS BIGINT)
              AS keep_rate_ppm
-    FROM base b LEFT JOIN selc sc ON b.source = sc.source, thr, n_sel
+    FROM base b LEFT JOIN selc sc ON b.source = sc.source, n_all, n_sel
     ORDER BY b.source
     """,
 )
@@ -1861,12 +1862,23 @@ def corpus_dsir_resample_mix_shift(spark, sf_dir):
         .filter(F.col("wi") * F.col("na") > F.col("s"))
         .select("source")
     )
-    n_sel = sel.agg(F.count("*").alias("ns"))
     base = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
     selc = sel.groupBy("source").agg(F.count("*").alias("n_selected"))
+    # ns from the <=|sources|-row report, not a second aggregation of the
+    # corpus-scale sel subtree: Spark instantiates shared subplans per
+    # use, so re-aggregating sel would recompute the whole weights DAG
+    # (the r13 plan audit read 9 benign 1-row merges on this query; this
+    # derivation removes the corpus-scale duplicates for free)
+    n_sel = selc.agg(
+        F.coalesce(F.sum("n_selected"), F.lit(0)).cast("long").alias("ns")
+    )
+    # likewise na from the tiny per-source table: the weights DAG stays
+    # instantiated exactly twice (wint and thr), the inherent two-pass
+    # cost of a data-dependent threshold — never a third time
+    n_all = base.agg(F.sum("n_docs").cast("long").alias("na"))
     return (
         base.join(selc, "source", "left")
-        .crossJoin(F.broadcast(thr.select("na")))
+        .crossJoin(F.broadcast(n_all))
         .crossJoin(F.broadcast(n_sel))
         .select(
             "source",
