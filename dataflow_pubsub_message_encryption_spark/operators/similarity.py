@@ -827,10 +827,14 @@ def dedup_embedding_lsh(spark, sf_dir):
     (planes inlined into both engines). Candidate volume is Σ b_i² over
     bucket sizes — the prefix length is the knob (longer prefix = fewer
     false candidates, lower recall; multi-band OR-amplification as in
-    dedup_minhash_lsh_pairs recovers it). The equi-self-join shuffles
-    ids+vectors once on the bucket key; at 100 TB the verify stage
-    re-joins vectors by id instead of carrying them (as the minhash op
-    does), a constant-factor swap the fixture scale doesn't need.
+    dedup_embedding_lsh_banded / dedup_minhash_lsh_pairs recovers it).
+    The equi-self-join shuffles ids+raw-float vectors ONCE on the bucket
+    key (a single ReusedExchange — measured). A verify-stage vector
+    re-join by id (the minhash op's shape) was measured and REJECTED for
+    this op: with per-bucket occupancy the candidate set is a multiple of
+    the corpus (15.6× at sf0.01, ~80× at the auto occupancy target), so
+    shuffling pairs costs 11.6× the bytes of carrying the vectors — see
+    ``_emb_lsh_pairs_body`` for the numbers.
 
     Per-pair cost note: higher-order array functions (zip_with/aggregate)
     evaluate interpreted, not codegen'd, so the pair stage pays per
@@ -853,19 +857,38 @@ def dedup_embedding_lsh(spark, sf_dir):
 def _emb_lsh_pairs_body(spark, sf_dir, bits: int):
     """Shared body of the embedding-LSH near-dup keys: hyperplane sign
     prefix of ``bits`` planes as the blocking key, one bucket equi-self-
-    join, per-vector norms precomputed so the pair stage does one fold."""
-    from ..functions.vectors import dot, norm
+    join, per-vector norms precomputed so the pair stage does one fold.
+
+    Shuffle economics (VERDICT r13 item 1, measured before acting):
+    the two self-join branches are the SAME subtree, so the bucket
+    exchange is already a single ReusedExchange — ONE 500-record stage at
+    sf0.01, not two (tools/slope_runs/r14/shuffle_q32_before.log). The
+    re-join-vectors-by-id alternative the fixed key's docstring used to
+    promise was implemented and measured (rejoin_vs_carry.log, same dir):
+    it shuffles the CANDIDATE pairs (Σb²/2 rows ≈ occupancy/2 × corpus —
+    7,781 pairs = 15.6× the 500 corpus rows at sf0.01, ~80× at the auto
+    rule's occupancy target of 160) twice (ids-only by vec_a, then with
+    the a-side vector attached by vec_b) plus the vector table once for
+    the verify joins — 1.59 MB vs this body's 137 KB per execution
+    (11.6×, identical 121-row output) — strictly worse at every scale,
+    so the carry stays. What DOES shrink the one exchange is carried
+    WIDTH: the raw ``array<float>`` rides the shuffle (4 B/elem) and the
+    pair stage casts per element inside the dot fold (``dot32`` —
+    float→double is exact, identical accumulation), measured 404.2 →
+    274.9 compressed B/row (-32%) with oracles unchanged."""
+    from ..functions.vectors import dot32, norm
 
     e = load(spark, sf_dir, "embeddings")
     b = e.select(
         "vec_id",
-        as_double("embedding").alias("emb"),
+        F.col("embedding").alias("emb32"),
         norm(as_double("embedding")).alias("nrm"),
         _bucket_bits(as_double("embedding"), bits).alias("bucket"),
     )
     x, y = b.alias("x"), b.alias("y")
     cs = F.round(
-        dot(F.col("x.emb"), F.col("y.emb")) / (F.col("x.nrm") * F.col("y.nrm")),
+        dot32(F.col("x.emb32"), F.col("y.emb32"))
+        / (F.col("x.nrm") * F.col("y.nrm")),
         6,
     )
     return (
