@@ -1803,7 +1803,9 @@ corpus_dsir_importance_topk.__doc__ = corpus_dsir_importance_topk.__doc__.format
       FROM wsrc
     ),
     thr AS (SELECT count(*) AS na, sum(wi) AS s FROM wint),
-    sel AS (SELECT source FROM wint, thr WHERE wi * na > s),
+    sel AS (SELECT source FROM wint, thr
+            WHERE CAST(wi AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0))
+                  > CAST(s AS DECIMAL(38,0))),
     base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     selc AS (SELECT source, count(*) AS n_selected FROM sel GROUP BY source),
     n_sel AS (SELECT coalesce(sum(n_selected), 0) AS ns FROM selc),
@@ -1838,10 +1840,14 @@ def corpus_dsir_resample_mix_shift(spark, sf_dir):
     The acceptance boundary is computed in EXACT integer arithmetic:
     weights are round-6 canonical, so `wi = round(w * 1e6)` is a lossless
     micro-unit integer and the above-mean test `wi * n > sum(wi)` is an
-    integer comparison — order-insensitive and bit-identical in Spark
+    exact comparison — order-insensitive and bit-identical in Spark
     and DuckDB, where a floating mean would make the boundary depend on
-    summation order. All output columns are integers (counts and
-    DIV-ppm shares): zero float-sum sensitivity end to end.
+    summation order. The product is evaluated in DECIMAL(38,0) so it
+    cannot overflow at any reachable scale (both factors are BIGINT-
+    bounded, so <= 38 digits by construction — a raw BIGINT product
+    would wrap silently at ~1e9-unit weights x ~1e9 docs; ADVICE r13).
+    All output columns are integers (counts and DIV-ppm shares): zero
+    float-sum sensitivity end to end.
 
     Scale shape (100 TB): the threshold form is deliberately chosen over
     a top-fraction cut — above-mean is a narrow map over the weights
@@ -1857,9 +1863,22 @@ def corpus_dsir_resample_mix_shift(spark, sf_dir):
         F.round(F.col("dsir_logweight") * 1000000, 0).cast("long").alias("wi"),
     )
     thr = wint.agg(F.count("*").alias("na"), F.sum("wi").alias("s"))
+    # the above-mean test wi * na > sum(wi) in DECIMAL(38,0): both factors
+    # are BIGINT-bounded (<= 9.22e18 = 19 digits), so the product needs at
+    # most 38 digits and CANNOT overflow — a plain BIGINT product would
+    # wrap silently under non-ANSI mode once per-doc micro-unit weights
+    # (~1e9 for long documents) meet corpus-scale doc counts (~1e9+),
+    # corrupting the selection boundary (ADVICE r13). DECIMAL keeps the
+    # comparison exact AND portable; an integer-mean rewrite (s DIV na)
+    # would not, because Spark's DIV truncates toward zero while DuckDB's
+    # // floors — they disagree whenever sum(wi) < 0, which is the
+    # EXPECTED sign here (E_raw[log ratio] = -KL < 0).
     sel = (
         wint.crossJoin(F.broadcast(thr))
-        .filter(F.col("wi") * F.col("na") > F.col("s"))
+        .filter(
+            F.col("wi").cast("decimal(19,0)") * F.col("na").cast("decimal(19,0)")
+            > F.col("s").cast("decimal(38,0)")
+        )
         .select("source")
     )
     base = docs.groupBy("source").agg(F.count("*").alias("n_docs"))

@@ -348,7 +348,43 @@ class PubsubReplayStreamReader(DataSourceStreamReader):
                 partition.path,
                 columns=["event_id", "ts", "user_id", "event_type", "props"],
             )
-        except Exception as e:  # torn tail / missing footer / bad magic
+        # Only DECODE-class failures may get the torn-write diagnosis, and
+        # probed types alone can't separate them: pyarrow raises
+        # ArrowInvalid for BOTH a bad-magic/truncated file AND a missing
+        # column (schema drift after a producer upgrade). Disambiguate by
+        # re-opening just the footer: a readable footer means the bytes
+        # are intact and the operator must NOT be sent to restore them
+        # (ADVICE r13) — name the drifted columns instead. Permission
+        # problems propagate unwrapped (an OSError subclass, deliberately
+        # excluded); only an unreadable footer earns the torn-write
+        # runbook message.
+        except PermissionError:
+            raise
+        except (pa.lib.ArrowInvalid, OSError) as e:
+            try:
+                footer_names = set(
+                    pq.ParquetFile(partition.path).schema_arrow.names
+                )
+            except Exception:
+                footer_names = None
+            if footer_names is not None:
+                want = ["event_id", "ts", "user_id", "event_type", "props"]
+                missing = [c for c in want if c not in footer_names]
+                hint = (
+                    f"missing expected column(s) {missing} — likely "
+                    "producer schema drift, not corruption"
+                    if missing
+                    else "footer and schema are valid — NOT a torn write; "
+                    "check column types / page-level corruption"
+                )
+                raise RuntimeError(
+                    f"pubsub_replay: segment {partition.path!r} failed to "
+                    f"read ({type(e).__name__}: {e}) but its footer opens "
+                    f"cleanly: {hint}. Do not restore bytes; fix the "
+                    "producer or the reader schema, then restart from the "
+                    "checkpoint."
+                ) from e
+            # fall through: torn tail / missing footer / bad magic
             # A segment that globbed into the plan but cannot be read is
             # a producer protocol violation (a non-atomic write crashed
             # mid-file: producers must stage to '<name>.parquet.w' and

@@ -1,0 +1,182 @@
+"""Round-14 regression tests: the DSIR acceptance boundary's DECIMAL
+overflow-proofing (ADVICE r13 item 1), the pubsub_replay torn-write vs
+schema-drift disambiguation (ADVICE r13 item 2), the explain_all
+unresolved-consumer NEEDS REVIEW rule (ADVICE r13 item 3), and the
+round's new operators' laws (bloom auto-sizing, banded embedding-LSH).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --- ADVICE r13 item 1: the above-mean test cannot overflow ------------------
+
+_WI_POINTS = [
+    # (label, list of micro-unit weights) — four-point matrix: small/large
+    # magnitude x positive/negative sum. The "large" rows are chosen so
+    # wi * na exceeds int64 range (|wi * 3| > 9.22e18): a raw BIGINT
+    # product wraps silently under non-ANSI mode and flips the boundary.
+    ("small_mixed", [10, -5, 2]),
+    ("small_negative_sum", [-(10**6), -3, 10**5]),
+    ("overflow_positive", [4 * 10**18, 4 * 10**18, -(4 * 10**18)]),
+    ("overflow_negative_sum", [-(4 * 10**18), -(4 * 10**18), 4 * 10**18]),
+]
+
+
+@pytest.mark.parametrize("label,wis", _WI_POINTS, ids=[p[0] for p in _WI_POINTS])
+def test_dsir_acceptance_decimal_never_overflows(spark, label, wis):
+    """The exact filter expression `corpus_dsir_resample_mix_shift` ships
+    (DECIMAL(19,0) x DECIMAL(19,0) > DECIMAL(38,0)) must agree with
+    arbitrary-precision Python integers on every point — including rows
+    where the BIGINT product would wrap. Both factors are BIGINT-bounded
+    (<= 19 digits), so the 38-digit product cannot overflow by
+    construction; this pins that the engine evaluates it that way."""
+    from pyspark.sql import functions as F
+
+    na, s = len(wis), sum(wis)
+    truth = {i for i, wi in enumerate(wis) if wi * na > s}
+    df = spark.createDataFrame(
+        [(i, wi) for i, wi in enumerate(wis)], "i INT, wi LONG"
+    ).crossJoin(
+        spark.createDataFrame([(na, s)], "na LONG, s LONG")
+    )
+    got = {
+        r.i
+        for r in df.filter(
+            F.col("wi").cast("decimal(19,0)") * F.col("na").cast("decimal(19,0)")
+            > F.col("s").cast("decimal(38,0)")
+        ).collect()
+    }
+    assert got == truth, f"{label}: {got} != {truth}"
+    # the oracle engine must agree on the identical expression
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT i FROM (SELECT unnest(range(%d)) AS i, "
+        "unnest(%s::BIGINT[]) AS wi) "
+        "WHERE CAST(wi AS DECIMAL(19,0)) * CAST(%d AS DECIMAL(19,0)) "
+        "      > CAST(%d AS DECIMAL(38,0))" % (na, list(wis), na, s)
+    ).fetchall()
+    assert {r[0] for r in rows} == truth, f"{label}: duckdb disagrees"
+
+
+# --- ADVICE r13 item 2: torn-write vs schema-drift diagnosis -----------------
+
+
+def _read_segment(tmpdir, fname):
+    """Call the reader's executor-side read() directly on one segment."""
+    from dataflow_pubsub_message_encryption_spark.sources.pubsub_replay import (
+        PubsubReplayStreamReader,
+        _Segment,
+    )
+
+    reader = PubsubReplayStreamReader({"path": str(tmpdir)})
+    return list(reader.read(_Segment(0, os.path.join(str(tmpdir), fname), 1)))
+
+
+def _write_events_segment(path, drop_column=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([10**15, 2 * 10**15], pa.int64()),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    if drop_column:
+        cols.pop(drop_column)
+    pq.write_table(pa.table(cols), path)
+
+
+def test_pubsub_replay_torn_write_gets_restore_runbook(tmpdir):
+    """Truncated bytes under the real '*.parquet' name: footer unreadable,
+    so the error must carry the torn-write diagnosis and the
+    restore-from-producer runbook."""
+    p = os.path.join(str(tmpdir), "part0.parquet")
+    _write_events_segment(p)
+    with open(p, "r+b") as fh:
+        fh.truncate(os.path.getsize(p) // 2)
+    with pytest.raises(RuntimeError, match="torn write"):
+        _read_segment(tmpdir, "part0.parquet")
+
+
+def test_pubsub_replay_schema_drift_not_called_torn(tmpdir):
+    """A valid segment missing an expected column (producer upgrade
+    drift) raises the SAME pyarrow type as a torn file (ArrowInvalid) —
+    the reader must disambiguate via the footer and must NOT direct the
+    operator to restore bytes (ADVICE r13)."""
+    p = os.path.join(str(tmpdir), "part0.parquet")
+    _write_events_segment(p, drop_column="props")
+    with pytest.raises(RuntimeError) as ei:
+        _read_segment(tmpdir, "part0.parquet")
+    msg = str(ei.value)
+    assert "schema drift" in msg and "props" in msg
+    assert "torn" not in msg.lower().replace("not a torn", "")
+    assert "Do not restore bytes" in msg
+
+
+def test_pubsub_replay_healthy_segment_reads(tmpdir):
+    p = os.path.join(str(tmpdir), "part0.parquet")
+    _write_events_segment(p)
+    batches = _read_segment(tmpdir, "part0.parquet")
+    assert sum(b.num_rows for b in batches) == 2
+
+
+# --- ADVICE r13 item 3: unresolved consumer => NEEDS REVIEW, not adjacency ---
+
+
+def test_explain_audit_unresolved_consumer_flags_review():
+    """An Exchange whose parent id has no detail block must be flagged
+    NEEDS REVIEW — never silently classified by positional adjacency
+    (the next block here is a benign-looking keyless agg that adjacency
+    would wrongly bless)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from explain_all import audit_single_partition
+
+    plan = """== Physical Plan ==
+Sort (3)
++- Exchange (1)
+   +- Scan parquet (2)
+
+(1) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS
+
+(2) HashAggregate
+Keys: []
+"""
+    total, benign, review = audit_single_partition(plan)
+    assert total == 1 and benign == 0
+    assert len(review) == 1 and "NEEDS REVIEW" in review[0]
+
+
+def test_explain_audit_resolved_consumer_still_benign():
+    """Control: the same shapes WITH a parsable tree header and a keyless
+    aggregate consumer classify benign (the r13 behavior, unchanged)."""
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from explain_all import audit_single_partition
+
+    plan = """== Physical Plan ==
+HashAggregate (3)
++- Exchange (2)
+   +- Scan parquet (1)
+
+(2) Exchange
+Arguments: SinglePartition, ENSURE_REQUIREMENTS
+
+(3) HashAggregate
+Keys: []
+"""
+    total, benign, review = audit_single_partition(plan)
+    assert (total, benign, review) == (1, 1, [])

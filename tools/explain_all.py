@@ -48,7 +48,7 @@ def audit_single_partition(plan: str) -> tuple[int, int, list[str]]:
             by_id[int(m.group(1))] = b
     total = benign = 0
     review: list[str] = []
-    for i, b in enumerate(blocks):
+    for b in blocks:
         m = re.search(r"^\((\d+)\) Exchange", b, re.M)
         if not m:
             continue
@@ -58,15 +58,23 @@ def audit_single_partition(plan: str) -> tuple[int, int, list[str]]:
         pid = parents.get(int(m.group(1)))
         if pid is not None and pid in by_id:
             nxt = by_id[pid]
-        else:  # tree header unparsable: fall back to adjacency
-            nxt = blocks[i + 1] if i + 1 < len(blocks) else ""
-        head = nxt.splitlines()[0] if nxt else "<none>"
-        if any(a in head for a in _AGG_NODES) and re.search(
-            r"^Keys: \[\]", nxt, re.M
-        ):
-            benign += 1
+            head = nxt.splitlines()[0]
+            if any(a in head for a in _AGG_NODES) and re.search(
+                r"^Keys: \[\]", nxt, re.M
+            ):
+                benign += 1
+            else:
+                review.append(head.strip())
         else:
-            review.append(head.strip())
+            # Consumer unresolvable from the tree header (node id missing
+            # a detail block, or an operator name outside the tree-line
+            # regex charset): NEVER silently fall back to positional
+            # adjacency — that is the exact misclassification heuristic
+            # this resolver replaced (ADVICE r13). Flag for human review.
+            review.append(
+                f"<unresolved consumer of Exchange({m.group(1)}) — "
+                "NEEDS REVIEW (tree header unparsable)>"
+            )
     return total, benign, review
 
 
