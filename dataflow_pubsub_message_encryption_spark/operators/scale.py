@@ -1643,6 +1643,224 @@ def join_bloom_prefilter_fast(spark, sf_dir):
     )
 
 
+# --- self-tuning bloom width (VERDICT r13 item 3) -----------------------------
+#
+# Fixed-point constants for the standard sizing rules, chosen so BOTH
+# engines derive m and k with pure INTEGER arithmetic (no ln(), no float
+# rounding at the boundary):
+#   m = -n ln p / (ln 2)^2  with p = 0.01  ->  m ~= 9.5851 n ~ (9585 n)/1000
+#   k =  m/n ln 2                          ->  k ~= round(693 m / 1000 n)
+# m is rounded UP to whole 62-bit words (the word-table unit), k rounded
+# half-up; every operand is positive, so Spark's DIV (truncate) and
+# DuckDB's // (floor) agree exactly.
+_BLOOM_FP_M = 9585  # per-mille of -ln(0.01)/ln(2)^2 = 9.5851
+_BLOOM_FP_K = 693  # per-mille of ln(2) = 0.6931
+_BLOOM_AUTO_KMAX = 32  # j-grid bound; binds only when n < ~2 keys/word
+
+
+def _bloom_auto_params(n: int) -> tuple[int, int, int]:
+    """(n0, m, k) from the dim key count — the Python twin of the SQL
+    derivation inlined in the oracle (same integer fixed-point rules)."""
+    n0 = max(n, 1)
+    words = (_BLOOM_FP_M * n0 + 61999) // 62000
+    m = 62 * words
+    k = max(1, min(_BLOOM_AUTO_KMAX, (2 * _BLOOM_FP_K * m + 1000 * n0) // (2000 * n0)))
+    return n0, m, k
+
+
+def _bloom_auto_pos_sql(key: str) -> str:
+    """DuckDB: bit position for (``key``, slot column ``j``) under derived
+    width column ``m`` — first 8 sha256 nibbles as a 32-bit int, mod m.
+    Salting the hash with j (vs slicing one digest) keeps k unbounded by
+    the digest length; the polynomial mirrors Spark's conv(substr(h,1,8))."""
+    h = f"sha256(CAST({key} AS VARCHAR) || '|' || CAST(j AS VARCHAR))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % m)"
+
+
+_BLOOM_AUTO_PRM_SQL = f"""
+    dim AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal > {_BLOOM_BAL}
+    ),
+    prm AS (
+      SELECT n,
+             62 * (({_BLOOM_FP_M} * n + 61999) // 62000) AS m,
+             GREATEST(1, LEAST({_BLOOM_AUTO_KMAX},
+               (2 * {_BLOOM_FP_K} * 62 * (({_BLOOM_FP_M} * n + 61999) // 62000)
+                + 1000 * n) // (2000 * n))) AS k
+      FROM (SELECT GREATEST(count(*), 1) AS n FROM dim) nc
+    ),
+    js AS (SELECT unnest(range({_BLOOM_AUTO_KMAX})) AS j)"""
+
+
+@query(
+    "join_bloom_prefilter_auto",
+    f"""
+    WITH {_BLOOM_AUTO_PRM_SQL},
+    dimpos AS (
+      SELECT {_bloom_auto_pos_sql('s_suppkey')} AS pos
+      FROM dim, prm, js WHERE j < k
+    ),
+    words AS (
+      SELECT pos // 62 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bm
+      FROM dimpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT l_suppkey, CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+      FROM lineitem
+    ),
+    keypos AS (
+      SELECT l_suppkey, {_bloom_auto_pos_sql('l_suppkey')} AS pos
+      FROM (SELECT DISTINCT l_suppkey FROM probe) dk, prm, js WHERE j < k
+    ),
+    kpass AS (
+      SELECT kp.l_suppkey
+      FROM keypos kp JOIN words w
+        ON w.w = kp.pos // 62
+       AND ((w.bm >> CAST(kp.pos % 62 AS INTEGER)) & 1) = 1
+      GROUP BY kp.l_suppkey HAVING count(*) = (SELECT k FROM prm)
+    ),
+    pass AS (
+      SELECT pr.l_suppkey, pr.price FROM probe pr
+      WHERE pr.l_suppkey IN (SELECT l_suppkey FROM kpass)
+    ),
+    true_m AS (
+      SELECT p.l_suppkey, p.price FROM pass p
+      WHERE EXISTS (SELECT 1 FROM dim d WHERE d.s_suppkey = p.l_suppkey)
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM prm) AS n_dim_keys,
+           (SELECT CAST(m AS BIGINT) FROM prm) AS m_bits,
+           (SELECT CAST(k AS BIGINT) FROM prm) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_fact_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_bloom_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM true_m) AS n_true_match,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass)
+             - (SELECT CAST(count(*) AS BIGINT) FROM true_m)
+             AS n_false_positives,
+           (SELECT CAST(round(COALESCE(SUM(price), 0), 2) AS DOUBLE)
+            FROM true_m) AS revenue
+    """,
+)
+def join_bloom_prefilter_auto(spark, sf_dir):
+    """``join_bloom_prefilter`` with the filter width and hash count
+    DERIVED AT BUILD TIME from the dim's key count — the fix for the
+    repo's last fixed-at-fixture-scale sizing knob (VERDICT r13 item 3):
+    at a 100 TB key domain the fixed {_BLOOM_BITS}-bit filter saturates
+    (fp → 1) and the prefilter silently degrades to a full-scan pass-
+    through. The standard rules m = −n·ln p/(ln 2)² (p = 0.01) and
+    k = m/n·ln 2 are evaluated in integer FIXED-POINT (per-mille
+    constants {_BLOOM_FP_M}/{_BLOOM_FP_K}; m rounded up to whole 62-bit
+    words, k half-up, every operand positive so Spark DIV ≡ DuckDB //),
+    and the derivation itself is part of the EXACT oracle: the SQL
+    re-derives n/m/k from the same count via scalar subqueries and the
+    result row EXPOSES them as columns, so a drifted rule — not just a
+    drifted result — fails the driver gate. One bounded driver scalar
+    (``dim.count()``, the house two-pass idiom) feeds the Spark side.
+
+    Per-slot hashing salts sha256 with the slot index (``key || '|' || j``,
+    first 8 nibbles mod m) instead of slicing one digest like the fixed
+    key — k is therefore unbounded by digest length (the fixed key's 3
+    slots exhaust its 12-nibble budget; the derived k here is ~7 at
+    p = 0.01 and up to {_BLOOM_AUTO_KMAX} at tiny n, where word-rounding
+    makes m/n large and fp ≈ 0 regardless, so the cap never costs
+    precision where it binds). Bloom evaluated once per DISTINCT key and
+    membership broadcast, exactly as the fixed key documents; false
+    positives die in the exact verify, so n_true_match/revenue equal the
+    plain semi-join at ANY width — the no-false-negative law the oracle
+    gate proves alongside the sizing.
+
+    Scale shape (100 TB): identical to the fixed key — the filter stays
+    a broadcast of m/8 bytes ≈ 1.2 B per dim key (vs 8 B for the key set
+    itself), the probe side is one broadcast join over distinct keys —
+    PLUS the property the fixed key lacks: fp is ~p at EVERY n, so the
+    pass set stays ~|true matches| instead of drifting toward the full
+    fact table. Measured in the r14 slope census (supplier co-shift):
+    see SCALING.md §19."""
+    dim = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > _BLOOM_BAL)
+        .select("s_suppkey")
+    )
+    n0, m, k = _bloom_auto_params(dim.count())  # bounded driver scalar
+
+    def pos_col(key: str):
+        h = F.sha2(
+            F.concat(
+                F.col(key).cast("string"), F.lit("|"), F.col("j").cast("string")
+            ),
+            256,
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+
+    jgrid = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+    dimpos = dim.select("s_suppkey", jgrid).select(pos_col("s_suppkey").alias("pos"))
+    words = (
+        dimpos.select(
+            F.expr("pos DIV 62").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 62 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bm"))
+    )
+    probe = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", dec4("l_extendedprice").alias("price")
+    )
+    keypos = (
+        probe.select("l_suppkey")
+        .distinct()
+        .select("l_suppkey", jgrid)
+        .select("l_suppkey", pos_col("l_suppkey").alias("pos"))
+    )
+    kpass = (
+        keypos.join(F.broadcast(words), F.expr("pos DIV 62") == F.col("w"))
+        .filter(F.expr("(shiftright(bm, CAST(pos % 62 AS INT)) & 1) = 1"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("l_suppkey")
+    )
+    flagged = probe.join(
+        F.broadcast(kpass.withColumn("bloom_hit", F.lit(1))),
+        "l_suppkey",
+        "left",
+    ).join(
+        F.broadcast(
+            dim.select(F.col("s_suppkey").alias("l_suppkey")).withColumn(
+                "true_hit", F.lit(1)
+            )
+        ),
+        "l_suppkey",
+        "left",
+    )
+    rep = flagged.agg(
+        F.count("*").alias("n_fact_rows"),
+        F.count("bloom_hit").alias("n_bloom_pass"),
+        F.count("true_hit").alias("n_true_match"),
+        (F.count("bloom_hit") - F.count("true_hit")).alias("n_false_positives"),
+        money(
+            F.coalesce(
+                F.sum(F.when(F.col("true_hit") == 1, F.col("price"))), F.lit(0)
+            )
+        ).alias("revenue"),
+    )
+    # derived sizing EXPOSED as result columns — the oracle re-derives them
+    # in SQL, so the rule itself is driver-graded, not just the census
+    return rep.select(
+        F.lit(n0).cast("long").alias("n_dim_keys"),
+        F.lit(m).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k_hashes"),
+        "n_fact_rows",
+        "n_bloom_pass",
+        "n_true_match",
+        "n_false_positives",
+        "revenue",
+    )
+
+
 @query(
     "win_ntile_scalable",
     """
