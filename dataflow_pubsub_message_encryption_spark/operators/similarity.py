@@ -204,9 +204,13 @@ def _planes(n: int = _N_PLANES) -> list[list[float]]:
     return planes
 
 
-def _lsh_bucket_sql(col: str, n_planes: int | None = None) -> str:
+def _lsh_bucket_sql(col: str, n_planes: int | None = None, start: int = 0) -> str:
+    """``start`` selects a DISJOINT plane range [start, start+n) — the
+    banded keys' OR-amplification uses band b = planes [b*bits, (b+1)*bits)
+    so no band shares a plane with another (independent blocking trials)."""
+    n = _N_PLANES if n_planes is None else n_planes
     parts = []
-    for p, plane in enumerate(_planes()[:n_planes]):
+    for plane in _planes(start + n)[start : start + n]:
         lit = "[" + ", ".join(str(x) for x in plane) + "]"
         parts.append(
             f"CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {lit}) > 0 "
@@ -788,13 +792,16 @@ _DEDUP_TAU = 0.3
 _BLOCK_BITS = 4  # 16 buckets: wide enough to exercise the pair stage at sf
 
 
-def _bucket_bits(emb, n_planes):
+def _bucket_bits(emb, n_planes, start: int = 0):
     # plane p is generated purely from its index, so _planes(n) for any n
     # shares the _planes(m) prefix (m < n) — widths beyond the default
-    # _N_PLANES set (the auto-width key's scale path) just extend it
+    # _N_PLANES set (the auto-width key's scale path) just extend it.
+    # ``start`` selects a disjoint range for the banded keys (band b =
+    # planes [b*bits, (b+1)*bits)), mirroring _lsh_bucket_sql.
+    n = _N_PLANES if n_planes is None else n_planes
     bits = [
         F.when(cosine_free_dot(emb, plane) > 0, "1").otherwise("0")
-        for plane in _planes(_N_PLANES if n_planes is None else n_planes)
+        for plane in _planes(start + n)[start : start + n]
     ]
     return F.concat(*bits)
 
@@ -963,6 +970,241 @@ def dedup_embedding_lsh_auto(spark, sf_dir, n_override: int = None):
                 "frozen oracle to match the regenerated fixture"
             )
     return _emb_lsh_pairs_body(spark, sf_dir, bits)
+
+
+def _emb_band_sql(band: int, bits: int) -> str:
+    """DuckDB: verified near-dup pairs surfaced by ONE band (disjoint
+    plane range [band*bits, (band+1)*bits))."""
+    bsql = _lsh_bucket_sql("embedding", bits, band * bits)
+    return f"""
+      SELECT vec_a, vec_b, cos_sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                 AS cos_sim
+        FROM (SELECT vec_id, embedding, {bsql} AS bucket FROM embeddings) a
+        JOIN (SELECT vec_id, embedding, {bsql} AS bucket FROM embeddings) b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) WHERE cos_sim >= {_DEDUP_TAU}"""
+
+
+_N_EMB_BANDS = 2
+
+
+def _emb_lsh_banded_body(spark, sf_dir, bits: int, n_bands: int = _N_EMB_BANDS):
+    """OR-amplified embedding-LSH: each band blocks on a DISJOINT
+    hyperplane range and runs the proven one-exchange pair body shape;
+    verified per-band pair sets are unioned and grouped to one row per
+    pair with a band-hit census. Per-band verification beats
+    dedupe-then-verify here for the same reason the carry beats the
+    re-join (see ``_emb_lsh_pairs_body``): grouping candidates first
+    would strip the vectors and force a verify-stage re-join over the
+    candidate multiple of the corpus."""
+    from ..functions.vectors import dot32, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    bands = []
+    for band in range(n_bands):
+        b = e.select(
+            "vec_id",
+            F.col("embedding").alias("emb32"),
+            norm(as_double("embedding")).alias("nrm"),
+            _bucket_bits(as_double("embedding"), bits, band * bits).alias(
+                "bucket"
+            ),
+        )
+        x, y = b.alias("x"), b.alias("y")
+        cs = F.round(
+            dot32(F.col("x.emb32"), F.col("y.emb32"))
+            / (F.col("x.nrm") * F.col("y.nrm")),
+            6,
+        )
+        bands.append(
+            x.join(
+                y,
+                (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_a"),
+                F.col("y.vec_id").alias("vec_b"),
+                cs.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= _DEDUP_TAU)
+        )
+    u = bands[0]
+    for d in bands[1:]:
+        u = u.unionAll(d)
+    return u.groupBy("vec_a", "vec_b").agg(
+        F.count("*").cast("long").alias("n_bands"),
+        F.max("cos_sim").alias("cos_sim"),
+    )
+
+
+@query(
+    "dedup_embedding_lsh_banded",
+    f"""
+    SELECT vec_a, vec_b, CAST(count(*) AS BIGINT) AS n_bands,
+           max(cos_sim) AS cos_sim
+    FROM ({_emb_band_sql(0, _BLOCK_BITS)} UNION ALL {_emb_band_sql(1, _BLOCK_BITS)})
+    GROUP BY 1, 2
+    """,
+)
+def dedup_embedding_lsh_banded(spark, sf_dir, n_override: int = None):
+    """OR-amplified embedding-LSH near-dup (VERDICT r13 item 4): TWO
+    bands over DISJOINT hyperplane ranges — a pair is surfaced if it
+    collides in EITHER band, recovering the recall a single longer
+    prefix gives up (P[miss] = Π_b (1 - s^bits) for match prob s per
+    bit: two independent 4-bit trials miss ~squared as rarely as one).
+    Per-band blocking reuses the auto-width rule (clamps to
+    {_BLOCK_BITS} at the graded fixtures — the frozen oracle IS the
+    2x{_BLOCK_BITS}-bit SQL, drift-guarded like the single-band auto
+    key), and each band runs the measured one-ReusedExchange float32-
+    carry shape. The per-pair band census (`n_bands`) rides out in the
+    result — the OR-amplification's overlap audit for free. Verified
+    sets are unioned POST-verification and grouped to one row per pair:
+    each band's pairs are already τ-verified, so `max(cos_sim)` merges
+    identical values and the group-by shuffles only (ids, cos) — never
+    vectors. Recall vs exact truth is measured, not claimed:
+    `dedup_embedding_lsh_recall_eval` reports recall(1 band) vs
+    recall(2 bands) with the candidate-volume census, and the law test
+    pins superset-ness (2-band ⊇ 1-band) plus recall monotonicity.
+
+    Scale shape (100 TB): n_bands× the single-band cost — 2 bucket
+    exchanges (one per band, each the measured 274.9 B/row carry), 2
+    linear candidate stages at occupancy-constant width, one ids-only
+    pair group-by. The bands knob buys recall linearly in cost, the
+    width knob buys precision exponentially — the standard LSH
+    trade."""
+    e = load(spark, sf_dir, "embeddings")
+    n = n_override if n_override is not None else e.count()
+    bits = _grb_auto_bits(n)
+    if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if bits != _BLOCK_BITS:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings, deriving "
+                f"bits={bits}, but the oracle SQL is frozen at "
+                f"_BLOCK_BITS={_BLOCK_BITS} — update the frozen oracle to "
+                "match the regenerated fixture"
+            )
+    return _emb_lsh_banded_body(spark, sf_dir, bits)
+
+
+@query(
+    "dedup_embedding_lsh_recall_eval",
+    f"""
+    WITH truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= {_DEDUP_TAU}
+    ),
+    cand0 AS (
+      SELECT count(*) AS c FROM
+        (SELECT vec_id, {_lsh_bucket_sql("embedding", _BLOCK_BITS, 0)} AS bucket
+         FROM embeddings) a
+        JOIN
+        (SELECT vec_id, {_lsh_bucket_sql("embedding", _BLOCK_BITS, 0)} AS bucket
+         FROM embeddings) b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    cand1 AS (
+      SELECT count(*) AS c FROM
+        (SELECT vec_id, {_lsh_bucket_sql("embedding", _BLOCK_BITS, _BLOCK_BITS)}
+                AS bucket FROM embeddings) a
+        JOIN
+        (SELECT vec_id, {_lsh_bucket_sql("embedding", _BLOCK_BITS, _BLOCK_BITS)}
+                AS bucket FROM embeddings) b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    p1 AS (SELECT count(*) AS c FROM ({_emb_band_sql(0, _BLOCK_BITS)})),
+    p2 AS (SELECT count(*) AS c FROM (
+             SELECT DISTINCT vec_a, vec_b
+             FROM ({_emb_band_sql(0, _BLOCK_BITS)}
+                   UNION ALL {_emb_band_sql(1, _BLOCK_BITS)})))
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT c FROM cand0) AS BIGINT) AS n_cand_1band,
+           CAST((SELECT c FROM cand0) + (SELECT c FROM cand1) AS BIGINT)
+             AS n_cand_2band,
+           CAST((SELECT c FROM p1) AS BIGINT) AS n_pairs_1band,
+           CAST((SELECT c FROM p2) AS BIGINT) AS n_pairs_2band,
+           round(CAST((SELECT c FROM p1) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 6) AS recall_1band,
+           round(CAST((SELECT c FROM p2) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 6) AS recall_2band
+    """,
+)
+def dedup_embedding_lsh_recall_eval(spark, sf_dir):
+    """Embedding-LSH quality evaluation — the measurement that justifies
+    the banded scale path (VERDICT r13 item 4): exact all-pairs cosine
+    near-dups at τ={_DEDUP_TAU} as ground truth vs what 1 band and 2
+    bands actually surface-and-verify, plus the CANDIDATE-volume census
+    (bucket-collision pairs each configuration pays to verify — the
+    cost axis of the recall/cost trade; n_cand_2band is the SUM of the
+    band volumes because each band verifies independently). Verified
+    pairs are provably a subset of truth (same cosine, same τ), so
+    recall = pairs/truth exactly and 1 − recall is the banding miss
+    rate. The ground-truth side is the O(n²) brute pass — an EVALUATION
+    op, run on a sample at 100 TB by design; the measured pipeline
+    stays the banded cascade (the minhash family's convention,
+    `dedup_lsh_recall_eval`)."""
+    from ..functions.vectors import dot32, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb32"),
+        norm(as_double("embedding")).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cs = F.round(
+        dot32(F.col("a.emb32"), F.col("b.emb32"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    truth = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).filter(
+        cs >= _DEDUP_TAU
+    )
+
+    def cand(band: int):
+        bk = e.select(
+            "vec_id",
+            _bucket_bits(as_double("embedding"), _BLOCK_BITS, band * _BLOCK_BITS
+                         ).alias("bucket"),
+        )
+        return bk.alias("x").join(
+            bk.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+
+    one = _emb_lsh_pairs_body(spark, sf_dir, _BLOCK_BITS)
+    two = _emb_lsh_banded_body(spark, sf_dir, _BLOCK_BITS)
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    c0 = cand(0).agg(F.count("*").alias("n_cand_1band"))
+    c1 = cand(1).agg(F.count("*").alias("c1"))
+    p1 = one.agg(F.count("*").alias("n_pairs_1band"))
+    p2 = two.agg(F.count("*").alias("n_pairs_2band"))
+    return (
+        n_true.crossJoin(F.broadcast(c0))  # 1 row x 1 row
+        .crossJoin(F.broadcast(c1))  # 1 row x 1 row
+        .crossJoin(F.broadcast(p1))  # 1 row x 1 row
+        .crossJoin(F.broadcast(p2))  # 1 row x 1 row
+        .select(
+            "n_true",
+            "n_cand_1band",
+            (F.col("n_cand_1band") + F.col("c1")).alias("n_cand_2band"),
+            "n_pairs_1band",
+            "n_pairs_2band",
+            F.round(
+                F.col("n_pairs_1band").cast("double") / F.col("n_true"), 6
+            ).alias("recall_1band"),
+            F.round(
+                F.col("n_pairs_2band").cast("double") / F.col("n_true"), 6
+            ).alias("recall_2band"),
+        )
+    )
 
 
 _N_PROBES = 10

@@ -168,6 +168,71 @@ def test_bloom_auto_verify_equals_fixed(spark, sf_dir):
     assert auto.n_false_positives == auto.n_bloom_pass - auto.n_true_match
 
 
+# --- VERDICT r13 item 4: OR-amplified embedding-LSH ---------------------------
+
+
+def test_emb_lsh_banded_superset_of_single(spark, sf_dir):
+    """Adding a band can only ADD pairs: the 2-band verified set must be
+    a superset of the single-band set, with identical cos_sim on the
+    shared pairs, and the band census must stay in {1, 2}."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        dedup_embedding_lsh_auto,
+        dedup_embedding_lsh_banded,
+    )
+
+    single = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_lsh_auto(spark, sf_dir).collect()
+    }
+    banded = {
+        (r.vec_a, r.vec_b): (r.cos_sim, r.n_bands)
+        for r in dedup_embedding_lsh_banded(spark, sf_dir).collect()
+    }
+    assert set(single) <= set(banded)
+    assert all(banded[p][0] == c for p, c in single.items())
+    assert {nb for _, nb in banded.values()} <= {1, 2}
+    # band 0 IS the single-band blocking, so every single-band pair's
+    # census counts at least that hit
+    assert all(banded[p][1] >= 1 for p in single)
+
+
+def test_emb_lsh_banded_one_band_equals_single(spark, sf_dir):
+    """The banded body degenerates to the single-band body at
+    n_bands=1 (same pairs, same cos, census all-1) — ties the new
+    machinery to the driver-proven q32 key."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _BLOCK_BITS,
+        _emb_lsh_banded_body,
+        _emb_lsh_pairs_body,
+    )
+
+    single = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in _emb_lsh_pairs_body(spark, sf_dir, _BLOCK_BITS).collect()
+    }
+    one = _emb_lsh_banded_body(spark, sf_dir, _BLOCK_BITS, n_bands=1).collect()
+    assert {(r.vec_a, r.vec_b): r.cos_sim for r in one} == single
+    assert all(r.n_bands == 1 for r in one)
+
+
+def test_emb_lsh_recall_eval_monotone(spark, sf_dir):
+    """recall(2 bands) >= recall(1 band), counts consistent with the
+    pair keys, and the candidate census adds up."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        dedup_embedding_lsh_auto,
+        dedup_embedding_lsh_banded,
+        dedup_embedding_lsh_recall_eval,
+    )
+
+    r = dedup_embedding_lsh_recall_eval(spark, sf_dir).collect()[0]
+    assert r.recall_2band >= r.recall_1band
+    assert r.n_pairs_2band >= r.n_pairs_1band
+    assert r.n_cand_2band >= r.n_cand_1band
+    assert r.n_pairs_1band == dedup_embedding_lsh_auto(spark, sf_dir).count()
+    assert r.n_pairs_2band == dedup_embedding_lsh_banded(spark, sf_dir).count()
+    assert 0.0 <= r.recall_1band <= r.recall_2band <= 1.0
+
+
 # --- ADVICE r13 item 3: unresolved consumer => NEEDS REVIEW, not adjacency ---
 
 
