@@ -128,6 +128,14 @@ HEADLINE = [
     # twin reads 0.31 at the same span. In-mix delta vs q11 prices the
     # derivation's count() pass at fixture scale, where both run 4 bits.
     ("q32_embedding_lsh_auto", "dedup_embedding_lsh_auto"),
+    # round-14 mix extensions (legacy subtotals stay comparable —
+    # additions only): the self-tuning bloom prefilter (derived m/k,
+    # per-slot sha salting evaluated once per DISTINCT key) and the
+    # 2-band OR-amplified embedding-LSH (2x the q32 band cost for the
+    # measured recall lift 0.122 -> 0.236 — the in-mix delta vs q32
+    # prices the second band).
+    ("q33_bloom_auto", "join_bloom_prefilter_auto"),
+    ("q34_embedding_lsh_banded", "dedup_embedding_lsh_banded"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

@@ -27,77 +27,79 @@ _MODULES = [
 
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
-# therefore part of the driver contract, not cosmetics. Rounds 1-11 graded
-# every then-registered query green (327/327 driver-proven after r11; no
-# query has ever failed the gate), so the round-12 window leads with this
-# round's new operators (the threshold-derived LSH banding, VERDICT r11
-# item 4 — its oracle is the generalized banded SQL frozen at the derived
-# 2x8 split and the law tests tie it to the driver-proven fixed key — and
-# the sample-capped IVF train, whose oracle unrolls the sampled Lloyd
-# chain at the derived k=22/nprobe=5/stride=2, and the tau=0.7 banding
-# point that driver-proves the generalized 4-band machinery), then
-# clears the rotation debt exactly as VERDICT r11 item 1 orders: the 4
-# keys whose only green is round 4 (deferred from r11's window), then 43
-# of the 44 keys whose newest green is round 5 — 3 + 4 + 43 = 50 slots,
-# zero already-fresh fillers. After this round no key's newest green
-# predates round 5, and only join_partition_pruned_dpp remains at r5.
-# Every remaining EXACT query follows in module order; oracle-less
-# (ROWS-class) queries always sort last so no graded slot is burned on a
-# `no_oracle` row.
+# therefore part of the driver contract, not cosmetics. No query has ever
+# failed the gate (333/333 driver-proven after r13; the r1-r13 artifacts
+# fold to zero never-green keys). The round-14 window leads with this
+# round's new operators (the self-tuning bloom width, VERDICT r13 item 3 —
+# its oracle RE-DERIVES m/k in SQL and exposes them as graded columns —
+# and the 2-band OR-amplified embedding-LSH + its recall-vs-exact-truth
+# eval, VERDICT r13 item 4), then the three keys whose implementation
+# changed this round and must be re-graded rather than coast on r13
+# greens (the embedding-LSH pair body's float32-carry shuffle trim touches
+# both q32-auto and the q11 contrast row; the DSIR mix-shift acceptance
+# product moved to DECIMAL(38,0) per ADVICE r13), then rotates the
+# stalest cohort exactly as VERDICT r13 item 2 orders: 44 of the 46
+# r7-newest keys in COVERAGE.md order (led by pipeline_end_to_end and
+# win_ntile, which yielded their r13 slots to the census fix). 3 + 3 +
+# 44 = 50 slots, zero already-fresh fillers. The 2 r7 keys that didn't
+# fit (scan_agg_pushdown_stats, orders_pareto_class — the cohort's
+# COVERAGE tail) lead the r15 rotation. Every remaining EXACT query
+# follows in module order; oracle-less (ROWS-class) queries always sort
+# last so no graded slot is burned on a `no_oracle` row.
 _WINDOW = [
-    # --- round-13 additions + changed implementations (re-grade) ---
-    "corpus_dsir_importance_topk",
-    "corpus_dsir_resample_mix_shift",
-    "dedup_embedding_lsh_auto",  # the slope-census finding's fix (q11 1.60)
-    "dedup_minhash_lsh_pairs_auto",  # sliced-prefix band join (r12 item 5)
-    "dedup_minhash_lsh_pairs_auto_t70",  # same rewrite at the 4x4 point
-    # --- the one r5-only key (deferred from r12; VERDICT r12 item 2) ---
-    "join_partition_pruned_dpp",
-    # --- the full r6-newest cohort (44 keys, COVERAGE.md order) ---
-    "orders_cohort_ltv_curve",
-    "customer_segment_migration",
-    "orders_gmv_daily_7dma",
-    "join_asof_tolerance",
-    "src_scan_csv_roundtrip",
-    "src_scan_jsonl_roundtrip",
-    "src_scan_orc_roundtrip",
-    "supplier_hhi_concentration",
-    "text_bigram_logprob",
-    "text_boilerplate_ngrams",
-    "text_entropy_char",
-    "tokenizer_fertility_by_lang",
-    "dedup_minhash_bbit",
-    "dedup_span_exact",
-    "sim_ann_recall_eval",
-    "sim_pq_adc_topk",
-    "emb_pca_project",
-    "emb_centroid_drift",
-    "emb_duplicate_vectors_exact",
-    "sim_radius_search",
-    "emb_truncation_fidelity",
-    "emb_covariance_isotropy",
-    "multimodal_shot_boundaries",
-    "split_temporal_holdout",
-    "corpus_source_quality_report",
-    "dq_rule_violations",
-    "decontam_span_max",
-    "corpus_budget_waterfill",
-    "join_point_in_time_scd2",
-    "corpus_dedup_priority_keep",
-    "graph_kcore_membership",
-    "graph_label_propagation",
-    "events_growth_accounting",
-    "events_bot_score_flags",
-    "basket_affinity_lift",
-    "events_rapid_repeat_pairs",
-    "events_top_paths",
-    "events_rolling_distinct_users",
-    "join_bloom_prefilter",
-    "customer_value_quartiles_scalable",
-    "rfm_segmentation_scalable",
-    "join_bloom_prefilter_fast",
-    "win_ntile_scalable",
-    "corpus_perplexity_buckets_scalable",
+    # --- round-14 additions ---
+    "join_bloom_prefilter_auto",
+    "dedup_embedding_lsh_banded",
+    "dedup_embedding_lsh_recall_eval",
+    # --- changed implementations (re-grade) ---
+    "dedup_embedding_lsh_auto",  # float32-carry shuffle trim (r13 item 1)
+    "dedup_embedding_lsh",  # same shared body
+    "corpus_dsir_resample_mix_shift",  # DECIMAL acceptance product
+    # --- 44 of the 46-key r7-newest cohort (COVERAGE.md order) ---
+    "pipeline_end_to_end",
+    "win_ntile",
+    "rfm_segmentation",
+    "customer_value_quartiles",
+    "join_asof_forward",
+    "orders_repeat_purchase_curve",
+    "text_interpolated_logprob",
+    "text_heldout_perplexity",
+    "corpus_perplexity_buckets",
+    "text_js_divergence_sources",
+    "text_tfidf_keywords_topk",
+    "dedup_near_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_pairs",
+    "corpus_clean_pipeline",
+    "dedup_containment",
+    "dedup_span_suffix_ladder",
+    "dedup_weighted_jaccard",
+    "dedup_cross_source_matrix",
+    "sim_ann_lsh_topk",
+    "sim_ivf_pq_topk",
+    "sim_ann_index_agreement",
+    "emb_quantization_error",
+    "emb_label_separation_report",
+    "emb_random_projection_distortion",
+    "sim_mmr_diversified_topk",
+    "multimodal_payload_near_dup",
+    "multimodal_frame_scene_match",
+    "split_kfold_assign",
+    "pack_efficiency_report",
+    "dq_distribution_drift_psi",
+    "corpus_quality_rank_fusion",
+    "corpus_ngram_novelty_curve",
+    "dq_referential_integrity_audit",
+    "cdc_upsert_latest",
+    "scd2_as_of_snapshot",
+    "dedup_cluster_components",
+    "events_seasonal_anomaly",
+    "events_user_gini",
+    "events_dau_mau_stickiness",
+    "events_attribution_last_touch",
+    "events_session_bounce_rate",
+    "events_cusum_changepoint",
+    "nation_gmv_trend_slope",
 ]
 
 

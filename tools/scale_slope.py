@@ -113,6 +113,17 @@ MIX = [
     # auto-sized Lloyd train (which derives k=round(sqrt(n)) from a live
     # count, so the registered key runs AS-IS at every scale: k=71/nprobe=8
     # at sf0.1's 5k vectors, k=354/nprobe=19 at sf2.5's 125k)
+    # round 14 (VERDICT r13 item 3): the bloom pair under the supplier
+    # co-shift (see _TABLES) — the FIXED 992-bit filter saturates by
+    # design (the fp census in its own output shows it: the contrast
+    # row), the auto key derives m from the 25x dim count and holds
+    # fp ~= p; the q15 slope-exclusion paragraph in SCALING.md is
+    # replaced by these measured points.
+    ("q15_bloom_prefilter", "join_bloom_prefilter"),
+    ("q33_bloom_auto", "join_bloom_prefilter_auto"),
+    # ...and the 2-band OR-amplified embedding LSH (2x the q32 band cost
+    # for the measured recall lift)
+    ("q34_embedding_lsh_banded", "dedup_embedding_lsh_banded"),
     ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
     ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
     # the sample-capped train twin (stride = n//(8k) derived from the same
@@ -130,12 +141,23 @@ _SCALED_BITS = {"small": 4, "big": 7}  # log2(10×) ≈ +3.3 bits
 # (null + shift = null). ts round-trips as raw nanos (read under
 # nanosAsLong, written as INT64) and load_events' LongType branch
 # converts it exactly as it does the original fixture.
-# supplier is deliberately NOT replicated: q15's 992-bit bloom is sized
-# for the fixture dim, so a 25x key set saturates it (fp → 1) under a
-# co-shift and explodes join multiplicity without one — either way the
-# measurement would be about the fixture transform, not the operator;
-# its scale story stays pinned by the plan-shape tests + fp census.
-_TABLES = ("documents", "embeddings", "lineitem", "orders", "events")
+# supplier replication (round 14 — closes the standing q15 exclusion):
+# copies co-shift s_suppkey AND lineitem.l_suppkey by the same k*_SHIFT,
+# so per-copy join structure is preserved exactly (fact 25x, dim 25x,
+# matches 25x, no cross-copy fan-out). Under this transform the FIXED
+# 992-bit bloom (q15) saturates honestly — fp -> 1 is the measurement,
+# the contrast row — while the auto key derives m ∝ n_dim and holds
+# fp ~= p; both are in MIX below. The r13 exclusion reasoning ("either
+# way the measurement would be about the fixture transform") applied to
+# measuring the FIXED key alone; with the auto twin the co-shift IS the
+# honest scaling and the fixed key's saturation is the point.
+_TABLES = ("documents", "embeddings", "lineitem", "orders", "events", "supplier")
+
+# transform version: bumped whenever a _TABLES transform changes shape
+# (r14: supplier added + l_suppkey co-shift). A dir generated under a
+# different version must never be silently measured — same failure class
+# as a copies mismatch (mixed-scale directory), enforced via the manifest.
+_XFORM_VERSION = 2
 
 
 def _rot(s: str, k: int) -> str:
@@ -168,11 +190,14 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
     ]
     if os.path.exists(manifest):
         with open(manifest) as fh:
-            have = json.load(fh)["copies"]
-        if have != copies:
+            mf = json.load(fh)
+        have, have_x = mf["copies"], mf.get("xform", 1)
+        if have != copies or have_x != _XFORM_VERSION:
             raise SystemExit(
-                f"{out_dir} was generated with copies={have}, asked for "
-                f"{copies} — point --sf1-dir at a fresh directory"
+                f"{out_dir} was generated with copies={have} "
+                f"xform=v{have_x}, asked for copies={copies} "
+                f"xform=v{_XFORM_VERSION} — point --sf1-dir at a fresh "
+                "directory"
             )
     elif pre_existing:
         # tables exist but no manifest: the multiplier is unverifiable, so
@@ -187,7 +212,7 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
         # stamp the INTENDED multiplier up front so any interruption from
         # here on leaves a dir that later runs validate, never guess
         with open(manifest, "w") as fh:
-            json.dump({"copies": copies}, fh)
+            json.dump({"copies": copies, "xform": _XFORM_VERSION}, fh)
     for table in _TABLES:
         dst = f"{out_dir}/{table}.parquet"
         if os.path.isdir(dst):
@@ -233,6 +258,12 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
             elif table == "lineitem":
                 df = df.withColumn(
                     "l_orderkey", F.col("l_orderkey") + F.lit(k * _SHIFT)
+                ).withColumn(
+                    "l_suppkey", F.col("l_suppkey") + F.lit(k * _SHIFT)
+                )
+            elif table == "supplier":
+                df = df.withColumn(
+                    "s_suppkey", F.col("s_suppkey") + F.lit(k * _SHIFT)
                 )
             elif table == "orders":
                 df = df.withColumn(
