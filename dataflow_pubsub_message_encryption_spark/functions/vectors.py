@@ -33,14 +33,17 @@ def dot(a: Column, b: Column) -> Column:
 
 def dot32(a: Column, b: Column) -> Column:
     """Dot of two raw ``array<float>`` columns accumulated in double —
-    the cast happens per element INSIDE the fold, so callers can ship the
-    4-byte float arrays through a shuffle and still get values identical
-    to ``dot(as_double(a), as_double(b))`` (float32→float64 is exact, and
+    the cast happens per element INSIDE the fold, values identical to
+    ``dot(as_double(a), as_double(b))`` (float32→float64 is exact, and
     the products/accumulation are the same doubles in the same index
-    order). Exists for the self-join ops where the vector rides an
-    exchange: carrying floats instead of pre-cast doubles cuts the
-    carried row width (measured on the embedding-LSH bucket exchange:
-    404.2 → 274.9 compressed B/row — see ``_emb_lsh_pairs_body``)."""
+    order). Use where no exchange needs protecting and no row is
+    re-touched many times (e.g. the recall eval's one-pass brute truth
+    join). For the bucket self-joins the measured winner is instead the
+    regime-aware shape in ``_emb_lsh_pairs_body`` (shuffle regime:
+    float32 through the exchange, 404.2 → 274.9 compressed B/row, one
+    per-ROW cast above it) — per-element casting re-pays the cast per
+    candidate pair (≈ occupancy/2 × corpus evaluations) and measured
+    20% slower at 25× (tools/slope_runs/r14/dot32_cost.log)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -861,40 +861,73 @@ def dedup_embedding_lsh(spark, sf_dir):
     return _emb_lsh_pairs_body(spark, sf_dir, _BLOCK_BITS)
 
 
-def _emb_lsh_pairs_body(spark, sf_dir, bits: int):
+# Below this corpus size the bucket self-join BROADCASTS (n vectors ≈
+# 300 B/row ⇒ ~6 MB at the boundary): there is no bucket exchange at all,
+# and forcing one (an explicit repartition) was measured to COST ~1.2 s of
+# pure overhead at sf0.1 (two REPARTITION_BY_COL shuffles + the broadcast
+# it still does — the explain showed the worst of both). Above it, the
+# join shuffles, and the hybrid below wins. The knob derives from the
+# same bounded count() that sizes the prefix.
+_EMB_BCAST_MAX = 20_000
+
+
+def _emb_lsh_pairs_body(spark, sf_dir, bits: int, n: int | None = None):
     """Shared body of the embedding-LSH near-dup keys: hyperplane sign
     prefix of ``bits`` planes as the blocking key, one bucket equi-self-
     join, per-vector norms precomputed so the pair stage does one fold.
 
-    Shuffle economics (VERDICT r13 item 1, measured before acting):
-    the two self-join branches are the SAME subtree, so the bucket
-    exchange is already a single ReusedExchange — ONE 500-record stage at
-    sf0.01, not two (tools/slope_runs/r14/shuffle_q32_before.log). The
-    re-join-vectors-by-id alternative the fixed key's docstring used to
-    promise was implemented and measured (rejoin_vs_carry.log, same dir):
-    it shuffles the CANDIDATE pairs (Σb²/2 rows ≈ occupancy/2 × corpus —
-    7,781 pairs = 15.6× the 500 corpus rows at sf0.01, ~80× at the auto
-    rule's occupancy target of 160) twice (ids-only by vec_a, then with
-    the a-side vector attached by vec_b) plus the vector table once for
-    the verify joins — 1.59 MB vs this body's 137 KB per execution
-    (11.6×, identical 121-row output) — strictly worse at every scale,
-    so the carry stays. What DOES shrink the one exchange is carried
-    WIDTH: the raw ``array<float>`` rides the shuffle (4 B/elem) and the
-    pair stage casts per element inside the dot fold (``dot32`` —
-    float→double is exact, identical accumulation), measured 404.2 →
-    274.9 compressed B/row (-32%) with oracles unchanged."""
-    from ..functions.vectors import dot32, norm
+    Shuffle economics (VERDICT r13 item 1 — every alternative measured
+    before acting, logs in tools/slope_runs/r14/):
+
+    - The re-join-vectors-by-id shape the fixed key's docstring used to
+      promise was implemented and REJECTED (rejoin_vs_carry.log): it
+      shuffles the CANDIDATE pairs (Σb²/2 ≈ occupancy/2 × corpus —
+      7,781 pairs = 15.6× the 500 corpus rows at sf0.01, ~80× at the
+      auto rule's occupancy target) twice plus the vector table for the
+      verify joins — 1.59 MB vs 137 KB per execution (11.6×, identical
+      output). Carrying the vectors through the bucket exchange wins at
+      every scale.
+    - The carried WIDTH is the real lever: the raw ``array<float>``
+      rides the shuffle (4 B/elem), measured 404.2 → 274.9 compressed
+      B/row (−32%, shuffle_q32_{before,after}.log), one ReusedExchange
+      before and after.
+    - WHERE the float→double cast happens is regime-dependent
+      (dot32_cost.log; float→double is exact, identical accumulation
+      either way, so all three variants are oracle-identical). Casting
+      per ELEMENT inside the pair fold re-pays it per candidate pair —
+      20% slower at 25× (4.18 s vs 3.49 s). Casting once per row above
+      an explicit ``repartition(bucket)`` is fastest when the join
+      SHUFFLES (3.11 s at 25×) but pure loss when it BROADCASTS: at
+      fixture/bench scale Catalyst picks a broadcast join with NO bucket
+      exchange at all, and the forced repartition added ~1.2 s of
+      overhead (two REPARTITION_BY_COL stages + the broadcast it still
+      does). So the body picks its strategy from the same bounded corpus
+      count that sizes the prefix: ≤ ``_EMB_BCAST_MAX`` (or n unknown —
+      the fixed fixture-width key) → declarative plain body, Catalyst
+      broadcasts, pre-cast doubles ride the broadcast; above → explicit
+      bucket repartition anchoring ONE narrow float32 exchange and a
+      single per-row cast above it. Results are law-pinned identical."""
+    from ..functions.vectors import dot, norm
 
     e = load(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        F.col("embedding").alias("emb32"),
-        norm(as_double("embedding")).alias("nrm"),
-        _bucket_bits(as_double("embedding"), bits).alias("bucket"),
-    )
-    x, y = b.alias("x"), b.alias("y")
+    if n is not None and n > _EMB_BCAST_MAX:
+        b = e.select(
+            "vec_id",
+            F.col("embedding").alias("emb32"),
+            norm(as_double("embedding")).alias("nrm"),
+            _bucket_bits(as_double("embedding"), bits).alias("bucket"),
+        ).repartition(F.col("bucket"))
+        bd = b.withColumn("emb", as_double("emb32")).drop("emb32")
+    else:
+        bd = e.select(
+            "vec_id",
+            as_double("embedding").alias("emb"),
+            norm(as_double("embedding")).alias("nrm"),
+            _bucket_bits(as_double("embedding"), bits).alias("bucket"),
+        )
+    x, y = bd.alias("x"), bd.alias("y")
     cs = F.round(
-        dot32(F.col("x.emb32"), F.col("y.emb32"))
+        dot(F.col("x.emb"), F.col("y.emb"))
         / (F.col("x.nrm") * F.col("y.nrm")),
         6,
     )
@@ -969,7 +1002,7 @@ def dedup_embedding_lsh_auto(spark, sf_dir, n_override: int = None):
                 f"fixture-derived _BLOCK_BITS={_BLOCK_BITS} — update the "
                 "frozen oracle to match the regenerated fixture"
             )
-    return _emb_lsh_pairs_body(spark, sf_dir, bits)
+    return _emb_lsh_pairs_body(spark, sf_dir, bits, n=n)
 
 
 def _emb_band_sql(band: int, bits: int) -> str:
@@ -991,31 +1024,46 @@ def _emb_band_sql(band: int, bits: int) -> str:
 _N_EMB_BANDS = 2
 
 
-def _emb_lsh_banded_body(spark, sf_dir, bits: int, n_bands: int = _N_EMB_BANDS):
+def _emb_lsh_banded_body(
+    spark, sf_dir, bits: int, n_bands: int = _N_EMB_BANDS, n: int | None = None
+):
     """OR-amplified embedding-LSH: each band blocks on a DISJOINT
-    hyperplane range and runs the proven one-exchange pair body shape;
-    verified per-band pair sets are unioned and grouped to one row per
-    pair with a band-hit census. Per-band verification beats
-    dedupe-then-verify here for the same reason the carry beats the
-    re-join (see ``_emb_lsh_pairs_body``): grouping candidates first
-    would strip the vectors and force a verify-stage re-join over the
-    candidate multiple of the corpus."""
-    from ..functions.vectors import dot32, norm
+    hyperplane range and runs the proven pair body shape (regime-aware —
+    see ``_emb_lsh_pairs_body``: broadcast below ``_EMB_BCAST_MAX``,
+    narrow float32 bucket exchange above); verified per-band pair sets
+    are unioned and grouped to one row per pair with a band-hit census.
+    Per-band verification beats dedupe-then-verify here for the same
+    reason the carry beats the re-join (see ``_emb_lsh_pairs_body``):
+    grouping candidates first would strip the vectors and force a
+    verify-stage re-join over the candidate multiple of the corpus."""
+    from ..functions.vectors import dot, norm
 
     e = load(spark, sf_dir, "embeddings")
+    shuffle_regime = n is not None and n > _EMB_BCAST_MAX
     bands = []
     for band in range(n_bands):
-        b = e.select(
-            "vec_id",
-            F.col("embedding").alias("emb32"),
-            norm(as_double("embedding")).alias("nrm"),
-            _bucket_bits(as_double("embedding"), bits, band * bits).alias(
-                "bucket"
-            ),
-        )
-        x, y = b.alias("x"), b.alias("y")
+        if shuffle_regime:
+            b = e.select(
+                "vec_id",
+                F.col("embedding").alias("emb32"),
+                norm(as_double("embedding")).alias("nrm"),
+                _bucket_bits(as_double("embedding"), bits, band * bits).alias(
+                    "bucket"
+                ),
+            ).repartition(F.col("bucket"))
+            bd = b.withColumn("emb", as_double("emb32")).drop("emb32")
+        else:
+            bd = e.select(
+                "vec_id",
+                as_double("embedding").alias("emb"),
+                norm(as_double("embedding")).alias("nrm"),
+                _bucket_bits(as_double("embedding"), bits, band * bits).alias(
+                    "bucket"
+                ),
+            )
+        x, y = bd.alias("x"), bd.alias("y")
         cs = F.round(
-            dot32(F.col("x.emb32"), F.col("y.emb32"))
+            dot(F.col("x.emb"), F.col("y.emb"))
             / (F.col("x.nrm") * F.col("y.nrm")),
             6,
         )
@@ -1087,7 +1135,7 @@ def dedup_embedding_lsh_banded(spark, sf_dir, n_override: int = None):
                 f"_BLOCK_BITS={_BLOCK_BITS} — update the frozen oracle to "
                 "match the regenerated fixture"
             )
-    return _emb_lsh_banded_body(spark, sf_dir, bits)
+    return _emb_lsh_banded_body(spark, sf_dir, bits, n=n)
 
 
 @query(

@@ -215,6 +215,42 @@ def test_emb_lsh_banded_one_band_equals_single(spark, sf_dir):
     assert all(r.n_bands == 1 for r in one)
 
 
+def test_emb_lsh_regime_bodies_identical(spark, sf_dir):
+    """The pair body's two execution regimes — declarative broadcast
+    (n <= _EMB_BCAST_MAX / n unknown) and explicit-repartition narrow
+    float32 exchange (above) — must produce identical rows; the regime
+    knob trades plan shape only, never values (float->double is exact,
+    same accumulation order). Forcing the shuffle regime at fixture n
+    pins it where both can run."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _BLOCK_BITS,
+        _emb_lsh_banded_body,
+        _emb_lsh_pairs_body,
+    )
+
+    plain = {
+        tuple(r) for r in _emb_lsh_pairs_body(spark, sf_dir, _BLOCK_BITS).collect()
+    }
+    forced = {
+        tuple(r)
+        for r in _emb_lsh_pairs_body(
+            spark, sf_dir, _BLOCK_BITS, n=10**9
+        ).collect()
+    }
+    assert plain == forced and plain
+    bplain = {
+        tuple(r)
+        for r in _emb_lsh_banded_body(spark, sf_dir, _BLOCK_BITS).collect()
+    }
+    bforced = {
+        tuple(r)
+        for r in _emb_lsh_banded_body(
+            spark, sf_dir, _BLOCK_BITS, n=10**9
+        ).collect()
+    }
+    assert bplain == bforced and bplain
+
+
 def test_emb_lsh_recall_eval_monotone(spark, sf_dir):
     """recall(2 bands) >= recall(1 band), counts consistent with the
     pair keys, and the candidate census adds up."""

@@ -164,13 +164,24 @@ def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
 
 
-def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> None:
+def generate_sf1(
+    spark,
+    sf01_dir: str,
+    out_dir: str,
+    copies: int = _COPIES,
+    tables: tuple = _TABLES,
+) -> None:
     from pyspark.sql import functions as F
 
     # letter rotation is a bijection only for k < 26: beyond that, copy k
     # and copy k-26 share text verbatim and dup clusters silently merge
-    # across copies, contaminating the slope with a data artifact
-    assert copies <= 26, "letter rotation supports at most 26 distinct copies"
+    # across copies, contaminating the slope with a data artifact. The
+    # cap binds only when documents is among the generated tables —
+    # the 100x embeddings-only dir (round 14) uses rotation+negation
+    # laps, distinct up to 2*dim = 128 copies.
+    if "documents" in tables:
+        assert copies <= 26, "letter rotation supports at most 26 distinct copies"
+    assert copies <= 128, "embedding rotation+negation supports at most 128 copies"
 
     lower, upper, digits = (
         string.ascii_lowercase,
@@ -186,7 +197,7 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
     # tables at the NEW multiplier — a silently mixed-scale directory.
     manifest = f"{out_dir}/_copies.json"
     pre_existing = [
-        t for t in _TABLES if os.path.isdir(f"{out_dir}/{t}.parquet")
+        t for t in tables if os.path.isdir(f"{out_dir}/{t}.parquet")
     ]
     if os.path.exists(manifest):
         with open(manifest) as fh:
@@ -213,7 +224,7 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
         # here on leaves a dir that later runs validate, never guess
         with open(manifest, "w") as fh:
             json.dump({"copies": copies, "xform": _XFORM_VERSION}, fh)
-    for table in _TABLES:
+    for table in tables:
         dst = f"{out_dir}/{table}.parquet"
         if os.path.isdir(dst):
             print(json.dumps({"stage": "generate", "table": table,
@@ -244,17 +255,26 @@ def generate_sf1(spark, sf01_dir: str, out_dir: str, copies: int = _COPIES) -> N
                 )
             elif table == "embeddings":
                 dim_probe = len(src.select("embedding").head()["embedding"])
+                # copy k: cyclic dim rotation by k % dim; the second lap
+                # (k >= dim, the 100x path) additionally NEGATES every
+                # component — negation flips every hyperplane sign, a
+                # bucket bijection (occupancy spread preserved), and
+                # cos(-a,-b) = cos(a,b) keeps within-copy dup structure
+                # while cross-lap pairs land at -cos (below any tau)
+                r = k % dim_probe
+                rot = (
+                    F.concat(
+                        F.slice("embedding", r + 1, dim_probe - r),
+                        F.slice("embedding", 1, r),
+                    )
+                    if r
+                    else F.col("embedding")
+                )
+                if k >= dim_probe:
+                    rot = F.transform(rot, lambda x: -x)
                 df = df.withColumn(
                     "vec_id", F.col("vec_id") + F.lit(k * _SHIFT)
-                ).withColumn(
-                    "embedding",
-                    F.concat(
-                        F.slice("embedding", k + 1, dim_probe - k),
-                        F.slice("embedding", 1, k),
-                    )
-                    if k
-                    else F.col("embedding"),
-                )
+                ).withColumn("embedding", rot)
             elif table == "lineitem":
                 df = df.withColumn(
                     "l_orderkey", F.col("l_orderkey") + F.lit(k * _SHIFT)
@@ -349,6 +369,14 @@ def main() -> None:
         "pair with --sf1-dir /tmp/sparkgraft-sf0.3)",
     )
     ap.add_argument(
+        "--tables",
+        default="",
+        help="comma-separated subset of tables to generate at the big "
+        "scale (empty = all of _TABLES); the 100x embeddings-only point "
+        "uses --tables embeddings (documents' letter rotation caps at 26 "
+        "copies, embeddings' rotation+negation laps reach 128)",
+    )
+    ap.add_argument(
         "--warmups",
         type=int,
         default=1,
@@ -381,7 +409,13 @@ def main() -> None:
     bench.ensure_multifile_twin(spark, args.sf01_dir, twin)
 
     os.makedirs(args.sf1_dir, exist_ok=True)
-    generate_sf1(spark, args.sf01_dir, args.sf1_dir, args.copies)
+    gen_tables = (
+        tuple(t for t in args.tables.split(",") if t) if args.tables else _TABLES
+    )
+    unknown = [t for t in gen_tables if t not in _TABLES]
+    if unknown:
+        raise SystemExit(f"--tables names unknown tables: {unknown}")
+    generate_sf1(spark, args.sf01_dir, args.sf1_dir, args.copies, gen_tables)
 
     # both widths of the bits-knob are registered keys now (round 10):
     # the small scale runs the 4-bit registered op, the big scale the
