@@ -379,7 +379,13 @@ def test_single_partition_audit_classifier():
     )
     from explain_all import audit_single_partition
 
-    benign_plan = """(3) Exchange
+    # plans carry the tree-art header the resolver requires since r14
+    # (ADVICE r13: a headerless/unresolvable consumer is NEEDS REVIEW,
+    # never adjacency-classified — pinned separately in test_round14_ops)
+    benign_plan = """HashAggregate (4)
++- Exchange (3)
+
+(3) Exchange
 Input [1]: [min#1L]
 Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
 
@@ -390,7 +396,10 @@ Functions [1]: [min(x#0L)]"""
     t, b, review = audit_single_partition(benign_plan)
     assert (t, b, review) == (1, 1, [])
 
-    trap_plan = """(3) Exchange
+    trap_plan = """Sort (4)
++- Exchange (3)
+
+(3) Exchange
 Input [2]: [a#1L, b#2L]
 Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
 
