@@ -314,6 +314,9 @@ def fail_first_attempt(x):
 
 poison = F.udf(fail_first_attempt, LongType())
 
+from dataflow_pubsub_message_encryption_spark.operators.graph import (
+    connected_components,
+)
 from dataflow_pubsub_message_encryption_spark.operators.scale import _global_rank
 
 out = {}
@@ -329,6 +332,23 @@ for mode in ("clean0", "drill0", "clean1", "drill1"):
     ranked, n = _global_rank(df, "v", "id")
     rows = sorted((r.id, r.rk) for r in ranked.select("id", "rk").collect())
     out[mode] = {"n": n, "digest": hash(tuple(rows)), "head": rows[:3]}
+
+    # second pin-heavy family: the components fixed-point loop (pins
+    # edges/nodes/stats per round) over chain clusters of 5: node i is
+    # linked to i+1 unless i ends a cluster — 200 components of size 5
+    e = spark.range(0, 999, 1, 8).filter((F.col("id") % 5) != 4)
+    pairs = e.select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    if drilled:
+        pairs = pairs.select(poison("doc_a").alias("doc_a"), "doc_b")
+    comp, _rounds = connected_components(pairs)
+    crows = sorted(tuple(r) for r in comp.collect())
+    out[mode + "_cc"] = {
+        "n": len(crows),
+        "digest": hash(tuple(crows)),
+        "head": crows[:3],
+    }
 print(json.dumps(out))
 spark.stop()
 """
@@ -361,10 +381,12 @@ def test_reliable_pin_survives_injected_task_failure(tmp_path):
     assert out["drill0"] == out["clean0"], "default pin: drilled run diverged"
     assert out["drill1"] == out["clean1"], "reliable pin: drilled run diverged"
     assert out["clean0"]["n"] == 1000
+    assert out["drill0_cc"] == out["clean0_cc"], "components: drill diverged"
+    assert out["drill1_cc"] == out["clean1_cc"], "components: drill diverged"
     fired = marker.read_text().count("fired") if marker.exists() else 0
-    assert fired >= 2, (
-        f"injection fired {fired} times — expected >= 2 (once per drilled "
-        "mode); the drill proved nothing"
+    assert fired >= 4, (
+        f"injection fired {fired} times — expected >= 4 (once per drilled "
+        "machinery per mode); the drill proved nothing"
     )
 
 
