@@ -28,78 +28,76 @@ _MODULES = [
 # The driver's correctness gate grades a prefix of the registry (observed in
 # round 1: exactly the first 50 entries, in dict order). Registration order is
 # therefore part of the driver contract, not cosmetics. No query has ever
-# failed the gate (333/333 driver-proven after r13; the r1-r13 artifacts
-# fold to zero never-green keys). The round-14 window leads with this
-# round's new operators (the self-tuning bloom width, VERDICT r13 item 3 —
-# its oracle RE-DERIVES m/k in SQL and exposes them as graded columns —
-# and the 2-band OR-amplified embedding-LSH + its recall-vs-exact-truth
-# eval, VERDICT r13 item 4), then the three keys whose implementation
-# changed this round and must be re-graded rather than coast on r13
-# greens (the embedding-LSH pair body's float32-carry shuffle trim touches
-# both q32-auto and the q11 contrast row; the DSIR mix-shift acceptance
-# product moved to DECIMAL(38,0) per ADVICE r13), then rotates the
-# stalest cohort exactly as VERDICT r13 item 2 orders: 44 of the 46
-# r7-newest keys in COVERAGE.md order (led by pipeline_end_to_end and
-# win_ntile, which yielded their r13 slots to the census fix). 3 + 3 +
-# 44 = 50 slots, zero already-fresh fillers. The 2 r7 keys that didn't
-# fit (scan_agg_pushdown_stats, orders_pareto_class — the cohort's
-# COVERAGE tail) lead the r15 rotation. Every remaining EXACT query
-# follows in module order; oracle-less (ROWS-class) queries always sort
-# last so no graded slot is burned on a `no_oracle` row.
+# failed the gate (336/336 driver-proven after r14; the r1-r14 artifacts
+# fold to zero never-green keys). The round-15 window leads with the two
+# r7-newest rotation-tail keys VERDICT r14 item 2 orders first
+# (scan_agg_pushdown_stats, orders_pareto_class — the only keys whose
+# newest green predates r8), then the six keys whose implementation
+# changed this round and must be re-graded rather than coast: the entire
+# learned-IVF family now assigns through the exact Arrow-matmul stage
+# (_km_assign_arrow, VERDICT r14 item 1 — law-pinned bit-identical to the
+# interpreted fold, oracles unchanged) and the recall eval gained the
+# ADVICE r14 zero-sample guard. Then rotates the stalest cohort: 41 of
+# the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
+# emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
+# tail yields slots to this round's new keys and leads the r16
+# rotation). 2 + 7 + 41 = 50 slots, zero already-fresh fillers. Every
+# remaining EXACT query follows in module order; oracle-less (ROWS-class)
+# queries always sort last so no graded slot is burned on a `no_oracle`
+# row.
 _WINDOW = [
-    # --- round-14 additions ---
-    "join_bloom_prefilter_auto",
-    "dedup_embedding_lsh_banded",
-    "dedup_embedding_lsh_recall_eval",
-    # --- changed implementations (re-grade) ---
-    "dedup_embedding_lsh_auto",  # float32-carry shuffle trim (r13 item 1)
-    "dedup_embedding_lsh",  # same shared body
-    "corpus_dsir_resample_mix_shift",  # DECIMAL acceptance product
-    # --- 44 of the 46-key r7-newest cohort (COVERAGE.md order) ---
-    "pipeline_end_to_end",
-    "win_ntile",
-    "rfm_segmentation",
-    "customer_value_quartiles",
-    "join_asof_forward",
-    "orders_repeat_purchase_curve",
-    "text_interpolated_logprob",
-    "text_heldout_perplexity",
-    "corpus_perplexity_buckets",
-    "text_js_divergence_sources",
-    "text_tfidf_keywords_topk",
-    "dedup_near_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_pairs",
-    "corpus_clean_pipeline",
-    "dedup_containment",
-    "dedup_span_suffix_ladder",
-    "dedup_weighted_jaccard",
-    "dedup_cross_source_matrix",
-    "sim_ann_lsh_topk",
-    "sim_ivf_pq_topk",
-    "sim_ann_index_agreement",
-    "emb_quantization_error",
-    "emb_label_separation_report",
-    "emb_random_projection_distortion",
-    "sim_mmr_diversified_topk",
-    "multimodal_payload_near_dup",
-    "multimodal_frame_scene_match",
-    "split_kfold_assign",
-    "pack_efficiency_report",
-    "dq_distribution_drift_psi",
-    "corpus_quality_rank_fusion",
-    "corpus_ngram_novelty_curve",
-    "dq_referential_integrity_audit",
-    "cdc_upsert_latest",
-    "scd2_as_of_snapshot",
-    "dedup_cluster_components",
-    "events_seasonal_anomaly",
-    "events_user_gini",
-    "events_dau_mau_stickiness",
-    "events_attribution_last_touch",
-    "events_session_bounce_rate",
-    "events_cusum_changepoint",
-    "nation_gmv_trend_slope",
+    # --- r7 rotation tail + round-15 changed implementations ---
+    "scan_agg_pushdown_stats",  # r7 rotation tail (VERDICT r14 item 2)
+    "orders_pareto_class",  # r7 rotation tail
+    "sim_ann_kmeans_ivf_topk_auto_sampled",  # Arrow-matmul assignment (r14 item 1)
+    "sim_ann_kmeans_ivf_topk_auto",  # same Arrow assignment stage
+    "sim_ann_kmeans_ivf_topk",  # same
+    "embedding_index_pipeline",  # same
+    "emb_ivf_cell_balance",  # same + r8-stale
+    "emb_kmeans_elbow_curve",  # same + r8-stale; O(n) inertia re-join
+    "dedup_embedding_lsh_recall_eval",  # ADVICE r14 zero-sample guard
+    # --- 41 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    "envelope_roundtrip",
+    "orders_pareto_abc",
+    "part_name_trigram_search",
+    "join_fuzzy_name_editdist",
+    "text_vocab_build",
+    "text_bigram_colloc",
+    "text_zipf_fit",
+    "text_bm25_topk",
+    "text_kneser_ney_logprob",
+    "text_bm25_prf_expansion",
+    "text_vocab_coverage_oov",
+    "text_hapax_ratio",
+    "dedup_semantic_lexical_agreement",
+    "sim_hybrid_rrf_retrieval",
+    "emb_hard_negative_mining",
+    "sim_ann_ivf_nprobe_curve",
+    "emb_pq_code_balance",
+    "sim_reciprocal_nn",
+    "emb_knn_loo_accuracy",
+    "multimodal_phash_hamming",
+    "split_grouped_holdout",
+    "dq_table_fingerprint",
+    "dq_column_profile",
+    "dq_partition_fingerprint_drill",
+    "dq_freshness_lag",
+    "corpus_filter_attrition_report",
+    "graph_partition_modularity",
+    "graph_community_conductance",
+    "graph_degree_histogram",
+    "corpus_dedup_savings_report",
+    "events_peak_concurrency",
+    "events_markov_stationary",
+    "events_anomaly_mad",
+    "events_acf_lags",
+    "events_ewma_daily",
+    "orders_dow_seasonality_index",
+    "join_interval_overlap_binned",
+    "orders_open_aging_buckets",
+    "window_rolling_median",
+    "profile_key_skew",
+    "agg_heavy_hitters_cms",
 ]
 
 

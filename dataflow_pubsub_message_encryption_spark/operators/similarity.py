@@ -478,7 +478,13 @@ def _km_assign(e_q, cents):
     the exchange — the previous row_number window shuffled and SORTED all
     n*k rows per assign, the dominant train cost once k grows as sqrt(n)
     (the auto key at sf2.5: 50k vectors x 224 cells = 11M rows per
-    assign, 3 assigns per train)."""
+    assign, 3 assigns per train).
+
+    Round 15: the ENGINE now assigns through `_km_assign_arrow` (the
+    r14 100x census measured this interpreted fold at 91% of the
+    sampled-IVF build's cost); this fold is kept as the law-test twin —
+    tests pin fold ≡ Arrow on every (vec_id, cell) at both graded
+    fixtures, which is what lets the Arrow stage claim exactness."""
     cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
     return (
         e_q.join(F.broadcast(cents))
@@ -492,6 +498,75 @@ def _km_assign(e_q, cents):
             ).alias("cell")
         )
         .select("vec_id", "cell")
+    )
+
+
+def _km_assign_arrow(e_q, cents):
+    """Exact Arrow twin of `_km_assign` — the same 6dp-rounded-cosine
+    argmax with the same tie discipline (max cs, then lowest cell id),
+    computed as one vectorized numpy matmul per Arrow batch instead of
+    an interpreted per-(vector, cell) expression fold.
+
+    Why it exists (round 15, VERDICT r14 item 1): the r14 100x census
+    measured the interpreted broadcast-centroid fold at 91% of the
+    sampled-IVF query's cost at 200k vectors (86-96 s of ~95 s) — the
+    fold evaluates a 64-element zip_with/aggregate expression tree n*k
+    times in the interpreter. The prototyped replacement
+    (tools/slope_runs/r14/proto_matmul_assign.py) read 1.5-5.5 s vs
+    73 s — up to 48x — at 200,000/200,000 cell agreement. Hierarchical
+    two-level assignment was prototyped too and LOSES (17.9% agreement:
+    near-isotropic 64-dim embeddings don't cluster hierarchically);
+    this is the exact fix, not an approximation.
+
+    Shape: the trained centroid table is a bounded driver scalar
+    (k <= _KM_AUTO_MAX_K = 4096 rows x 64 components, <= 2 MB) —
+    collected once (driver-scalar, the two-pass idiom) and broadcast
+    as a dense float64 matrix; assignment is then ONE `mapInPandas`
+    pass over the corpus: per Arrow batch a (rows x 64) @ (64 x k)
+    BLAS matmul over the same operands the fold sees (de, and the
+    exactly-representable dequantized centroids cq / _CENT_SCALE, in
+    the same dot/(norm*norm) form), rounded to 6dp; cells are laid out
+    ascending so numpy's first-maximum argmax IS the lowest-cell-id
+    tie-break. No shuffle at all — the fold's map-side max_by exchange
+    disappears; at 100 TB this is an embarrassingly parallel scan with
+    a KB-scale broadcast, the cheapest shape an index-build assignment
+    can have. Law tests pin Arrow ≡ fold bit-identically on every cell
+    at both graded fixtures (tests/test_round15_ops.py), and the
+    unrolled-trajectory oracles of all six consumer keys re-prove the
+    whole training chain cross-engine through the driver gate."""
+    spark = e_q.sparkSession
+    # driver-scalar: k <= 4096 centroid rows (clamped by _km_auto_k /
+    # the label count), ~64 int64 components each.
+    crows = sorted(
+        cents.select("cell", "cq").collect(), key=lambda r: r.cell
+    )
+    cell_ids = np.array([r.cell for r in crows], dtype=np.int64)
+    C = np.array([r.cq for r in crows], dtype=np.float64) / _CENT_SCALE
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((cell_ids, C.T.copy(), c_norm))
+
+    def assign_batches(it):
+        ids, CT, cn = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["de"].tolist(), dtype=np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            sims = np.round((V @ CT) / np.outer(vn, cn), 6)
+            best = sims.argmax(axis=1)  # first max = lowest cell id
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": ids[best]}
+            )
+
+    out = e_q.select("vec_id", "de").mapInPandas(
+        assign_batches, "vec_id long, cell long"
+    )
+    # restore the incoming cell dtype (label-seeded trainers carry int32
+    # cells; vec_id-seeded trainers carry int64) so downstream schemas
+    # are byte-identical to the interpreted fold's.
+    return out.select(
+        F.col("vec_id").cast(e_q.schema["vec_id"].dataType),
+        F.col("cell").cast(cents.schema["cell"].dataType),
     )
 
 
@@ -596,10 +671,10 @@ def sim_ann_kmeans_ivf_topk(spark, sf_dir):
         # lets the trained table's three consumers (final assignment,
         # probe cell ranking, search join) reuse it instead of re-running
         # the whole training lineage.
-        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
-            eager=True
-        )
-    final_assign = _km_assign(e_q, cents)
+        cents = _km_update(
+            _km_assign_arrow(e_q, cents), e_q
+        ).localCheckpoint(eager=True)
+    final_assign = _km_assign_arrow(e_q, cents)
     probe = e_q.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("de").alias("pe")
     )
@@ -1476,10 +1551,10 @@ def embedding_index_pipeline(spark, sf_dir):
         .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
     )
     for _ in range(_KM_ITERS):
-        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
-            eager=True
-        )
-    assign = _km_assign(e_q, cents)
+        cents = _km_update(
+            _km_assign_arrow(e_q, cents), e_q
+        ).localCheckpoint(eager=True)
+    assign = _km_assign_arrow(e_q, cents)
     q = F.transform(as_double("embedding"), lambda x: F.floor(x * 127 + 0.5).cast("int"))
     q8 = e.select(
         "vec_id",
@@ -2925,10 +3000,10 @@ def _km_ivf_auto_body(spark, sf_dir, k: int, nprobe: int, stride: int = 1):
         F.col("vec_id") % stride == 0
     ).localCheckpoint(eager=True)
     for _ in range(_KM_ITERS):
-        cents = _km_update(_km_assign(train, cents), train).localCheckpoint(
-            eager=True
-        )
-    final_assign = _km_assign(e_q, cents)
+        cents = _km_update(
+            _km_assign_arrow(train, cents), train
+        ).localCheckpoint(eager=True)
+    final_assign = _km_assign_arrow(e_q, cents)
     probe = e_q.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("de").alias("pe")
     )
@@ -4291,10 +4366,11 @@ def emb_ivf_cell_balance(spark, sf_dir):
         .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
     )
     for _ in range(_KM_ITERS):
-        cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
-            eager=True
-        )
-    afin = _km_assign(e_q, cents).localCheckpoint()  # shared by 3 consumers
+        cents = _km_update(
+            _km_assign_arrow(e_q, cents), e_q
+        ).localCheckpoint(eager=True)
+    # shared by 3 consumers
+    afin = _km_assign_arrow(e_q, cents).localCheckpoint()
     tot = afin.agg(
         F.count("*").cast("long").alias("n"),
         F.countDistinct("cell").cast("long").alias("k"),
@@ -4578,20 +4654,24 @@ def emb_kmeans_elbow_curve(spark, sf_dir):
             F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
         )
         for _ in range(_KM_ITERS):
-            cents = _km_update(_km_assign(e_q, cents), e_q).localCheckpoint(
-                eager=True
-            )
+            cents = _km_update(
+                _km_assign_arrow(e_q, cents), e_q
+            ).localCheckpoint(eager=True)
+        # Arrow argmax picks the cell; the inertia term cs is then ONE
+        # JVM-side cosine per vector against the assigned centroid
+        # (broadcast k-row join) — O(n) cosine evaluations instead of
+        # the old O(n*k) scored-fold, and the emitted value goes through
+        # the exact same codegen'd cosine + F.round the oracle mirrors.
         cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
-        wfin = Window.partitionBy("vec_id").orderBy(F.desc("cs"), "cell")
         fin = (
-            e_q.join(F.broadcast(cents))
+            _km_assign_arrow(e_q, cents)
+            .join(e_q.select("vec_id", "de"), "vec_id")
+            .join(F.broadcast(cents), "cell")
             .select(
                 "vec_id",
                 "cell",
                 F.round(cosine(F.col("de"), cd), 6).alias("cs"),
             )
-            .withColumn("rn", F.row_number().over(wfin))
-            .filter(F.col("rn") == 1)
         )
         row = fin.agg(
             F.lit(k).cast("long").alias("k"),

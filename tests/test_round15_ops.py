@@ -1,0 +1,116 @@
+"""Round-15 law tests.
+
+The headline change this round is shipping the exact Arrow-matmul
+assignment stage (`similarity._km_assign_arrow`) that the r14 100x
+census motivated (the interpreted broadcast-centroid fold was 91% of
+the sampled-IVF build's cost at 200k vectors; the committed prototype
+read up to 48x at 200,000/200,000 agreement). These tests are the law
+that lets the engine call the swap EXACT:
+
+- fold ≡ Arrow on every (vec_id, cell) at BOTH graded fixtures, for
+  both centroid-seeding shapes the engine uses (vec_id-seeded int64
+  cells and label-seeded int32 cells), at seed centroids AND after a
+  trained round;
+- the full 2-round Lloyd trajectory (integer centroid tables) is
+  bit-identical whether training assigns through the fold or Arrow;
+- output schema (cell dtype) is preserved, so every downstream oracle
+  schema comparison is unchanged.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _e_q(spark, fixture, with_label=False):
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, fixture, "embeddings")
+    cols = [
+        "vec_id",
+        S.as_double("embedding").alias("de"),
+        F.transform(
+            S.as_double("embedding"),
+            lambda x: F.round(x * S._CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ]
+    if with_label:
+        cols.insert(1, F.col("label"))
+    return e.select(*cols).localCheckpoint(eager=True)
+
+
+def _seed_cents_vecid(spark, e_q):
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    n = e_q.count()
+    k = S._km_auto_k(n)
+    return e_q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    )
+
+
+def _seed_cents_label(spark, e_q):
+    seeds = e_q.groupBy("label").agg(F.min("vec_id").alias("sid"))
+    return (
+        seeds.alias("s")
+        .join(e_q.alias("v"), F.col("s.sid") == F.col("v.vec_id"))
+        .select(F.col("s.label").alias("cell"), F.col("v.qe").alias("cq"))
+    )
+
+
+def _assignments(df):
+    return sorted((r.vec_id, r.cell) for r in df.collect())
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+@pytest.mark.parametrize("seeding", ["vecid", "label"])
+def test_km_assign_arrow_equals_fold(spark, fixture, seeding):
+    """Bit-identical cells: Arrow matmul argmax ≡ interpreted fold on
+    every vector, at seed centroids and after one trained round."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    e_q = _e_q(spark, fixture, with_label=(seeding == "label"))
+    cents = (
+        _seed_cents_label(spark, e_q)
+        if seeding == "label"
+        else _seed_cents_vecid(spark, e_q)
+    ).localCheckpoint(eager=True)
+
+    for round_name in ("seed", "trained"):
+        fold = S._km_assign(e_q, cents)
+        arrow = S._km_assign_arrow(e_q, cents)
+        assert _assignments(fold) == _assignments(arrow), (
+            f"{seeding} seeding, {round_name} centroids: Arrow assignment "
+            "diverged from the interpreted fold"
+        )
+        # schema preserved (label-seeded cells stay int32, vec_id int64)
+        assert arrow.schema["cell"].dataType == fold.schema["cell"].dataType
+        assert arrow.schema["vec_id"].dataType == fold.schema["vec_id"].dataType
+        cents = S._km_update(fold, e_q).localCheckpoint(eager=True)
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_km_trained_trajectory_identical(spark, fixture):
+    """The full _KM_ITERS Lloyd trajectory is bit-identical whether the
+    per-round assignment runs through the fold or the Arrow stage —
+    the property that makes the engine-wide swap (train loops included)
+    safe: identical per-vector cells => identical integer centroid sums
+    => identical next-round centroids, inductively."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    e_q = _e_q(spark, fixture)
+    seed = _seed_cents_vecid(spark, e_q).localCheckpoint(eager=True)
+
+    def train(assign_fn):
+        cents = seed
+        for _ in range(S._KM_ITERS):
+            cents = S._km_update(assign_fn(e_q, cents), e_q).localCheckpoint(
+                eager=True
+            )
+        return sorted((r.cell, tuple(r.cq)) for r in cents.collect())
+
+    assert train(S._km_assign) == train(S._km_assign_arrow)
