@@ -33,15 +33,16 @@ _MODULES = [
 # r7-newest rotation-tail keys VERDICT r14 item 2 orders first
 # (scan_agg_pushdown_stats, orders_pareto_class — the only keys whose
 # newest green predates r8), then the six keys whose implementation
-# changed this round and must be re-graded rather than coast: the entire
+# changed this round, then the new target-recall auto-banded key: the
 # learned-IVF family now assigns through the exact Arrow-matmul stage
 # (_km_assign_arrow, VERDICT r14 item 1 — law-pinned bit-identical to the
 # interpreted fold, oracles unchanged) and the recall eval gained the
 # ADVICE r14 zero-sample guard. Then rotates the stalest cohort: 41 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
-# tail yields slots to this round's new keys and leads the r16
-# rotation). 2 + 7 + 41 = 50 slots, zero already-fresh fillers. Every
+# tail (agg_heavy_hitters_cms, compaction_partition_bins) yields
+# slots to this round's new key and leads the r16
+# rotation). 2 + 7 + 1 + 40 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -55,7 +56,8 @@ _WINDOW = [
     "embedding_index_pipeline",  # same
     "emb_ivf_cell_balance",  # same + r8-stale
     "emb_kmeans_elbow_curve",  # same + r8-stale; O(n) inertia re-join
-    "dedup_embedding_lsh_recall_eval",  # ADVICE r14 zero-sample guard
+    "dedup_embedding_lsh_recall_eval",  # ADVICE r14 guard + derived point
+    "dedup_embedding_lsh_banded_auto",  # NEW: target-recall band count
     # --- 41 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
@@ -97,7 +99,6 @@ _WINDOW = [
     "orders_open_aging_buckets",
     "window_rolling_median",
     "profile_key_skew",
-    "agg_heavy_hitters_cms",
 ]
 
 

@@ -1098,6 +1098,65 @@ def _emb_band_sql(band: int, bits: int) -> str:
 
 _N_EMB_BANDS = 2
 
+# Per-bit hyperplane collision probability for a pair AT the verify
+# threshold, in ppm: P[sign agrees] = 1 - acos(tau)/pi (the random-
+# hyperplane LSH collision integral), frozen at round(1e6 * (1 -
+# acos(0.3)/pi)) so NO acos/pi float ever crosses the engine boundary —
+# both the Spark rule and the DuckDB re-derivation start from this one
+# integer (the bloom auto's fixed-point discipline). tau > threshold
+# pairs collide MORE often, so every band-count this derives is a
+# worst-case (threshold-boundary) recall bound.
+_EMB_P_PPM = 596987
+assert _EMB_P_PPM == int(
+    math.floor((1.0 - math.acos(_DEDUP_TAU) / math.pi) * 1e6 + 0.5)
+)
+_EMB_TARGET_RECALL_PPM = 200_000  # R_target = 0.20 at the tau boundary
+_EMB_MAX_BANDS = 4  # candidate-volume ceiling: total verify cost is
+# n_bands x the single-band candidate volume (each band is an
+# independent full blocking trial), so the derived count is capped at
+# 4x the single-band budget — past the cap the honest fix is more bits
+# at more bands (re-budget), not an unbounded recall chase.
+
+
+def _emb_auto_bands(bits: int) -> tuple[int, int, int]:
+    """Band count DERIVED from the target recall (VERDICT r14 item 3 —
+    the embedding family's last hand-set amplification knob): the r14
+    measurement matched the closed form recall(b) = 1 - (1 - r_band)^b
+    (measured 0.236 vs 0.229 at b=2), so invert it:
+    n_bands = ceil(ln(1 - R) / ln(1 - r_band)), r_band = p^bits from
+    the per-bit collision integral. All engine-boundary values are
+    integer fixed-point (ppm / milli, half-up at each single rounding
+    site) so the oracle re-derives them exactly; returns
+    (r_band_ppm, ratio_milli, n_bands)."""
+    r_band_ppm = int(math.floor((_EMB_P_PPM / 1e6) ** bits * 1e6 + 0.5))
+    ratio = math.log(1.0 - _EMB_TARGET_RECALL_PPM / 1e6) / math.log(
+        1.0 - r_band_ppm / 1e6
+    )
+    ratio_milli = int(math.floor(ratio * 1000 + 0.5))
+    n_bands = max(1, min(_EMB_MAX_BANDS, (ratio_milli + 999) // 1000))
+    return r_band_ppm, ratio_milli, n_bands
+
+
+def _emb_deriv_sql(bits: int) -> str:
+    """DuckDB re-derivation of (r_band_ppm, ratio_milli, n_bands_derived)
+    from the same frozen integers — graded result columns, so a drifted
+    rule fails the driver gate (the `join_bloom_prefilter_auto`
+    pattern). Verified identical to the Python rule at every clamp-range
+    bits value (tests/test_round15_ops.py)."""
+    return f"""
+      SELECT r_band_ppm, ratio_milli,
+             CAST(LEAST({_EMB_MAX_BANDS}, GREATEST(1,
+                        (ratio_milli + 999) // 1000)) AS BIGINT)
+               AS n_bands_derived
+      FROM (
+        SELECT r_band_ppm,
+               CAST(floor(ln(1.0 - {_EMB_TARGET_RECALL_PPM}.0/1000000)
+                          / ln(1.0 - CAST(r_band_ppm AS DOUBLE)/1000000)
+                          * 1000 + 0.5) AS BIGINT) AS ratio_milli
+        FROM (SELECT CAST(floor(pow({_EMB_P_PPM}.0/1000000, {bits})
+                                * 1000000 + 0.5) AS BIGINT) AS r_band_ppm)
+      )"""
+
 
 def _emb_lsh_banded_body(
     spark, sf_dir, bits: int, n_bands: int = _N_EMB_BANDS, n: int | None = None
@@ -1214,6 +1273,76 @@ def dedup_embedding_lsh_banded(spark, sf_dir, n_override: int = None):
 
 
 @query(
+    "dedup_embedding_lsh_banded_auto",
+    f"""
+    WITH deriv AS ({_emb_deriv_sql(_BLOCK_BITS)}),
+    pairs AS (
+      SELECT vec_a, vec_b, CAST(count(*) AS BIGINT) AS n_band_hits,
+             max(cos_sim) AS cos_sim
+      FROM ({_emb_band_sql(0, _BLOCK_BITS)}
+            UNION ALL {_emb_band_sql(1, _BLOCK_BITS)})
+      GROUP BY 1, 2
+    )
+    SELECT p.vec_a, p.vec_b, p.n_band_hits, p.cos_sim,
+           d.r_band_ppm, d.ratio_milli, d.n_bands_derived
+    FROM pairs p, deriv d
+    """,
+)
+def dedup_embedding_lsh_banded_auto(spark, sf_dir, n_override: int = None):
+    """OR-amplified embedding-LSH with the band count DERIVED from a
+    target recall (VERDICT r14 item 3) — closing the embedding family's
+    last hand-set amplification knob. The fixed key pins n_bands=2 by
+    fiat; the minhash family already derives (b, r) from tau. Here the
+    r14 recall eval's measurement (0.236 observed vs 0.229 closed-form
+    at 2 bands) justifies inverting the closed form: n_bands =
+    ceil(ln(1-R)/ln(1-r_band)) with r_band = p^bits from the per-bit
+    collision integral p = 1 - acos(tau)/pi, clamped by the
+    {_EMB_MAX_BANDS}-band candidate-volume ceiling (cost is linear in
+    bands). Every engine-boundary value is integer fixed-point
+    (_EMB_P_PPM ppm -> r_band_ppm ppm -> ratio_milli milli -> ceil-div,
+    all positive so Spark DIV ≡ DuckDB //), and the oracle RE-DERIVES
+    all three as graded result columns — a drifted rule fails the
+    driver gate, not just a census (the `join_bloom_prefilter_auto`
+    pattern). At fixture bits={_BLOCK_BITS} the rule derives r_band_ppm
+    127016, ratio 1.643, n_bands 2, so the pair oracle IS the frozen
+    2x{_BLOCK_BITS}-bit SQL (drift-guarded below) and the law test pins
+    auto ≡ the fixed 2-band key on every pair. Pair census column is
+    `n_band_hits` (which bands surfaced the pair) to keep it distinct
+    from the derived count.
+
+    Scale shape: identical to `dedup_embedding_lsh_banded` at the
+    derived count — n_bands x the measured single-band cost (one
+    274.9 B/row float32-carry exchange per band, ids+cos-only merge).
+    As the width rule grows bits with n (occupancy-constant), per-band
+    recall falls and the derivation walks the band count up until the
+    volume ceiling binds — the recall/cost trade is now a POLICY
+    (R_target, ceiling) instead of two per-scale hand tunings."""
+    e = load(spark, sf_dir, "embeddings")
+    n = n_override if n_override is not None else e.count()
+    bits = _grb_auto_bits(n)
+    r_band_ppm, ratio_milli, n_bands = _emb_auto_bands(bits)
+    if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if bits != _BLOCK_BITS or n_bands != _N_EMB_BANDS:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings, deriving "
+                f"bits={bits}, n_bands={n_bands}, but the oracle SQL is "
+                f"frozen at {_N_EMB_BANDS}x{_BLOCK_BITS}-bit — update the "
+                "frozen oracle to match the regenerated fixture"
+            )
+    return _emb_lsh_banded_body(
+        spark, sf_dir, bits, n_bands=n_bands, n=n
+    ).select(
+        "vec_a",
+        "vec_b",
+        F.col("n_bands").alias("n_band_hits"),
+        "cos_sim",
+        F.lit(r_band_ppm).cast("long").alias("r_band_ppm"),
+        F.lit(ratio_milli).cast("long").alias("ratio_milli"),
+        F.lit(n_bands).cast("long").alias("n_bands_derived"),
+    )
+
+
+@query(
     "dedup_embedding_lsh_recall_eval",
     f"""
     WITH truth AS (
@@ -1245,7 +1374,8 @@ def dedup_embedding_lsh_banded(spark, sf_dir, n_override: int = None):
     p2 AS (SELECT count(*) AS c FROM (
              SELECT DISTINCT vec_a, vec_b
              FROM ({_emb_band_sql(0, _BLOCK_BITS)}
-                   UNION ALL {_emb_band_sql(1, _BLOCK_BITS)})))
+                   UNION ALL {_emb_band_sql(1, _BLOCK_BITS)}))),
+    deriv AS ({_emb_deriv_sql(_BLOCK_BITS)})
     SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
            CAST((SELECT c FROM cand0) AS BIGINT) AS n_cand_1band,
            CAST((SELECT c FROM cand0) + (SELECT c FROM cand1) AS BIGINT)
@@ -1253,9 +1383,21 @@ def dedup_embedding_lsh_banded(spark, sf_dir, n_override: int = None):
            CAST((SELECT c FROM p1) AS BIGINT) AS n_pairs_1band,
            CAST((SELECT c FROM p2) AS BIGINT) AS n_pairs_2band,
            round(CAST((SELECT c FROM p1) AS DOUBLE)
-                 / (SELECT count(*) FROM truth), 6) AS recall_1band,
+                 / GREATEST((SELECT count(*) FROM truth), 1), 6)
+             AS recall_1band,
            round(CAST((SELECT c FROM p2) AS DOUBLE)
-                 / (SELECT count(*) FROM truth), 6) AS recall_2band
+                 / GREATEST((SELECT count(*) FROM truth), 1), 6)
+             AS recall_2band,
+           d.n_bands_derived,
+           CAST(CASE WHEN d.n_bands_derived = 1 THEN (SELECT c FROM p1)
+                     ELSE (SELECT c FROM p2) END AS BIGINT)
+             AS n_pairs_derived,
+           round(CAST(CASE WHEN d.n_bands_derived = 1
+                           THEN (SELECT c FROM p1)
+                           ELSE (SELECT c FROM p2) END AS DOUBLE)
+                 / GREATEST((SELECT count(*) FROM truth), 1), 6)
+             AS recall_derived
+    FROM deriv d
     """,
 )
 def dedup_embedding_lsh_recall_eval(spark, sf_dir):
@@ -1271,7 +1413,19 @@ def dedup_embedding_lsh_recall_eval(spark, sf_dir):
     rate. The ground-truth side is the O(n²) brute pass — an EVALUATION
     op, run on a sample at 100 TB by design; the measured pipeline
     stays the banded cascade (the minhash family's convention,
-    `dedup_lsh_recall_eval`)."""
+    `dedup_lsh_recall_eval`). Degenerate-sample semantics (ADVICE r14):
+    a sample with ZERO true pairs reports recall = 0.0 in both engines
+    (GREATEST(n_true, 1) guards the division; verified ⊆ truth forces
+    the numerators to 0) instead of erroring the whole report.
+
+    Round 15: the eval also GRADES THE DERIVED POINT — it re-derives
+    the target-recall band count (`_emb_auto_bands` at this eval's
+    frozen width; the oracle re-derives it in SQL from the same frozen
+    integers) and reports (n_bands_derived, n_pairs_derived,
+    recall_derived), so the driver gate proves the derivation lands on
+    a measured point and what recall that policy actually buys
+    (fixture: 2 bands, recall 0.236 vs the 0.229 closed form the rule
+    inverts)."""
     from ..functions.vectors import dot32, norm
 
     e = load(spark, sf_dir, "embeddings")
@@ -1304,6 +1458,16 @@ def dedup_embedding_lsh_recall_eval(spark, sf_dir):
 
     one = _emb_lsh_pairs_body(spark, sf_dir, _BLOCK_BITS)
     two = _emb_lsh_banded_body(spark, sf_dir, _BLOCK_BITS)
+    # the derived point, at this eval's frozen width: pure constants
+    # (no corpus count crosses the derivation), so nb is deterministic
+    # and the measured 1-/2-band sets already cover it.
+    _, _, nb = _emb_auto_bands(_BLOCK_BITS)
+    if nb > 2:
+        raise ValueError(
+            f"derivation constants drifted: _emb_auto_bands({_BLOCK_BITS}) "
+            f"= {nb} bands but this eval measures 1- and 2-band points — "
+            "extend the measured set to cover the derived point"
+        )
     n_true = truth.agg(F.count("*").alias("n_true"))
     c0 = cand(0).agg(F.count("*").alias("n_cand_1band"))
     c1 = cand(1).agg(F.count("*").alias("c1"))
@@ -1320,12 +1484,31 @@ def dedup_embedding_lsh_recall_eval(spark, sf_dir):
             (F.col("n_cand_1band") + F.col("c1")).alias("n_cand_2band"),
             "n_pairs_1band",
             "n_pairs_2band",
+            # GREATEST(n_true, 1) in BOTH engines (ADVICE r14): at 100 TB
+            # this eval runs on a sample, and a sample with zero true
+            # pairs must read recall = 0.0 (verified ⊆ truth forces the
+            # numerator to 0 too), not error or null the report row.
             F.round(
-                F.col("n_pairs_1band").cast("double") / F.col("n_true"), 6
+                F.col("n_pairs_1band").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
             ).alias("recall_1band"),
             F.round(
-                F.col("n_pairs_2band").cast("double") / F.col("n_true"), 6
+                F.col("n_pairs_2band").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
             ).alias("recall_2band"),
+            F.lit(nb).cast("long").alias("n_bands_derived"),
+            F.col(
+                "n_pairs_1band" if nb == 1 else "n_pairs_2band"
+            ).alias("n_pairs_derived"),
+            F.round(
+                F.col(
+                    "n_pairs_1band" if nb == 1 else "n_pairs_2band"
+                ).cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("recall_derived"),
         )
     )
 

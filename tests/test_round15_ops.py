@@ -114,3 +114,76 @@ def test_km_trained_trajectory_identical(spark, fixture):
         return sorted((r.cell, tuple(r.cq)) for r in cents.collect())
 
     assert train(S._km_assign) == train(S._km_assign_arrow)
+
+
+# --- target-recall band derivation (VERDICT r14 item 3) ---
+
+
+def test_emb_auto_bands_rule_points():
+    """Fixed points of the derivation: fixture width lands exactly on
+    the r14-measured configuration; the candidate-volume ceiling binds
+    once per-band recall collapses with width."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    # fixture width: r_band 0.127016, ratio 1.643 -> 2 bands (the
+    # measured 0.236-recall point the closed form predicted at 0.229)
+    assert S._emb_auto_bands(4) == (127016, 1643, 2)
+    assert S._emb_auto_bands(5)[2] == 3
+    # ceiling: bits=6 derives 5 bands, clamped to _EMB_MAX_BANDS
+    assert S._emb_auto_bands(6)[2] == S._EMB_MAX_BANDS == 4
+    assert S._emb_auto_bands(16)[2] == 4
+    # derived count never drops below one full blocking trial
+    for bits in range(4, 17):
+        assert 1 <= S._emb_auto_bands(bits)[2] <= S._EMB_MAX_BANDS
+
+
+def test_emb_deriv_sql_matches_python():
+    """The oracle's SQL re-derivation is integer-identical to the
+    engine rule at EVERY width the clamp admits — the property that
+    makes (r_band_ppm, ratio_milli, n_bands_derived) safe to grade as
+    result columns."""
+    import duckdb
+
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    con = duckdb.connect()
+    for bits in range(4, 17):
+        row = con.execute(S._emb_deriv_sql(bits)).fetchone()
+        assert tuple(row[:2]) + (row[2],) == S._emb_auto_bands(bits), bits
+
+
+def test_emb_banded_auto_equals_fixed(spark, sf_dir):
+    """auto(R_target at fixture) ≡ the fixed 2-band key on every pair,
+    with the derived-parameter columns constant at the rule's fixture
+    point."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    fixed = {
+        (r.vec_a, r.vec_b, r.n_bands, r.cos_sim)
+        for r in queries["dedup_embedding_lsh_banded"](spark, sf_dir).collect()
+    }
+    auto_rows = queries["dedup_embedding_lsh_banded_auto"](
+        spark, sf_dir
+    ).collect()
+    auto = {
+        (r.vec_a, r.vec_b, r.n_band_hits, r.cos_sim) for r in auto_rows
+    }
+    assert auto == fixed
+    assert {
+        (r.r_band_ppm, r.ratio_milli, r.n_bands_derived) for r in auto_rows
+    } == {(127016, 1643, 2)}
+
+
+def test_emb_recall_eval_grades_derived_point(spark, sf_dir):
+    """The extended recall eval's derived point is the 2-band
+    measurement: n_pairs_derived/recall_derived equal the 2-band
+    columns and n_bands_derived matches the rule."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    row = queries["dedup_embedding_lsh_recall_eval"](spark, sf_dir).collect()[0]
+    assert row.n_bands_derived == 2
+    assert row.n_pairs_derived == row.n_pairs_2band
+    assert row.recall_derived == row.recall_2band
+    assert row.recall_2band >= row.recall_1band
