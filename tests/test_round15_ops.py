@@ -187,3 +187,115 @@ def test_emb_recall_eval_grades_derived_point(spark, sf_dir):
     assert row.n_pairs_derived == row.n_pairs_2band
     assert row.recall_derived == row.recall_2band
     assert row.recall_2band >= row.recall_1band
+
+
+# --- VERDICT r14 item 5: the mid-pin failure drill, suffix family ---
+
+_SUFFIX_PIN_DRILL = r"""
+import json, os, sys
+
+sys.path.insert(0, os.getcwd())  # repo root (the runner's cwd)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# local[6, 2]: task retries enabled — see the r14 drill's rationale.
+spark = (
+    SparkSession.builder.master("local[6, 2]")
+    .appName("suffix-pin-drill")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.setCheckpointDir(sys.argv[1])
+MARKER = sys.argv[2]
+SF_DIR = sys.argv[3]
+
+
+def fail_first_attempt(x):
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.partitionId() == 3 and ctx.attemptNumber() == 0:
+        with open(MARKER, "a") as fh:
+            fh.write("fired\n")
+        raise RuntimeError("injected task loss (attempt 0, partition 3)")
+    return x
+
+
+poison = F.udf(fail_first_attempt, LongType())
+
+from dataflow_pubsub_message_encryption_spark.operators import dedup as D
+
+real_load = D.load
+
+
+def poisoned_load(spark_, sf_dir_, table):
+    # 8 scan partitions so the poisoned partition 3 exists, then the
+    # poison column rides the documents table through the WHOLE
+    # doubling ladder: every job that re-evaluates the scan (the base
+    # pin, the per-round pair pins, the adjacency text joins) re-fires
+    # the first-attempt failure mid-materialization.
+    df = real_load(spark_, sf_dir_, table)
+    if table == "documents":
+        rest = [c for c in df.columns if c != "doc_id"]
+        df = df.repartition(8).select(
+            poison("doc_id").alias("doc_id"), *rest
+        )
+    return df
+
+
+out = {}
+for mode in ("clean0", "drill0", "clean1", "drill1"):
+    os.environ["SPARK_GRAFT_RELIABLE_PIN"] = "1" if mode.endswith("1") else "0"
+    D.load = poisoned_load if mode.startswith("drill") else real_load
+    rows = sorted(
+        tuple(r) for r in D.dedup_span_suffix_doubling(spark, SF_DIR).collect()
+    )
+    out[mode] = {"n": len(rows), "digest": hash(tuple(rows)), "head": rows[:3]}
+D.load = real_load
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def test_suffix_ladder_survives_injected_task_failure(tmp_path):
+    """VERDICT r14 item 5: the r14 drill proved generic pin + the
+    components loop; this parameterizes the SAME injected-first-attempt
+    failure over the most pin-heavy operator — the suffix-doubling
+    ladder (a pin per doubling round, and the merge-hinted joins that
+    were the r10 broadcast-hazard's original site) — under both pin
+    modes, asserting results identical to the clean runs."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "suffix_drill.py"
+    script.write_text(_SUFFIX_PIN_DRILL)
+    marker = tmp_path / "injections.log"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(script),
+            str(tmp_path / "ckpt"),
+            str(marker),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["clean0"]["n"] == 500  # every fixture doc reported
+    assert out["drill0"] == out["clean0"], "default pin: drill diverged"
+    assert out["drill1"] == out["clean1"], "reliable pin: drill diverged"
+    assert out["clean1"] == out["clean0"], "pin modes disagree"
+    fired = marker.read_text().count("fired") if marker.exists() else 0
+    assert fired >= 2, (
+        f"injection fired {fired} times — expected >= 1 per drilled mode; "
+        "the drill proved nothing"
+    )
