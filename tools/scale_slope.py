@@ -124,6 +124,11 @@ MIX = [
     # ...and the 2-band OR-amplified embedding LSH (2x the q32 band cost
     # for the measured recall lift)
     ("q34_embedding_lsh_banded", "dedup_embedding_lsh_banded"),
+    # round 15 (VERDICT r14 item 3): the target-recall auto-banded key —
+    # at every scale the rule re-derives (bits from n, bands from R);
+    # its cost should track q34 wherever both derive 2 bands and the
+    # volume-ceiling clamp binds at wide bits
+    ("q35_embedding_lsh_banded_auto", "dedup_embedding_lsh_banded_auto"),
     ("q20_weighted_jaccard", "dedup_weighted_jaccard"),
     ("q28_kmeans_ivf_auto", "sim_ann_kmeans_ivf_topk_auto"),
     # the sample-capped train twin (stride = n//(8k) derived from the same
@@ -154,14 +159,47 @@ _SCALED_BITS = {"small": 4, "big": 7}  # log2(10×) ≈ +3.3 bits
 _TABLES = ("documents", "embeddings", "lineitem", "orders", "events", "supplier")
 
 # transform version: bumped whenever a _TABLES transform changes shape
-# (r14: supplier added + l_suppkey co-shift). A dir generated under a
-# different version must never be silently measured — same failure class
-# as a copies mismatch (mixed-scale directory), enforced via the manifest.
-_XFORM_VERSION = 2
+# (r14: supplier added + l_suppkey co-shift; r15: documents extended past
+# 26 copies with the dihedral lap). A dir generated under a different
+# version must never be silently measured — same failure class as a
+# copies mismatch (mixed-scale directory), enforced via the manifest.
+_XFORM_VERSION = 3
 
 
 def _rot(s: str, k: int) -> str:
     return s[k:] + s[:k]
+
+
+def _doc_perm(k: int) -> tuple[str, str]:
+    """Per-copy character bijection for the documents table, as a
+    (src, dst) pair for ``translate`` — VERDICT r14 item 4's ≥50x
+    document decade. Copies 0..25 are the original letter/digit
+    ROTATIONS; copies 26..51 are the SECOND lap: the same rotations
+    composed with the alphabet REFLECTION (together the dihedral group
+    D26 — 52 distinct permutations). Any character bijection preserves
+    within-copy dup structure EXACTLY (s == t  <=>  perm(s) == perm(t),
+    character-wise, so shingle sets, suffix spans, LCP lengths and span
+    clusters are invariant — the law tests/test_round15_ops.py pins);
+    cross-copy collisions need every char of a span fixed under
+    perm_j^-1 ∘ perm_k, and a non-identity dihedral element fixes at
+    most 2 letters — so >=3-distinct-char spans never collide across
+    copies. Digits ride the same family at period 10."""
+    lower, upper, digits = (
+        string.ascii_lowercase,
+        string.ascii_uppercase,
+        string.digits,
+    )
+    assert 0 <= k < 52, "documents transform supports at most 52 copies"
+    if k < 26:
+        dst = _rot(lower, k) + _rot(upper, k) + _rot(digits, k % 10)
+    else:
+        j = k - 26
+        dst = (
+            _rot(lower[::-1], j)
+            + _rot(upper[::-1], j)
+            + _rot(digits[::-1], j % 10)
+        )
+    return lower + upper + digits, dst
 
 
 def generate_sf1(
@@ -173,21 +211,17 @@ def generate_sf1(
 ) -> None:
     from pyspark.sql import functions as F
 
-    # letter rotation is a bijection only for k < 26: beyond that, copy k
-    # and copy k-26 share text verbatim and dup clusters silently merge
+    # documents caps at the 52 distinct dihedral permutations (_doc_perm:
+    # 26 rotations + 26 reflected rotations — r15's second lap, the
+    # document analog of the embeddings' rotation+negation lap); beyond
+    # that, copies share a permutation and dup clusters silently merge
     # across copies, contaminating the slope with a data artifact. The
-    # cap binds only when documents is among the generated tables —
-    # the 100x embeddings-only dir (round 14) uses rotation+negation
-    # laps, distinct up to 2*dim = 128 copies.
+    # cap binds only when documents is among the generated tables — the
+    # 100x embeddings-only dir uses rotation+negation laps, distinct up
+    # to 2*dim = 128 copies.
     if "documents" in tables:
-        assert copies <= 26, "letter rotation supports at most 26 distinct copies"
+        assert copies <= 52, "dihedral lap supports at most 52 distinct copies"
     assert copies <= 128, "embedding rotation+negation supports at most 128 copies"
-
-    lower, upper, digits = (
-        string.ascii_lowercase,
-        string.ascii_uppercase,
-        string.digits,
-    )
     # copies manifest: a dir generated at one multiplier must never be
     # silently measured at another (--copies 3 against a leftover
     # 10-copy dir would label sf1 numbers as sf0.3). Written BEFORE any
@@ -243,15 +277,11 @@ def generate_sf1(
         for k in range(copies):
             df = src
             if table == "documents":
+                src_chars, dst_chars = _doc_perm(k)
                 df = df.withColumn(
                     "doc_id", F.col("doc_id") + F.lit(k * _SHIFT)
                 ).withColumn(
-                    "text",
-                    F.translate(
-                        "text",
-                        lower + upper + digits,
-                        _rot(lower, k) + _rot(upper, k) + _rot(digits, k),
-                    ),
+                    "text", F.translate("text", src_chars, dst_chars)
                 )
             elif table == "embeddings":
                 dim_probe = len(src.select("embedding").head()["embedding"])
