@@ -136,6 +136,14 @@ HEADLINE = [
     # prices the second band).
     ("q33_bloom_auto", "join_bloom_prefilter_auto"),
     ("q34_embedding_lsh_banded", "dedup_embedding_lsh_banded"),
+    # round-15 mix extension (legacy subtotals stay comparable —
+    # additions only): the target-recall auto-banded embedding-LSH
+    # beside the fixed 2-band q34 it derives from. At sf0.1 both derive
+    # the same 2x4-bit configuration, so the in-mix delta vs q34 prices
+    # the derivation arithmetic (~free) — while at 25x the rule walks to
+    # 4 bands against the volume ceiling (the recall policy's cost,
+    # measured in the slope census instead).
+    ("q35_embedding_lsh_banded_auto", "dedup_embedding_lsh_banded_auto"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

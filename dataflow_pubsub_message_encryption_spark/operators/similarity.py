@@ -642,14 +642,17 @@ def sim_ann_kmeans_ivf_topk(spark, sf_dir):
     come from the data, not the metadata.
 
     Every Lloyd round is assignment (broadcast K centroids, argmax of
-    6dp-rounded cosine, cell tie-break) + update (integer component sums,
-    one floored double division — see the fixed-point block comment). The
-    oracle unrolls all rounds as chained CTEs, so the entire training
-    trajectory is value-checked cross-engine. At 100 TB: K centroids are a
-    broadcast dimension (KB-scale); each round is one narrow map + one
-    partial-aggregating shuffle keyed by (cell, pos); assignment state
-    never leaves the executors; the trained cell id becomes the partition
-    key so a probe reads nprobe/K of the data."""
+    6dp-rounded cosine, cell tie-break — since round 15 the exact
+    Arrow-matmul stage `_km_assign_arrow`, law-pinned bit-identical to
+    the interpreted fold) + update (integer component sums, one floored
+    double division — see the fixed-point block comment). The oracle
+    unrolls all rounds as chained CTEs, so the entire training
+    trajectory is value-checked cross-engine. At 100 TB: K centroids are
+    a broadcast dimension (KB-scale); each round is one embarrassingly
+    parallel Arrow scan + one partial-aggregating shuffle keyed by
+    (cell, pos); assignment state never leaves the executors; the
+    trained cell id becomes the partition key so a probe reads nprobe/K
+    of the data."""
     e = load(spark, sf_dir, "embeddings")
     e_q = e.select(
         "vec_id",
@@ -3274,8 +3277,9 @@ def sim_ann_kmeans_ivf_topk_auto(spark, sf_dir, n_override: int = None):
     ``n_override`` exists for the law tests only.
 
     Scale shape: identical to `sim_ann_kmeans_ivf_topk` — per round one
-    broadcast-centroid argmax + one (cell, pos)-keyed partial-agg
-    shuffle; plus the one extra corpus count (the two-pass idiom).
+    broadcast-centroid Arrow-matmul assignment (round 15) + one
+    (cell, pos)-keyed partial-agg shuffle; plus the one extra corpus
+    count (the two-pass idiom).
 
     PRODUCTION BUILD: use `sim_ann_kmeans_ivf_topk_auto_sampled` — its
     stride-sampled Lloyd train is O(n) where this full-corpus train is
@@ -3386,10 +3390,14 @@ def sim_ann_kmeans_ivf_topk_auto_sampled(spark, sf_dir, n_override: int = None):
 
     Scale shape: the train iterations shuffle only the ~8k-row sample;
     the one full-corpus stage per build is the final broadcast-centroid
-    argmax (map-side `max_by` collapse, §17) — exactly the index-build
-    pass a 100 TB deployment pays anyway. THIS is the production IVF
-    build; `sim_ann_kmeans_ivf_topk_auto` is kept as the full-train
-    contrast row (VERDICT r12 item 3)."""
+    assignment — since round 15 the exact Arrow-matmul stage
+    (`_km_assign_arrow`): the r14 100x census measured the previous
+    interpreted max_by fold at 91% of this query's cost at 200k vectors
+    (SCALING.md §19-20), and the swap removes that term at 100%
+    agreement. Exactly the index-build pass a 100 TB deployment pays
+    anyway, now one embarrassingly parallel Arrow scan. THIS is the
+    production IVF build; `sim_ann_kmeans_ivf_topk_auto` is kept as the
+    full-train contrast row (VERDICT r12 item 3)."""
     e = load(spark, sf_dir, "embeddings")
     n = n_override if n_override is not None else e.count()
     if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
@@ -4818,10 +4826,12 @@ def emb_kmeans_elbow_curve(spark, sf_dir):
     picks its probe count. The oracle unrolls all THREE training chains
     as MATERIALIZED CTEs, so every Lloyd round of every k is
     value-checked cross-engine. Scale shape: per k, each round is one
-    broadcast-centroid argmax + one (cell, pos)-keyed partial-agg
-    shuffle; the sweep is 3 independent chains (embarrassingly parallel
-    across k at cluster scale); the output is 3 rows. Cost scales with
-    k·rounds, not k²."""
+    broadcast-centroid Arrow-matmul assignment (round 15) + one
+    (cell, pos)-keyed partial-agg shuffle; the inertia term is an O(n)
+    per-vector cosine re-join against the assigned centroid instead of
+    the old O(n·k) scored fold; the sweep is 3 independent chains
+    (embarrassingly parallel across k at cluster scale); the output is
+    3 rows. Cost scales with k·rounds, not k²."""
     e = load(spark, sf_dir, "embeddings")
     e_q = e.select(
         "vec_id",
