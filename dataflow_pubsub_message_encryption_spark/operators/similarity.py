@@ -535,11 +535,10 @@ def _km_assign_arrow(e_q, cents):
     unrolled-trajectory oracles of all six consumer keys re-prove the
     whole training chain cross-engine through the driver gate."""
     spark = e_q.sparkSession
-    # driver-scalar: k <= 4096 centroid rows (clamped by _km_auto_k /
-    # the label count), ~64 int64 components each.
-    crows = sorted(
-        cents.select("cell", "cq").collect(), key=lambda r: r.cell
-    )
+    # bounded by construction: k <= 4096 centroid rows (clamped by
+    # _km_auto_k / the label count), ~64 int64 components each — <=2 MB.
+    rows = cents.select("cell", "cq").collect()  # driver-bounded: k<=4096
+    crows = sorted(rows, key=lambda r: r.cell)
     cell_ids = np.array([r.cell for r in crows], dtype=np.int64)
     C = np.array([r.cq for r in crows], dtype=np.float64) / _CENT_SCALE
     c_norm = np.sqrt((C * C).sum(axis=1))

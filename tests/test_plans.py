@@ -92,10 +92,16 @@ def test_no_collect_in_engine_code():
     for py in pkg.rglob("*.py"):
         for line in py.read_text().splitlines():
             if ".collect()" in line or ".toPandas()" in line:
-                # the one sanctioned exception: a single-scalar aggregate
-                # fetched for an iterative fixed-point convergence check,
-                # explicitly marked. Anything unmarked is an offender.
+                # two sanctioned exceptions, both explicitly marked:
+                # a single-scalar aggregate fetched for an iterative
+                # fixed-point convergence check (# driver-scalar), and a
+                # table bounded by construction (# driver-bounded — e.g.
+                # the <=4096-row centroid matrix the Arrow assignment
+                # stage broadcasts, round 15). Anything unmarked is an
+                # offender.
                 if "# driver-scalar" in line and ".agg(" in line:
+                    continue
+                if "# driver-bounded" in line:
                     continue
                 offenders.append(f"{py}: {line.strip()}")
     assert not offenders, f"driver-side materialization in: {offenders}"

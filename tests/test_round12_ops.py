@@ -506,9 +506,12 @@ def test_sampled_ivf_plan_is_nested_loop_free_and_broadcasts_centroids(
     Q, _ = registry()
     plan = formatted_plan(Q["sim_ann_kmeans_ivf_topk_auto_sampled"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    # the final argmax collapses map-side: a partial_max_by must appear
-    # before the exchange (the round-12 window->max_by rewrite)
-    assert "partial_max_by" in plan or "max_by" in plan
+    # round 15: the final assignment is the exact Arrow-matmul stage —
+    # a MapInPandas directly over the checkpointed scan with NO exchange
+    # of its own (it replaced the round-12 max_by fold, which this test
+    # used to pin; the fold survives as the law-test twin)
+    assert "MapInPandas" in plan
+    assert "max_by" not in plan
 
 
 # --- property tests: the derivation rules' invariants -------------------------
