@@ -409,3 +409,46 @@ def test_doc_perm_cross_copy_spans_never_collide():
             continue
         images = {s.translate(t) for t in tabs}
         assert len(images) == 52, "cross-copy span collision"
+
+
+@pytest.mark.parametrize("shape", ["multibatch", "skewed_empty"])
+def test_km_assign_arrow_multibatch_and_empty_partitions(spark, shape):
+    """The fixtures exercise ONE Arrow batch; the scale path is many
+    batches across many partitions (and mapInPandas can hand the UDF
+    empty iterators on empty partitions). Pin fold ≡ Arrow on a
+    synthetic corpus large enough for multiple Arrow batches per task
+    quota (30k vectors, 64 partitions) and on a 3-key skew repartition
+    that leaves 61 of 64 partitions EMPTY."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    n = 30_000 if shape == "multibatch" else 3_000
+    base = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("vec_id"),
+        # (id + 1) keeps every vector nonzero: sin of a nonzero integer
+        # is never exactly 0, so norms stay positive for the fold's
+        # division
+        F.expr(
+            "transform(sequence(1, 16), j -> cast(sin((id + 1) * j) as double))"
+        ).alias("de"),
+    )
+    if shape == "skewed_empty":
+        base = base.repartition(64, F.col("vec_id") % 3)
+    e_q = base.select(
+        "vec_id",
+        "de",
+        F.transform(
+            "de", lambda x: F.round(x * S._CENT_SCALE).cast("long")
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    cents = e_q.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    ).localCheckpoint(eager=True)
+
+    fold = sorted(
+        (r.vec_id, r.cell) for r in S._km_assign(e_q, cents).collect()
+    )
+    arrow = sorted(
+        (r.vec_id, r.cell) for r in S._km_assign_arrow(e_q, cents).collect()
+    )
+    assert len(fold) == n
+    assert fold == arrow
