@@ -144,6 +144,12 @@ HEADLINE = [
     # 4 bands against the volume ceiling (the recall policy's cost,
     # measured in the slope census instead).
     ("q35_embedding_lsh_banded_auto", "dedup_embedding_lsh_banded_auto"),
+    # ...and batch serving over the learned index beside the
+    # single-probe q30 it shares its build with: the in-mix delta
+    # prices the 10-probe serve stage (broadcast cell-rank plan +
+    # per-probe top-k windows) on top of the identical sampled train +
+    # Arrow assignment.
+    ("q36_kmeans_ivf_batch", "sim_ann_kmeans_ivf_batch_topk"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

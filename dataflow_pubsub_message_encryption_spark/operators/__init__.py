@@ -40,9 +40,10 @@ _MODULES = [
 # ADVICE r14 zero-sample guard. Then rotates the stalest cohort: 41 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
-# tail (agg_heavy_hitters_cms, compaction_partition_bins) yields
-# slots to this round's new key and leads the r16
-# rotation). 2 + 7 + 1 + 40 = 50 slots, zero already-fresh fillers. Every
+# tail (profile_key_skew, agg_heavy_hitters_cms,
+# compaction_partition_bins) yields
+# slots to this round's new keys and leads the r16
+# rotation). 2 + 7 + 2 + 39 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -58,6 +59,7 @@ _WINDOW = [
     "emb_kmeans_elbow_curve",  # same + r8-stale; O(n) inertia re-join
     "dedup_embedding_lsh_recall_eval",  # ADVICE r14 guard + derived point
     "dedup_embedding_lsh_banded_auto",  # NEW: target-recall band count
+    "sim_ann_kmeans_ivf_batch_topk",  # NEW: batch serve over learned index
     # --- 41 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
@@ -98,7 +100,6 @@ _WINDOW = [
     "join_interval_overlap_binned",
     "orders_open_aging_buckets",
     "window_rolling_median",
-    "profile_key_skew",
 ]
 
 

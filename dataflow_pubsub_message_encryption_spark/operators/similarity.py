@@ -3413,6 +3413,154 @@ def sim_ann_kmeans_ivf_topk_auto_sampled(spark, sf_dir, n_override: int = None):
     )
 
 
+@query(
+    "sim_ann_kmeans_ivf_batch_topk",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    sv AS (SELECT * FROM qv WHERE vec_id % {_KM_SAMP_S} = 0),
+    c0 AS (SELECT vec_id AS cell, qe AS cq FROM qv
+           WHERE vec_id < {_KM_SAMP_K}),
+    {_km_iter_sql("c0", "a1", "c1", src="sv")},
+    {_km_iter_sql("c1", "a2", "c2", src="sv")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    probes AS (SELECT vec_id AS probe_id, de AS pe FROM qv
+               WHERE vec_id < {_N_PROBES}),
+    crank AS (
+      SELECT probe_id, cell FROM (
+        SELECT p.probe_id, c.cell,
+               row_number() OVER (PARTITION BY p.probe_id
+                 ORDER BY round(list_cosine_similarity(
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE}), p.pe), 6) DESC,
+                 c.cell) AS cr
+        FROM c{_KM_ITERS} c, probes p
+      ) WHERE cr <= {_km_auto_nprobe(_KM_SAMP_K)}
+    ),
+    cand AS (
+      SELECT p.probe_id, a.vec_id, a.cell,
+             round(list_cosine_similarity(qv.de, p.pe), 6) AS cos_sim
+      FROM afin a
+      JOIN crank ck ON a.cell = ck.cell
+      JOIN probes p ON p.probe_id = ck.probe_id
+      JOIN qv ON qv.vec_id = a.vec_id
+      WHERE a.vec_id != p.probe_id
+    )
+    SELECT probe_id, vec_id, cell, cos_sim FROM (
+      SELECT cand.*, row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM cand
+    ) WHERE rk <= {_BATCH_K}
+    """,
+)
+def sim_ann_kmeans_ivf_batch_topk(spark, sf_dir, n_override: int = None):
+    """BATCH serving over the LEARNED index — the query shape a deployed
+    ANN service actually runs: train ONCE (the production sampled-train
+    auto-sized build, identical derivations and Lloyd machinery to
+    `sim_ann_kmeans_ivf_topk_auto_sampled`, assignment through the
+    round-15 Arrow-matmul stage), then answer {_N_PROBES} probes in one
+    DAG — each probe ranks the broadcast centroid table, searches its
+    nprobe best cells exhaustively, and returns its top-{_BATCH_K}. The
+    batch shapes that existed before ran over label-defined cells
+    (`sim_ann_ivf_nprobe_curve`) or brute force (`sim_search_batch_topk`);
+    this closes the gap: learned cells + batch probes + per-probe top-k,
+    the index `sim_ann_kmeans_ivf_topk_auto_sampled` builds, served.
+
+    Scale shape: train as the sampled key (O(n) build, ~8k-row sample
+    shuffles, one Arrow assignment pass); serving joins the narrow
+    (vec_id, cell) assignment against a BROADCAST (probe, cell) plan of
+    nprobe·|probes| rows, so each probe touches ~nprobe/k of the corpus
+    and the only per-candidate work is one codegen'd cosine; the
+    per-probe top-k window partitions by probe_id (|probes| concurrent
+    heaps, never a global sort). At 100 TB with cell-partitioned
+    vectors this is literally partition-pruned scan + rerank per probe.
+    The EXACT oracle unrolls the full sampled Lloyd chain at the
+    derived (k, nprobe, stride) plus the batch ranking, so derivation +
+    training + serving grade end to end; law tests pin probe 0's rows ≡
+    the single-probe production key's top-{_BATCH_K} (same index, same
+    tie discipline) and exactly {_BATCH_K} rows per probe.
+    ``n_override`` exists for the law tests."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n = n_override if n_override is not None else e.count()
+    if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if n != _KM_FIXTURE_N:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings but the "
+                f"oracle SQL is frozen at _KM_FIXTURE_N={_KM_FIXTURE_N} "
+                "(similarity.py) — update the constant (and the oracle's "
+                "derived k/nprobe/stride) to match the regenerated fixture"
+            )
+    k = _km_auto_k(n)
+    nprobe = _km_auto_nprobe(k)
+    stride = _km_auto_stride(n, k)
+    e_q = e.select(
+        "vec_id",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    cents = e_q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    )
+    train = e_q if stride <= 1 else e_q.filter(
+        F.col("vec_id") % stride == 0
+    ).localCheckpoint(eager=True)
+    for _ in range(_KM_ITERS):
+        cents = _km_update(
+            _km_assign_arrow(train, cents), train
+        ).localCheckpoint(eager=True)
+    final_assign = _km_assign_arrow(e_q, cents)
+    probes = e_q.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("de").alias("pe")
+    )
+    cd = F.transform("cq", lambda x: x.cast("double") / _CENT_SCALE)
+    wrank = Window.partitionBy("probe_id").orderBy(F.desc("ccs"), "cell")
+    crank = (
+        cents.join(F.broadcast(probes))  # k x |probes| rows — broadcast grain
+        .select(
+            "probe_id", "cell", F.round(cosine(cd, F.col("pe")), 6).alias("ccs")
+        )
+        .withColumn("cr", F.row_number().over(wrank))
+        .filter(F.col("cr") <= nprobe)
+        .select("probe_id", "cell")
+    )
+    wtop = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        final_assign.join(F.broadcast(crank), "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(e_q.select("vec_id", "de"), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            "vec_id",
+            "cell",
+            F.round(cosine(F.col("de"), F.col("pe")), 6).alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= _BATCH_K)
+        .select("probe_id", "vec_id", "cell", "cos_sim")
+    )
+
+
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the
 # top-k ops' _COS_TAU=0.3 admits only 3-4, too thin to exercise the shape)
 

@@ -562,3 +562,43 @@ def test_arrow_ivf_build_survives_injected_task_failure(tmp_path):
     assert fired >= 2, (
         f"injection fired {fired} times — expected >= 1 per drilled mode"
     )
+
+
+# --- batch serving over the learned index ---
+
+
+def test_batch_ivf_probe0_equals_single_probe_key(spark, sf_dir):
+    """The batch key serves the SAME index the single-probe production
+    key builds: probe 0's top-5 must equal the first 5 rows of
+    `sim_ann_kmeans_ivf_topk_auto_sampled` under the shared
+    (cos_sim DESC, vec_id) tie discipline."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    single = queries["sim_ann_kmeans_ivf_topk_auto_sampled"](spark, sf_dir)
+    want = [
+        (r.vec_id, r.cell, r.cos_sim)
+        for r in single.collect()[:5]  # already ordered by the key
+    ]
+    batch = queries["sim_ann_kmeans_ivf_batch_topk"](spark, sf_dir)
+    probe0 = [r for r in batch.collect() if r.probe_id == 0]
+    got = [
+        (r.vec_id, r.cell, r.cos_sim)
+        for r in sorted(probe0, key=lambda r: (-r.cos_sim, r.vec_id))
+    ]
+    assert got == want
+
+
+def test_batch_ivf_exactly_k_rows_per_probe(spark, sf_dir):
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    queries, _ = registry()
+    rows = queries["sim_ann_kmeans_ivf_batch_topk"](spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    assert sorted(by_probe) == list(range(S._N_PROBES))
+    assert all(len(v) == S._BATCH_K for v in by_probe.values())
+    # a probe never returns itself
+    assert all(r.vec_id != r.probe_id for r in rows)
