@@ -33,17 +33,20 @@ _MODULES = [
 # r7-newest rotation-tail keys VERDICT r14 item 2 orders first
 # (scan_agg_pushdown_stats, orders_pareto_class — the only keys whose
 # newest green predates r8), then the six keys whose implementation
-# changed this round, then the new target-recall auto-banded key: the
+# changed this round, then the four new keys: the target-recall
+# auto-banded embedding-LSH, batch serving over the learned IVF index,
+# SemDeDup within learned cells, and embedding-space decontamination (the
 # learned-IVF family now assigns through the exact Arrow-matmul stage
 # (_km_assign_arrow, VERDICT r14 item 1 — law-pinned bit-identical to the
 # interpreted fold, oracles unchanged) and the recall eval gained the
-# ADVICE r14 zero-sample guard. Then rotates the stalest cohort: 41 of
+# ADVICE r14 zero-sample guard). Then rotates the stalest cohort: 37 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
 # tail (profile_key_skew, agg_heavy_hitters_cms,
-# compaction_partition_bins) yields
+# compaction_partition_bins, orders_open_aging_buckets,
+# window_rolling_median) yields
 # slots to this round's new keys and leads the r16
-# rotation). 2 + 7 + 2 + 39 = 50 slots, zero already-fresh fillers. Every
+# rotation). 2 + 7 + 4 + 37 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -60,7 +63,9 @@ _WINDOW = [
     "dedup_embedding_lsh_recall_eval",  # ADVICE r14 guard + derived point
     "dedup_embedding_lsh_banded_auto",  # NEW: target-recall band count
     "sim_ann_kmeans_ivf_batch_topk",  # NEW: batch serve over learned index
-    # --- 41 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    "dedup_semdedup_cells",  # NEW: SemDeDup within learned cells
+    "decontam_embedding_cosine",  # NEW: semantic eval-set decontamination
+    # --- 37 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
     "part_name_trigram_search",
@@ -98,8 +103,6 @@ _WINDOW = [
     "events_ewma_daily",
     "orders_dow_seasonality_index",
     "join_interval_overlap_binned",
-    "orders_open_aging_buckets",
-    "window_rolling_median",
 ]
 
 

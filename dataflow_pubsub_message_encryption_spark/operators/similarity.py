@@ -3561,6 +3561,332 @@ def sim_ann_kmeans_ivf_batch_topk(spark, sf_dir, n_override: int = None):
     )
 
 
+# --- SemDeDup: semantic dedup inside learned k-means cells -----------------
+# [P: Abbas et al., 2023 — SemDeDup, arXiv:2303.09540] cluster the corpus
+# embeddings, then search for semantic duplicates ONLY within each cluster
+# and keep one representative per duplicate neighborhood. The cell count is
+# derived from a bounded OCCUPANCY budget (k = ceil(n / B)), NOT the serving
+# index's k = √n: within-cell pair work is Σ n_c²/2 ≈ n·B/2 — linear in n by
+# construction, where √n cells would make it O(n^1.5). B = 50 reproduces the
+# paper's working regime (tens of candidates per comparison set) and at
+# fixture n=500 derives k=10 (avg cell 50, 12.5k pair cosines — measured
+# before freezing: 236 / 273 dup pairs at τ=0.3 on the two graded fixtures).
+_SD_CELL_B = 50
+_SD_TAU = 0.3  # the embedding family's near-dup threshold (recall eval, LSH)
+
+
+def _sd_auto_k(n: int) -> int:
+    """SemDeDup cell count: clamp(ceil(n / _SD_CELL_B), 4, 4096) — a cell-
+    OCCUPANCY budget (pairs/cell stays ~B²/2 at any n), unlike the serving
+    index's √n rule. Integer ceil-div on positive operands: Spark DIV and
+    DuckDB // agree, and the Python derivation is trivially the same."""
+    return max(_KM_AUTO_MIN_K, min(_KM_AUTO_MAX_K, -(-max(1, n) // _SD_CELL_B)))
+
+
+_SD_K = _sd_auto_k(_KM_FIXTURE_N)
+_SD_S = _km_auto_stride(_KM_FIXTURE_N, _SD_K)
+
+
+def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report"):
+    """SemDeDup body at explicit (k, stride, τ) — the law tests call this
+    directly (τ overrides, and ``emit='pairs'`` exposes the dup-pair set so
+    the keep-rule laws are assertable end to end).
+
+    Train = the family's sampled Lloyd machinery verbatim (vec_id-seeded
+    singleton cells, fixed-point updates, round-15 Arrow-matmul
+    assignment); then ONE within-cell pair pass: self-join the
+    (vec_id, cell, de, cs_cent) base on cell with id_a < id_b, keep pairs
+    with 6dp-rounded cosine ≥ τ. Keep-rule (the paper's): within a dup
+    pair the vector FARTHER from its centroid is the keeper — remove the
+    endpoint with the GREATER (cs_cent, vec_id); a vector is removed iff
+    ANY neighbor beats it, so the kept set is pair-free (no surviving dup
+    pair retains both endpoints — law-tested) without an iterative
+    components pass. cs_cent rides the same codegen'd cosine+round path
+    as the elbow key's inertia re-join (numpy-rounded cs would race
+    Spark's half-up rounding at midpoints).
+
+    Scale: base is pinned once (localCheckpoint — assignment runs ONCE);
+    the pair join blocks on cell (k ≤ 4096 ⇒ broadcast at fixture grain,
+    an equi-join exchange at corpus grain — the same regime economics the
+    LSH pair body measured; the float32-carry trim applies here verbatim
+    if the exchange ever dominates a slope point). The report shuffles
+    only (cell, counts) — never vectors."""
+    e = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    e_q = e.select(
+        "vec_id",
+        as_double("embedding").alias("de"),
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * _CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    cents = e_q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    )
+    train = e_q if stride <= 1 else e_q.filter(
+        F.col("vec_id") % stride == 0
+    ).localCheckpoint(eager=True)
+    for _ in range(_KM_ITERS):
+        cents = _km_update(
+            _km_assign_arrow(train, cents), train
+        ).localCheckpoint(eager=True)
+    assign = _km_assign_arrow(e_q, cents)
+    cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
+    base = (
+        assign.alias("a")
+        .join(e_q.alias("v"), F.col("a.vec_id") == F.col("v.vec_id"))
+        .join(F.broadcast(cents.select("cell", cd.alias("cd"))), "cell")
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            "cell",
+            F.col("v.de").alias("de"),
+            F.round(cosine(F.col("v.de"), F.col("cd")), 6).alias("cs_cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        base.alias("pa")
+        .join(
+            base.alias("pb"),
+            (F.col("pa.cell") == F.col("pb.cell"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .select(
+            F.col("pa.cell").alias("cell"),
+            F.col("pa.vec_id").alias("id_a"),
+            F.col("pb.vec_id").alias("id_b"),
+            F.col("pa.cs_cent").alias("cs_a"),
+            F.col("pb.cs_cent").alias("cs_b"),
+            F.round(cosine(F.col("pa.de"), F.col("pb.de")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(tau))
+        .localCheckpoint(eager=True)  # narrow (ids+scalars); read twice below
+    )
+    if emit == "pairs":
+        return pairs
+    # id_a < id_b by construction, so on a cs_cent tie the loser is id_b
+    # (keep the lowest id) — CASE WHEN cs_a > cs_b THEN id_a ELSE id_b.
+    loser = F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a")).otherwise(
+        F.col("id_b")
+    )
+    nv = base.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    dp = pairs.groupBy("cell").agg(F.count("*").alias("dup_pairs"))
+    rm = (
+        pairs.select("cell", loser.alias("loser"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("removed"))
+    )
+    return (
+        nv.join(dp, "cell", "left")
+        .join(rm, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
+            F.coalesce("removed", F.lit(0)).alias("removed"),
+            (F.col("n_vecs") - F.coalesce("removed", F.lit(0))).alias("kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "dedup_semdedup_cells",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    sv AS (SELECT * FROM qv WHERE vec_id % {_SD_S} = 0),
+    c0 AS (SELECT vec_id AS cell, qe AS cq FROM qv
+           WHERE vec_id < {_SD_K}),
+    {_km_iter_sql("c0", "a1", "c1", src="sv")},
+    {_km_iter_sql("c1", "a2", "c2", src="sv")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    base AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, qv.de,
+             round(list_cosine_similarity(qv.de,
+               list_transform(c.cq,
+                 q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) AS cs_cent
+      FROM afin a JOIN qv USING (vec_id)
+      JOIN c{_KM_ITERS} c ON c.cell = a.cell
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cs_cent AS cs_a, b.cs_cent AS cs_b
+      FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.de, b.de), 6) >= {_SD_TAU}
+    ),
+    losers AS (
+      SELECT cell, CASE WHEN cs_a > cs_b THEN id_a ELSE id_b END AS loser
+      FROM pairs
+    )
+    SELECT v.cell, v.n_vecs,
+           COALESCE(p.dup_pairs, 0) AS dup_pairs,
+           COALESCE(r.removed, 0) AS removed,
+           v.n_vecs - COALESCE(r.removed, 0) AS kept
+    FROM (SELECT cell, count(*) AS n_vecs FROM base GROUP BY cell) v
+    LEFT JOIN (SELECT cell, count(*) AS dup_pairs FROM pairs
+               GROUP BY cell) p USING (cell)
+    LEFT JOIN (SELECT cell, count(DISTINCT loser) AS removed FROM losers
+               GROUP BY cell) r USING (cell)
+    ORDER BY cell
+    """,
+)
+def dedup_semdedup_cells(spark, sf_dir, n_override: int = None, tau: float = None):
+    """SemDeDup [P: Abbas et al., 2023, arXiv:2303.09540] — semantic
+    dedup the way the paper runs it at web scale: k-means-cluster the
+    embedding corpus, then look for duplicate pairs ONLY within each
+    cluster (cos ≥ τ = {_SD_TAU}, the embedding family's near-dup
+    threshold) and keep, per duplicate neighborhood, the example FARTHEST
+    from its centroid (lowest 6dp centroid-cosine; vec_id tie-break).
+    Per-cell report: n_vecs, dup_pairs, removed, kept — the curation
+    decision table (bounded at k ≤ 4096 rows).
+
+    The missing middle of the dedup ladder: exact (`dedup_exact_hash`),
+    lexical near-dup (MinHash/LSH), embedding near-dup by random
+    hyperplanes (`dedup_embedding_lsh_*`) — SemDeDup is the LEARNED-
+    partition variant those families bracket: data-adaptive cells
+    instead of data-oblivious planes, the published method for pruning
+    LLM pretraining corpora (the paper reports ~50% of LAION prunable).
+
+    Sizing is the key scale decision (docstring-derivation, not hand-set):
+    cells come from a bounded OCCUPANCY budget k = clamp(ceil(n/{_SD_CELL_B}),
+    4, 4096), so within-cell pair work is Σ n_c²/2 ≈ n·{_SD_CELL_B}/2 —
+    LINEAR in n, where the serving index's k = √n would cost O(n^1.5);
+    train is the sampled Lloyd chain (stride s = max(1, n // 8k), the
+    production O(n) build, Arrow-matmul assignment). At fixture n=500 the
+    rules derive k={_SD_K}, s={_SD_S}, and the EXACT oracle unrolls the
+    full sampled 2-round trajectory at those frozen values (the family's
+    fixture-drift guard raises if a regenerated fixture changes n). Law
+    tests pin the keep-rule semantics (kept set is pair-free; every
+    removed id justifies itself with ≥1 pair) and the τ extremes
+    (τ=-1 ⇒ kept=1 per cell, τ>1 ⇒ removed=0); ``n_override``/``tau``
+    exist for those tests."""
+    e = load(spark, sf_dir, "embeddings")
+    n = n_override if n_override is not None else e.count()
+    if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if n != _KM_FIXTURE_N:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings but the "
+                f"oracle SQL is frozen at _KM_FIXTURE_N={_KM_FIXTURE_N} "
+                "(similarity.py) — update the constant (and the oracle's "
+                "derived k/stride) to match the regenerated fixture"
+            )
+    k = _sd_auto_k(n)
+    return _sd_body(
+        spark,
+        sf_dir,
+        k,
+        _km_auto_stride(n, k),
+        _SD_TAU if tau is None else tau,
+    )
+
+
+# --- Embedding-space decontamination ---------------------------------------
+_DC_EVERY = 50  # held-out rule: vec_id % 50 == 0 (10 eval vectors at fixture)
+_DC_TAU = 0.3  # contamination threshold = the family's near-dup τ
+
+
+@query(
+    "decontam_embedding_cosine",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+    ),
+    scored AS MATERIALIZED (
+      SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+             round(list_cosine_similarity(r.de, t.de), 6) AS cos_sim
+      FROM v r JOIN v t
+        ON t.vec_id % {_DC_EVERY} = 0 AND r.vec_id % {_DC_EVERY} != 0
+    ),
+    near AS (
+      SELECT test_id, train_id AS nearest_train_id FROM (
+        SELECT test_id, train_id,
+               row_number() OVER (PARTITION BY test_id
+                 ORDER BY cos_sim DESC, train_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.test_id, a.n_contaminated, a.max_cos, n.nearest_train_id
+    FROM (
+      SELECT test_id,
+             count(*) FILTER (cos_sim >= {_DC_TAU}) AS n_contaminated,
+             max(cos_sim) AS max_cos
+      FROM scored GROUP BY test_id
+    ) a JOIN near n USING (test_id)
+    ORDER BY test_id
+    """,
+)
+def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
+    """SEMANTIC decontamination — the embedding-space completion of the
+    n-gram decontam pair (`decontam_ngram_overlap` / `decontam_span_max`,
+    curation.py): lexical overlap misses paraphrased/translated eval
+    leakage, so production pipelines ALSO flag training examples whose
+    embedding sits within cos ≥ τ of any held-out eval example. Held-out
+    set = the deterministic rule vec_id % {_DC_EVERY} == 0 (10 eval
+    vectors at fixture — standing in for the real eval suite, which is
+    BOUNDED at any corpus scale); per eval vector: how many train
+    vectors breach τ = {_DC_TAU} (the family's near-dup threshold), the
+    max cosine seen, and the nearest train example (6dp cosine,
+    lowest-id tie-break — `max_by` over an orderable struct, the
+    partial-aggregable argmax idiom).
+
+    Scale shape: the eval set broadcasts (bounded by construction), the
+    corpus is read ONCE with one codegen'd cosine per (train, eval) pair
+    against the broadcast side — no shuffle of vectors at all; the
+    group-by collapses map-side to |eval| rows. At 100 TB this is the
+    cheapest possible shape: an embarrassingly parallel scan emitting a
+    10-row report. Laws pin the τ extremes (τ=-1 ⇒ every train vector
+    flagged for every eval row; τ>1 ⇒ zero) and tie test_id 0's
+    (nearest_train_id, max_cos) to the driver-proven `sim_cosine_topk`
+    brute top-k (same probe, eval ids filtered); ``tau`` exists for the
+    law tests."""
+    t = _DC_TAU if tau is None else tau
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("de")
+    )
+    test = v.filter(F.col("vec_id") % _DC_EVERY == 0).select(
+        F.col("vec_id").alias("test_id"), F.col("de").alias("te")
+    )
+    train = v.filter(F.col("vec_id") % _DC_EVERY != 0)
+    scored = train.join(F.broadcast(test)).select(
+        "test_id",
+        F.col("vec_id").alias("train_id"),
+        F.round(cosine(F.col("de"), F.col("te")), 6).alias("cos_sim"),
+    )
+    return (
+        scored.groupBy("test_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cos_sim") >= F.lit(t), 1).otherwise(0)
+            ).alias("n_contaminated"),
+            F.max("cos_sim").alias("max_cos"),
+            F.max_by(
+                "train_id",
+                F.struct(F.col("cos_sim"), (-F.col("train_id")).alias("nt")),
+            ).alias("nearest_train_id"),
+        )
+        .orderBy("test_id")
+    )
+
+
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the
 # top-k ops' _COS_TAU=0.3 admits only 3-4, too thin to exercise the shape)
 

@@ -602,3 +602,107 @@ def test_batch_ivf_exactly_k_rows_per_probe(spark, sf_dir):
     assert all(len(v) == S._BATCH_K for v in by_probe.values())
     # a probe never returns itself
     assert all(r.vec_id != r.probe_id for r in rows)
+
+
+# --- Session-2 additions: SemDeDup + embedding decontamination laws ---
+
+
+def test_sd_auto_k_rule_points():
+    """The occupancy-budget cell rule at its boundary points: floor clamp,
+    the fixture point (500 -> 10), exact-multiple and ceil-div behavior,
+    and the 4096 ceiling (reached at n > 4096 * B = 204800)."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    assert S._sd_auto_k(1) == 4
+    assert S._sd_auto_k(200) == 4
+    assert S._sd_auto_k(201) == 5
+    assert S._sd_auto_k(500) == 10 == S._SD_K
+    assert S._sd_auto_k(501) == 11
+    assert S._sd_auto_k(204800) == 4096
+    assert S._sd_auto_k(10**9) == 4096
+
+
+def test_semdedup_tau_extremes(spark, sf_dir):
+    """tau = -1 makes every within-cell pair a dup: the keep-rule must
+    retain EXACTLY one vector per cell (the neighborhood minimum) and
+    count all C(n_vecs, 2) pairs; tau > 1 removes nothing."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    all_dups = queries["dedup_semdedup_cells"](spark, sf_dir, tau=-1.0).collect()
+    assert sum(r.n_vecs for r in all_dups) == 500
+    for r in all_dups:
+        assert r.dup_pairs == r.n_vecs * (r.n_vecs - 1) // 2
+        assert r.kept == 1
+        assert r.removed == r.n_vecs - 1
+    no_dups = queries["dedup_semdedup_cells"](spark, sf_dir, tau=1.01).collect()
+    for r in no_dups:
+        assert r.dup_pairs == 0 and r.removed == 0 and r.kept == r.n_vecs
+
+
+def test_semdedup_keep_rule_laws(spark, sf_dir):
+    """At the production tau, recompute the keep-rule in Python from the
+    engine's own dup-pair set and hold the report to it: removed =
+    distinct per-pair losers (greater (cs_cent, id)), the kept set is
+    PAIR-FREE (no surviving dup pair keeps both endpoints), and every
+    removed id justifies itself with at least one dup pair."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    queries, _ = registry()
+    n = 500
+    k = S._sd_auto_k(n)
+    stride = S._km_auto_stride(n, k)
+    pairs = S._sd_body(spark, sf_dir, k, stride, S._SD_TAU, emit="pairs").collect()
+    assert pairs, "fixture tau admits no dup pairs — laws would be vacuous"
+    removed: dict[int, set[int]] = {}
+    dup_counts: dict[int, int] = {}
+    for p in pairs:
+        # id_a < id_b: on a cs_cent tie the LOWER id is kept
+        loser = p.id_a if p.cs_a > p.cs_b else p.id_b
+        removed.setdefault(p.cell, set()).add(loser)
+        dup_counts[p.cell] = dup_counts.get(p.cell, 0) + 1
+    report = queries["dedup_semdedup_cells"](spark, sf_dir).collect()
+    for r in report:
+        assert r.dup_pairs == dup_counts.get(r.cell, 0)
+        assert r.removed == len(removed.get(r.cell, set()))
+        assert r.kept == r.n_vecs - r.removed
+    removed_all = set().union(*removed.values())
+    for p in pairs:  # kept set is pair-free
+        assert p.id_a in removed_all or p.id_b in removed_all
+    justified = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    assert removed_all <= justified
+
+
+def test_decontam_tau_extremes(spark, sf_dir):
+    """tau = -1 flags every train vector for every eval row (490 each at
+    the fixture); tau > 1 flags none. Row count = the 10 eval ids."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    rows = queries["decontam_embedding_cosine"](spark, sf_dir, tau=-1.0).collect()
+    assert [r.test_id for r in rows] == list(range(0, 500, 50))
+    assert all(r.n_contaminated == 490 for r in rows)
+    rows = queries["decontam_embedding_cosine"](spark, sf_dir, tau=1.01).collect()
+    assert all(r.n_contaminated == 0 for r in rows)
+
+
+def test_decontam_nearest_ties_brute_topk(spark, sf_dir):
+    """Eval id 0 is also `sim_cosine_topk`'s probe: the driver-proven
+    brute top-k, with eval ids filtered out, must lead with exactly
+    decontam's (nearest_train_id, max_cos) for test_id 0 — the two keys
+    share the 6dp cosine + lowest-id tie discipline."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    queries, _ = registry()
+    brute = [
+        r
+        for r in queries["sim_cosine_topk"](spark, sf_dir).collect()
+        if r.vec_id % S._DC_EVERY != 0
+    ]
+    assert brute, "top-k contained only eval ids — law needs a wider k"
+    row0 = queries["decontam_embedding_cosine"](spark, sf_dir).collect()[0]
+    assert row0.test_id == 0
+    assert row0.nearest_train_id == brute[0].vec_id
+    assert row0.max_cos == brute[0].cos_sim
