@@ -150,6 +150,17 @@ HEADLINE = [
     # per-probe top-k windows) on top of the identical sampled train +
     # Arrow assignment.
     ("q36_kmeans_ivf_batch", "sim_ann_kmeans_ivf_batch_topk"),
+    # round-15 second-session extensions (legacy subtotals stay
+    # comparable — additions only): SemDeDup beside the q30 build it
+    # shares the sampled-Lloyd machinery with — at sf0.1 it trains
+    # k = n/50 = 40 cells (vs q30's sqrt(n) = 45), so the in-mix delta
+    # prices the within-cell pair pass (~n*50/2 cosines) + keep-rule
+    # aggregation on top of a near-identical train; and the
+    # embedding-space decontam scan — a broadcast eval set and one
+    # corpus pass, the mix's cheapest new shape (prices the 40-probe
+    # brute contrast against q7's single-probe brute scan).
+    ("q37_semdedup_cells", "dedup_semdedup_cells"),
+    ("q38_decontam_embedding", "decontam_embedding_cosine"),
 ]
 
 # Cross-round comparable prefixes: q1-q10 is the round-2 baseline mix,

@@ -3800,21 +3800,36 @@ def dedup_semdedup_cells(spark, sf_dir, n_override: int = None, tau: float = Non
 
 
 # --- Embedding-space decontamination ---------------------------------------
-_DC_EVERY = 50  # held-out rule: vec_id % 50 == 0 (10 eval vectors at fixture)
+_DC_EVERY_MIN = 50  # floor of the held-out modulus (10 eval rows at fixture)
+_DC_EVAL_TARGET = 10  # eval-set size the modulus derivation targets
 _DC_TAU = 0.3  # contamination threshold = the family's near-dup τ
+
+
+def _dc_auto_every(n: int) -> int:
+    """Held-out modulus: max(50, n // 10) — the eval set (ids ≡ 0 mod
+    every) stays ~10 rows at ANY corpus size instead of growing with n
+    (a fixed modulus would make the pair grid n²/50 — quadratic).
+    Positive integer floor-div: Spark DIV ≡ DuckDB //, and the oracle
+    re-derives it as a scalar subquery and grades it as a result column
+    (the bloom-auto pattern)."""
+    return max(_DC_EVERY_MIN, n // _DC_EVAL_TARGET)
 
 
 @query(
     "decontam_embedding_cosine",
     f"""
-    WITH v AS (
+    WITH params AS (
+      SELECT GREATEST({_DC_EVERY_MIN}, count(*) // {_DC_EVAL_TARGET}) AS ev
+      FROM embeddings
+    ),
+    v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
     ),
     scored AS MATERIALIZED (
       SELECT t.vec_id AS test_id, r.vec_id AS train_id,
              round(list_cosine_similarity(r.de, t.de), 6) AS cos_sim
-      FROM v r JOIN v t
-        ON t.vec_id % {_DC_EVERY} = 0 AND r.vec_id % {_DC_EVERY} != 0
+      FROM v r, v t, params p
+      WHERE t.vec_id % p.ev = 0 AND r.vec_id % p.ev != 0
     ),
     near AS (
       SELECT test_id, train_id AS nearest_train_id FROM (
@@ -3824,7 +3839,8 @@ _DC_TAU = 0.3  # contamination threshold = the family's near-dup τ
         FROM scored
       ) WHERE rn = 1
     )
-    SELECT a.test_id, a.n_contaminated, a.max_cos, n.nearest_train_id
+    SELECT a.test_id, a.n_contaminated, a.max_cos, n.nearest_train_id,
+           (SELECT ev FROM params) AS eval_every
     FROM (
       SELECT test_id,
              count(*) FILTER (cos_sim >= {_DC_TAU}) AS n_contaminated,
@@ -3839,22 +3855,29 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
     n-gram decontam pair (`decontam_ngram_overlap` / `decontam_span_max`,
     curation.py): lexical overlap misses paraphrased/translated eval
     leakage, so production pipelines ALSO flag training examples whose
-    embedding sits within cos ≥ τ of any held-out eval example. Held-out
-    set = the deterministic rule vec_id % {_DC_EVERY} == 0 (10 eval
-    vectors at fixture — standing in for the real eval suite, which is
-    BOUNDED at any corpus scale); per eval vector: how many train
-    vectors breach τ = {_DC_TAU} (the family's near-dup threshold), the
-    max cosine seen, and the nearest train example (6dp cosine,
-    lowest-id tie-break — `max_by` over an orderable struct, the
-    partial-aggregable argmax idiom).
+    embedding sits within cos ≥ τ of any held-out eval example. The
+    held-out rule is SELF-TUNING: vec_id ≡ 0 mod every, with
+    every = max({_DC_EVERY_MIN}, n // {_DC_EVAL_TARGET}) derived from one
+    bounded corpus count — the eval set stays ~{_DC_EVAL_TARGET} vectors
+    at ANY corpus size (a fixed modulus would grow the eval set with n
+    and turn the pair grid quadratic; the real eval suite a deployment
+    decontaminates against is bounded by construction). The oracle
+    RE-DERIVES the modulus in SQL and grades it as the `eval_every`
+    column, so a drifted rule fails the driver gate. Per eval vector:
+    how many train vectors breach τ = {_DC_TAU} (the family's near-dup
+    threshold), the max cosine seen, and the nearest train example (6dp
+    cosine, lowest-id tie-break — `max_by` over an orderable struct,
+    the partial-aggregable argmax idiom).
 
-    Scale shape: the eval set broadcasts (bounded by construction), the
-    corpus is read ONCE with one codegen'd cosine per (train, eval) pair
-    against the broadcast side — no shuffle of vectors at all; the
-    group-by collapses map-side to |eval| rows. At 100 TB this is the
-    cheapest possible shape: an embarrassingly parallel scan emitting a
-    10-row report. Laws pin the τ extremes (τ=-1 ⇒ every train vector
-    flagged for every eval row; τ>1 ⇒ zero) and tie test_id 0's
+    Scale shape: the eval set broadcasts (~{_DC_EVAL_TARGET} rows at any
+    n), the corpus is read ONCE with one codegen'd cosine per
+    (train, eval) pair against the broadcast side — no shuffle of
+    vectors at all; the group-by collapses map-side to |eval| rows. At
+    100 TB this is the cheapest possible shape: an embarrassingly
+    parallel scan emitting a bounded report (plus the one derivation
+    count — the two-pass idiom every self-tuning key pays). Laws pin
+    the τ extremes (τ=-1 ⇒ every train vector flagged for every eval
+    row; τ>1 ⇒ zero), the modulus rule points, and tie test_id 0's
     (nearest_train_id, max_cos) to the driver-proven `sim_cosine_topk`
     brute top-k (same probe, eval ids filtered); ``tau`` exists for the
     law tests."""
@@ -3862,10 +3885,11 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("de")
     )
-    test = v.filter(F.col("vec_id") % _DC_EVERY == 0).select(
+    every = _dc_auto_every(v.count())  # bounded driver scalar (two-pass)
+    test = v.filter(F.col("vec_id") % every == 0).select(
         F.col("vec_id").alias("test_id"), F.col("de").alias("te")
     )
-    train = v.filter(F.col("vec_id") % _DC_EVERY != 0)
+    train = v.filter(F.col("vec_id") % every != 0)
     scored = train.join(F.broadcast(test)).select(
         "test_id",
         F.col("vec_id").alias("train_id"),
@@ -3883,6 +3907,7 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
                 F.struct(F.col("cos_sim"), (-F.col("train_id")).alias("nt")),
             ).alias("nearest_train_id"),
         )
+        .withColumn("eval_every", F.lit(every).cast("long"))
         .orderBy("test_id")
     )
 

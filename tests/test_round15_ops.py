@@ -674,15 +674,31 @@ def test_semdedup_keep_rule_laws(spark, sf_dir):
     assert removed_all <= justified
 
 
+def test_dc_auto_every_rule_points():
+    """The held-out modulus at its boundary points: the floor (50) binds
+    up to n = 500, n // 10 beyond — the eval set caps at ~10 rows at
+    any corpus size."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    assert S._dc_auto_every(1) == 50
+    assert S._dc_auto_every(500) == 50
+    assert S._dc_auto_every(509) == 50
+    assert S._dc_auto_every(510) == 51
+    assert S._dc_auto_every(50_000) == 5_000
+    assert S._dc_auto_every(10**9) == 10**8
+
+
 def test_decontam_tau_extremes(spark, sf_dir):
     """tau = -1 flags every train vector for every eval row (490 each at
-    the fixture); tau > 1 flags none. Row count = the 10 eval ids."""
+    the fixture); tau > 1 flags none. Row count = the 10 eval ids, and
+    the derived modulus rides out as the graded eval_every column."""
     from dataflow_pubsub_message_encryption_spark.operators import registry
 
     queries, _ = registry()
     rows = queries["decontam_embedding_cosine"](spark, sf_dir, tau=-1.0).collect()
     assert [r.test_id for r in rows] == list(range(0, 500, 50))
     assert all(r.n_contaminated == 490 for r in rows)
+    assert all(r.eval_every == 50 for r in rows)
     rows = queries["decontam_embedding_cosine"](spark, sf_dir, tau=1.01).collect()
     assert all(r.n_contaminated == 0 for r in rows)
 
@@ -699,7 +715,7 @@ def test_decontam_nearest_ties_brute_topk(spark, sf_dir):
     brute = [
         r
         for r in queries["sim_cosine_topk"](spark, sf_dir).collect()
-        if r.vec_id % S._DC_EVERY != 0
+        if r.vec_id % S._dc_auto_every(500) != 0
     ]
     assert brute, "top-k contained only eval ids — law needs a wider k"
     row0 = queries["decontam_embedding_cosine"](spark, sf_dir).collect()[0]

@@ -135,6 +135,15 @@ MIX = [
     # count): train cost O(8k^2) = O(n) instead of O(n*k) = O(n^1.5) —
     # the slope delta vs q28 is the measured value of the sample cap
     ("q30_kmeans_ivf_sampled", "sim_ann_kmeans_ivf_topk_auto_sampled"),
+    # round 15, second session: SemDeDup — the occupancy-budget sizing
+    # (k = n/50 cells) makes within-cell pair work ~25n, so the slope
+    # should read ~linear-or-below; the delta vs q30 (same sampled
+    # Lloyd train at k = sqrt(n)) prices the pair pass. And the
+    # embedding decontam scan — self-tuning eval modulus keeps the eval
+    # set ~10 rows at any n, so the pair grid is ~10n (one broadcast
+    # corpus pass; a fixed modulus would have read quadratic here).
+    ("q37_semdedup_cells", "dedup_semdedup_cells"),
+    ("q38_decontam_embedding", "decontam_embedding_cosine"),
 ]
 
 _SCALED_BITS = {"small": 4, "big": 7}  # log2(10×) ≈ +3.3 bits
