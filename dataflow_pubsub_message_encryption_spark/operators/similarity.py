@@ -3778,7 +3778,12 @@ def dedup_semdedup_cells(spark, sf_dir, n_override: int = None, tau: float = Non
     tests pin the keep-rule semantics (kept set is pair-free; every
     removed id justifies itself with ≥1 pair) and the τ extremes
     (τ=-1 ⇒ kept=1 per cell, τ>1 ⇒ removed=0); ``n_override``/``tau``
-    exist for those tests."""
+    exist for those tests.
+
+    Measured (tools/slope_runs/r15/slope_{{25,100}}x_semdedup.log):
+    25× exponent **0.087** (5.4 → 7.1 s), 100× **0.425** (33.1 s at
+    200k vectors, k=4000 cells — one notch under the 4096 clamp);
+    nothing curves past linear — the occupancy budget holds."""
     e = load(spark, sf_dir, "embeddings")
     n = n_override if n_override is not None else e.count()
     if n_override is None and sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
@@ -3797,6 +3802,11 @@ def dedup_semdedup_cells(spark, sf_dir, n_override: int = None, tau: float = Non
         _km_auto_stride(n, k),
         _SD_TAU if tau is None else tau,
     )
+
+
+dedup_semdedup_cells.__doc__ = dedup_semdedup_cells.__doc__.format(
+    _SD_TAU=_SD_TAU, _SD_CELL_B=_SD_CELL_B, _SD_K=_SD_K, _SD_S=_SD_S
+)
 
 
 # --- Embedding-space decontamination ---------------------------------------
@@ -3880,7 +3890,12 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
     row; τ>1 ⇒ zero), the modulus rule points, and tie test_id 0's
     (nearest_train_id, max_cos) to the driver-proven `sim_cosine_topk`
     brute top-k (same probe, eval ids filtered); ``tau`` exists for the
-    law tests."""
+    law tests.
+
+    Measured (tools/slope_runs/r15/slope_{{25,100}}x_semdedup.log):
+    25× exponent **0.20** (0.71 → 1.35 s), 100× **0.674** (14.8 s at
+    200k vectors — the derived modulus walks 50 → 20000, the eval set
+    stays 10 rows, and the scan stays the only corpus-sized term)."""
     t = _DC_TAU if tau is None else tau
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("de")
@@ -3910,6 +3925,11 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
         .withColumn("eval_every", F.lit(every).cast("long"))
         .orderBy("test_id")
     )
+
+
+decontam_embedding_cosine.__doc__ = decontam_embedding_cosine.__doc__.format(
+    _DC_EVERY_MIN=_DC_EVERY_MIN, _DC_EVAL_TARGET=_DC_EVAL_TARGET, _DC_TAU=_DC_TAU
+)
 
 
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the
