@@ -3646,7 +3646,7 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
         )
         .localCheckpoint(eager=True)
     )
-    pairs = (
+    pairs_all = (
         base.alias("pa")
         .join(
             base.alias("pb"),
@@ -3661,9 +3661,14 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
             F.col("pb.cs_cent").alias("cs_b"),
             F.round(cosine(F.col("pa.de"), F.col("pb.de")), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= F.lit(tau))
-        .localCheckpoint(eager=True)  # narrow (ids+scalars); read twice below
     )
+    if emit == "cand":
+        # the recall eval's candidate-volume axis: every within-cell pair,
+        # BEFORE the τ cut (counted once — no pin, no second consumer)
+        return pairs_all
+    pairs = pairs_all.filter(F.col("cos_sim") >= F.lit(tau)).localCheckpoint(
+        eager=True
+    )  # narrow (ids+scalars); read twice below
     if emit == "pairs":
         return pairs
     # id_a < id_b by construction, so on a cs_cent tie the loser is id_b
@@ -3930,6 +3935,144 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
 decontam_embedding_cosine.__doc__ = decontam_embedding_cosine.__doc__.format(
     _DC_EVERY_MIN=_DC_EVERY_MIN, _DC_EVAL_TARGET=_DC_EVAL_TARGET, _DC_TAU=_DC_TAU
 )
+
+
+@query(
+    "dedup_semdedup_recall_eval",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    sv AS (SELECT * FROM qv WHERE vec_id % {_SD_S} = 0),
+    c0 AS (SELECT vec_id AS cell, qe AS cq FROM qv
+           WHERE vec_id < {_SD_K}),
+    {_km_iter_sql("c0", "a1", "c1", src="sv")},
+    {_km_iter_sql("c1", "a2", "c2", src="sv")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    base AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, qv.de
+      FROM afin a JOIN qv USING (vec_id)
+    ),
+    cand AS MATERIALIZED (
+      SELECT round(list_cosine_similarity(a.de, b.de), 6) AS cs
+      FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    truth AS (
+      SELECT count(*) AS c
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= {_SD_TAU}
+    ),
+    agg AS (
+      SELECT CAST((SELECT c FROM truth) AS BIGINT) AS n_true,
+             CAST(count(*) AS BIGINT) AS n_cand,
+             CAST(count(*) FILTER (cs >= {_SD_TAU}) AS BIGINT) AS n_pairs
+      FROM cand
+    )
+    SELECT n_true, n_cand, n_pairs,
+           round(CAST(n_pairs AS DOUBLE) / GREATEST(n_true, 1), 6) AS recall,
+           round(CAST(n_pairs AS DOUBLE) / GREATEST(n_cand, 1), 6)
+             AS cand_hit_rate
+    FROM agg
+    """,
+)
+def dedup_semdedup_recall_eval(spark, sf_dir):
+    """The measurement that grades SemDeDup's partition quality — the
+    family convention every blocking scheme here follows
+    (`dedup_lsh_recall_eval`, `dedup_embedding_lsh_recall_eval`): exact
+    all-pairs cosine near-dups at τ=0.3 as ground truth vs what the
+    learned cells actually surface, plus the candidate-volume census
+    (within-cell pairs the keep-rule pays to score — the cost axis) and
+    the candidate hit rate (the precision the learned partition buys
+    over data-oblivious blocking). Surfaced pairs are provably a subset
+    of truth (same cosine, same τ), so recall = n_pairs/n_true exactly;
+    the ground-truth side is the O(n²) brute pass — an EVALUATION op,
+    run on a sample at 100 TB by design. Degenerate-sample semantics
+    (ADVICE r14): GREATEST(n_true, 1) / GREATEST(n_cand, 1) guard both
+    divisions in both engines, so a zero-true (or zero-candidate)
+    sample reads 0.0 instead of erroring the report.
+
+    Because cells are DATA-ADAPTIVE, the comparison against the
+    hyperplane eval at the same τ is apples-to-apples: the same truth
+    set, measured candidate volumes on both sides (fixture: SemDeDup
+    surfaces its pairs from ~12.5k within-cell candidates where the
+    1-band hyperplane census pays a comparable volume for a different
+    recall — the numbers land in the driver artifact, not prose). Law
+    tests pin n_pairs ≡ the report key's Σ dup_pairs and n_true ≡ the
+    LSH eval's n_true (identical truth definition, both driver-proven).
+
+    Scale shape: the candidate side is the production semdedup pair
+    pass (occupancy-budget cells, linear in n); the one extra corpus
+    stage vs the report key is the truth count, sampled at scale by the
+    eval convention."""
+    from ..functions.vectors import dot32, norm
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    if sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if n != _KM_FIXTURE_N:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings but the "
+                f"oracle SQL is frozen at _KM_FIXTURE_N={_KM_FIXTURE_N} "
+                "(similarity.py) — update the constant (and the oracle's "
+                "derived k/stride) to match the regenerated fixture"
+            )
+    k = _sd_auto_k(n)
+    cand = _sd_body(
+        spark, sf_dir, k, _km_auto_stride(n, k), _SD_TAU, emit="cand"
+    )
+    v = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb32"),
+        norm(as_double("embedding")).alias("nrm"),
+    )
+    cs = F.round(
+        dot32(F.col("a.emb32"), F.col("b.emb32"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    truth = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cs >= _SD_TAU)
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    counts = cand.agg(
+        F.count("*").alias("n_cand"),
+        F.sum(
+            F.when(F.col("cos_sim") >= F.lit(_SD_TAU), 1).otherwise(0)
+        ).alias("n_pairs"),
+    )
+    return n_true.crossJoin(F.broadcast(counts)).select(  # 1 row x 1 row
+        "n_true",
+        "n_cand",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.greatest(F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_pairs").cast("double")
+            / F.greatest(F.col("n_cand"), F.lit(1)),
+            6,
+        ).alias("cand_hit_rate"),
+    )
 
 
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the

@@ -722,3 +722,21 @@ def test_decontam_nearest_ties_brute_topk(spark, sf_dir):
     assert row0.test_id == 0
     assert row0.nearest_train_id == brute[0].vec_id
     assert row0.max_cos == brute[0].cos_sim
+
+
+def test_semdedup_recall_eval_ties_report_and_lsh_truth(spark, sf_dir):
+    """Cross-key laws: the eval's n_pairs is EXACTLY the report key's
+    Σ dup_pairs (same partition, same τ), and its truth count equals
+    the hyperplane eval's n_true (identical truth definition) — so the
+    two blocking schemes are graded against the same ground truth."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    ev = queries["dedup_semdedup_recall_eval"](spark, sf_dir).collect()[0]
+    report = queries["dedup_semdedup_cells"](spark, sf_dir).collect()
+    assert ev.n_pairs == sum(r.dup_pairs for r in report)
+    assert ev.n_cand == sum(r.n_vecs * (r.n_vecs - 1) // 2 for r in report)
+    lsh = queries["dedup_embedding_lsh_recall_eval"](spark, sf_dir).collect()[0]
+    assert ev.n_true == lsh.n_true
+    assert 0.0 <= ev.recall <= 1.0
+    assert 0.0 <= ev.cand_hit_rate <= 1.0
