@@ -33,21 +33,23 @@ _MODULES = [
 # r7-newest rotation-tail keys VERDICT r14 item 2 orders first
 # (scan_agg_pushdown_stats, orders_pareto_class — the only keys whose
 # newest green predates r8), then the six keys whose implementation
-# changed this round, then the five new keys: the target-recall
+# changed this round, then the six new keys: the target-recall
 # auto-banded embedding-LSH, batch serving over the learned IVF index,
-# SemDeDup within learned cells, embedding-space decontamination, and the
-# SemDeDup recall eval (the learned-IVF family now assigns through the
-# exact Arrow-matmul stage (_km_assign_arrow, VERDICT r14 item 1 —
+# SemDeDup within learned cells, embedding-space decontamination, the
+# SemDeDup recall eval, and the per-source semantic curation report
+# composing the last three (the learned-IVF family now assigns through
+# the exact Arrow-matmul stage (_km_assign_arrow, VERDICT r14 item 1 —
 # law-pinned bit-identical to the interpreted fold, oracles unchanged)
 # and the LSH recall eval gained the ADVICE r14 zero-sample guard).
-# Then rotates the stalest cohort: 36 of
+# Then rotates the stalest cohort: 35 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
 # tail (profile_key_skew, agg_heavy_hitters_cms,
 # compaction_partition_bins, orders_open_aging_buckets,
-# window_rolling_median, join_interval_overlap_binned) yields
+# window_rolling_median, join_interval_overlap_binned,
+# orders_dow_seasonality_index) yields
 # slots to this round's new keys and leads the r16
-# rotation). 2 + 7 + 5 + 36 = 50 slots, zero already-fresh fillers. Every
+# rotation). 2 + 7 + 6 + 35 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -67,7 +69,8 @@ _WINDOW = [
     "dedup_semdedup_cells",  # NEW: SemDeDup within learned cells
     "decontam_embedding_cosine",  # NEW: semantic eval-set decontamination
     "dedup_semdedup_recall_eval",  # NEW: SemDeDup vs exact truth + volume
-    # --- 36 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    "corpus_semantic_curation_report",  # NEW: eval/dup/contam/kept per source
+    # --- 35 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
     "part_name_trigram_search",
@@ -103,7 +106,6 @@ _WINDOW = [
     "events_anomaly_mad",
     "events_acf_lags",
     "events_ewma_daily",
-    "orders_dow_seasonality_index",
 ]
 
 

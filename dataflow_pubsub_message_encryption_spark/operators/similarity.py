@@ -4075,6 +4075,205 @@ def dedup_semdedup_recall_eval(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_semantic_curation_report",
+    f"""
+    WITH qv AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS de,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_CENT_SCALE}) AS BIGINT)) AS qe
+      FROM embeddings
+    ),
+    sv AS (SELECT * FROM qv WHERE vec_id % {_SD_S} = 0),
+    c0 AS (SELECT vec_id AS cell, qe AS cq FROM qv
+           WHERE vec_id < {_SD_K}),
+    {_km_iter_sql("c0", "a1", "c1", src="sv")},
+    {_km_iter_sql("c1", "a2", "c2", src="sv")},
+    afin AS (
+      SELECT vec_id, cell FROM (
+        SELECT qv.vec_id, c.cell,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY round(list_cosine_similarity(qv.de,
+                   list_transform(c.cq,
+                     q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) DESC,
+                 c.cell) AS rn
+        FROM qv, c{_KM_ITERS} c
+      ) WHERE rn = 1
+    ),
+    base AS MATERIALIZED (
+      SELECT a.vec_id, a.cell, qv.de,
+             round(list_cosine_similarity(qv.de,
+               list_transform(c.cq,
+                 q -> CAST(q AS DOUBLE) / {_CENT_SCALE})), 6) AS cs_cent
+      FROM afin a JOIN qv USING (vec_id)
+      JOIN c{_KM_ITERS} c ON c.cell = a.cell
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.cs_cent AS cs_a, b.cs_cent AS cs_b
+      FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.de, b.de), 6) >= {_SD_TAU}
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN cs_a > cs_b THEN id_a ELSE id_b END AS vec_id
+      FROM pairs
+    ),
+    params AS (
+      SELECT GREATEST({_DC_EVERY_MIN}, count(*) // {_DC_EVAL_TARGET}) AS ev
+      FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+    ),
+    flagged AS (
+      SELECT DISTINCT r.vec_id
+      FROM v r, v t, params p
+      WHERE t.vec_id % p.ev = 0 AND r.vec_id % p.ev != 0
+        AND round(list_cosine_similarity(r.de, t.de), 6) >= {_DC_TAU}
+    ),
+    cls AS (
+      SELECT d.source,
+             CASE WHEN e.vec_id % (SELECT ev FROM params) = 0
+                  THEN 1 ELSE 0 END AS is_eval,
+             CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+             CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam
+      FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id
+      LEFT JOIN losers l ON l.vec_id = e.vec_id
+      LEFT JOIN flagged f ON f.vec_id = e.vec_id
+    )
+    SELECT source, n_docs, n_eval, n_dup, n_contam, n_kept,
+           CAST(n_kept * 1000000 // n_docs AS BIGINT) AS kept_ppm
+    FROM (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(is_eval) AS BIGINT) AS n_eval,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup,
+             CAST(SUM(is_contam) AS BIGINT) AS n_contam,
+             CAST(SUM(CASE WHEN is_eval = 0 AND is_dup = 0 AND is_contam = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM cls GROUP BY source
+    ) ORDER BY source
+    """,
+)
+def corpus_semantic_curation_report(spark, sf_dir):
+    """The SEMANTIC curation decision table — the composite a modern
+    pretraining pipeline actually acts on, per source: how many
+    documents are held out for eval, how many the SemDeDup pass removes
+    as semantic duplicates, how many embedding-decontamination flags as
+    eval-contaminated, and what survives into training (count + DIV-ppm
+    share). The selection-ACTION + audit pattern
+    `corpus_dsir_resample_mix_shift` established, applied to the two
+    embedding-space curation passes this session added: the three flag
+    sets are raw memberships (a document can be both a semantic dup and
+    contaminated — the columns are deliberately non-additive) and
+    kept = docs − (eval ∪ dup ∪ contam), the exact set-union
+    complement. Documents link to embeddings by the repo's established
+    doc_id = vec_id convention (`dedup_semantic_lexical_agreement`);
+    the report covers documents WITH embeddings (inner join — at 100 TB
+    the un-embedded tail is a separate census).
+
+    All outputs are integers (counts and DIV-ppm): zero float-sum order
+    sensitivity in either engine. The oracle unrolls the FULL stack —
+    sampled Lloyd chain at the frozen fixture derivation, within-cell
+    pair pass, keep-rule losers, the re-derived decontam modulus, the
+    flag joins and the per-source rollup — so the driver grade proves
+    the whole composite end to end, not just its pieces.
+
+    Scale shape: the semdedup and decontam passes are the measured
+    linear bodies (25×/100× exponents 0.087/0.425 and 0.20/0.674);
+    on top of them this report adds only id-grain left joins (losers
+    and flags are id sets — never vectors) and a ≤|sources|-row
+    partial-agg rollup. Laws pin the column arithmetic against the
+    standalone keys: Σ n_dup over sources = |distinct losers|,
+    Σ n_eval = the decontam row count, and per-source
+    n_kept ≤ n_docs − max(n_eval, n_dup, n_contam)."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    if sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        if n != _KM_FIXTURE_N:
+            raise ValueError(
+                f"graded fixture {sf_dir} has {n} embeddings but the "
+                f"oracle SQL is frozen at _KM_FIXTURE_N={_KM_FIXTURE_N} "
+                "(similarity.py) — update the constant (and the oracle's "
+                "derived k/stride) to match the regenerated fixture"
+            )
+    k = _sd_auto_k(n)
+    pairs = _sd_body(
+        spark, sf_dir, k, _km_auto_stride(n, k), _SD_TAU, emit="pairs"
+    )
+    losers = (
+        pairs.select(
+            F.when(F.col("cs_a") > F.col("cs_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    every = _dc_auto_every(n)
+    v = e.select("vec_id", as_double("embedding").alias("de"))
+    test = v.filter(F.col("vec_id") % every == 0).select(
+        F.col("de").alias("te")
+    )
+    flagged = (
+        v.filter(F.col("vec_id") % every != 0)
+        .join(F.broadcast(test))
+        .filter(F.round(cosine(F.col("de"), F.col("te")), 6) >= _DC_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    cls = (
+        docs.join(
+            e.select("vec_id"), docs.doc_id == F.col("vec_id")
+        )
+        # losers/flagged are corpus-FRACTION id sets: no broadcast hint —
+        # Catalyst broadcasts at fixture grain, id-grain shuffle at scale
+        .join(losers, "vec_id", "left")
+        .join(flagged, "vec_id", "left")
+        .select(
+            "source",
+            F.when(F.col("vec_id") % every == 0, 1).otherwise(0).alias(
+                "is_eval"
+            ),
+            F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+            F.coalesce("is_contam", F.lit(0)).alias("is_contam"),
+        )
+    )
+    return (
+        cls.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("is_eval").alias("n_eval"),
+            F.sum("is_dup").alias("n_dup"),
+            F.sum("is_contam").alias("n_contam"),
+            F.sum(
+                F.when(
+                    (F.col("is_eval") == 0)
+                    & (F.col("is_dup") == 0)
+                    & (F.col("is_contam") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_eval",
+            "n_dup",
+            "n_contam",
+            "n_kept",
+            F.expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)").alias(
+                "kept_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _RADIUS_TAU = 0.2  # cosine radius (probed: 28-33 fixture rows pass — the
 # top-k ops' _COS_TAU=0.3 admits only 3-4, too thin to exercise the shape)
 

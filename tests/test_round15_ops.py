@@ -740,3 +740,25 @@ def test_semdedup_recall_eval_ties_report_and_lsh_truth(spark, sf_dir):
     assert ev.n_true == lsh.n_true
     assert 0.0 <= ev.recall <= 1.0
     assert 0.0 <= ev.cand_hit_rate <= 1.0
+
+
+def test_semantic_curation_report_ties_standalone_keys(spark, sf_dir):
+    """The composite's columns against the standalone keys it composes:
+    Σ n_dup = the SemDeDup report's Σ removed (losers are unique per
+    cell, so per-cell distinct sums to the global distinct), Σ n_eval =
+    the decontam key's row count, Σ n_docs = the full linked corpus,
+    and per source the union bound brackets n_kept."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+
+    queries, _ = registry()
+    rows = queries["corpus_semantic_curation_report"](spark, sf_dir).collect()
+    sd = queries["dedup_semdedup_cells"](spark, sf_dir).collect()
+    dc = queries["decontam_embedding_cosine"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    assert sum(r.n_dup for r in rows) == sum(c.removed for c in sd)
+    assert sum(r.n_eval for r in rows) == len(dc)
+    for r in rows:
+        lo = r.n_docs - (r.n_eval + r.n_dup + r.n_contam)  # union bound
+        hi = r.n_docs - max(r.n_eval, r.n_dup, r.n_contam)
+        assert lo <= r.n_kept <= hi
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
