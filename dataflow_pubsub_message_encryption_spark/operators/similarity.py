@@ -3589,8 +3589,10 @@ _SD_S = _km_auto_stride(_KM_FIXTURE_N, _SD_K)
 
 def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report"):
     """SemDeDup body at explicit (k, stride, τ) — the law tests call this
-    directly (τ overrides, and ``emit='pairs'`` exposes the dup-pair set so
-    the keep-rule laws are assertable end to end).
+    directly (τ overrides; ``emit='pairs'`` exposes the dup-pair set so
+    the keep-rule laws are assertable end to end, ``emit='cand'`` the
+    pre-τ within-cell pair set the recall eval counts as its volume
+    axis).
 
     Train = the family's sampled Lloyd machinery verbatim (vec_id-seeded
     singleton cells, fixed-point updates, round-15 Arrow-matmul
