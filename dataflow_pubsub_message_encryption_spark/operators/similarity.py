@@ -3609,10 +3609,14 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
 
     Scale: base is pinned once (localCheckpoint — assignment runs ONCE);
     the pair join blocks on cell (k ≤ 4096 ⇒ broadcast at fixture grain,
-    an equi-join exchange at corpus grain — the same regime economics the
-    LSH pair body measured; the float32-carry trim applies here verbatim
-    if the exchange ever dominates a slope point). The report shuffles
-    only (cell, counts) — never vectors."""
+    an equi-join exchange at corpus grain). Measured at 25× with
+    broadcast disabled (SCALING.md §21): the self-join's two identical
+    sides reuse a SINGLE ~400 compressed-B/row exchange (verified by
+    stage count over the pinned base — the r13 uniform-shape
+    ReusedExchange lesson); the float32-carry trim (−32% in the LSH
+    body) remains the known lever if that one exchange ever dominates
+    a slope point. The report shuffles only (cell, counts) — never
+    vectors."""
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
