@@ -240,3 +240,43 @@ def test_global_rank_and_ntile_match_window_forms(spark, values, k):
     }
     nt_want = {r.id: r.nt for r in want_df}
     assert nt_got == nt_want, "integer ntile formula diverged from F.ntile"
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_sd_auto_k_properties(n):
+    """SemDeDup cell rule: clamped to [4, 4096], monotone non-decreasing,
+    and inside the clamp band the occupancy budget holds exactly:
+    (k-1)*B < n <= k*B — cells average <= B vectors by construction."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _SD_CELL_B,
+        _sd_auto_k,
+    )
+
+    k = _sd_auto_k(n)
+    assert 4 <= k <= 4096
+    assert k <= _sd_auto_k(n + 1)
+    if 4 < k < 4096:
+        assert (k - 1) * _SD_CELL_B < n <= k * _SD_CELL_B
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_dc_auto_every_properties(n):
+    """Decontam modulus rule: >= the floor, monotone, and the eval set
+    it induces (ids = 0 mod every in [0, n)) never exceeds
+    max(_DC_EVAL_TARGET, n // _DC_EVERY_MIN) — bounded at ~10 rows once
+    n clears the floor regime."""
+    from dataflow_pubsub_message_encryption_spark.operators.similarity import (
+        _DC_EVAL_TARGET,
+        _DC_EVERY_MIN,
+        _dc_auto_every,
+    )
+
+    ev = _dc_auto_every(n)
+    assert ev >= _DC_EVERY_MIN
+    assert ev <= _dc_auto_every(n + 1)
+    eval_rows = (n + ev - 1) // ev  # |{0, ev, 2ev, ...} ∩ [0, n)|
+    assert eval_rows <= max(_DC_EVAL_TARGET, -(-n // _DC_EVERY_MIN))
+    if n >= _DC_EVERY_MIN * _DC_EVAL_TARGET:
+        assert eval_rows <= _DC_EVAL_TARGET + 1

@@ -762,3 +762,109 @@ def test_semantic_curation_report_ties_standalone_keys(spark, sf_dir):
         hi = r.n_docs - max(r.n_eval, r.n_dup, r.n_contam)
         assert lo <= r.n_kept <= hi
         assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
+
+
+# --- the session-2 machinery drilled: SemDeDup build ---
+
+_SEMDEDUP_PIN_DRILL = r"""
+import json, os, sys
+
+sys.path.insert(0, os.getcwd())  # repo root (the runner's cwd)
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+spark = (
+    SparkSession.builder.master("local[6, 2]")
+    .appName("semdedup-pin-drill")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.setCheckpointDir(sys.argv[1])
+MARKER = sys.argv[2]
+SF_DIR = sys.argv[3]
+
+
+def fail_first_attempt(x):
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.partitionId() == 3 and ctx.attemptNumber() == 0:
+        with open(MARKER, "a") as fh:
+            fh.write("fired\n")
+        raise RuntimeError("injected task loss (attempt 0, partition 3)")
+    return x
+
+
+poison = F.udf(fail_first_attempt, LongType())
+
+from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+real_load = S.load
+
+
+def poisoned_load(spark_, sf_dir_, table):
+    # the poisoned vec_id rides through the count(), the e_q/train/cents
+    # pins, the Arrow assignment, the cs_cent re-join, the base pin, the
+    # cell self-join pair pass and the pairs pin — every re-evaluating
+    # job re-fires the first-attempt failure.
+    df = real_load(spark_, sf_dir_, table)
+    if table == "embeddings":
+        rest = [c for c in df.columns if c != "vec_id"]
+        df = df.repartition(8).select(poison("vec_id").alias("vec_id"), *rest)
+    return df
+
+
+out = {}
+for mode in ("clean0", "drill0", "clean1", "drill1"):
+    os.environ["SPARK_GRAFT_RELIABLE_PIN"] = "1" if mode.endswith("1") else "0"
+    S.load = poisoned_load if mode.startswith("drill") else real_load
+    rows = sorted(
+        tuple(r) for r in S.dedup_semdedup_cells(spark, SF_DIR).collect()
+    )
+    out[mode] = {"n": len(rows), "digest": hash(tuple(rows)), "head": rows[:2]}
+S.load = real_load
+print(json.dumps(out))
+spark.stop()
+"""
+
+
+def test_semdedup_build_survives_injected_task_failure(tmp_path):
+    """The session-2 machinery gets the standing drill: the SemDeDup
+    build (train pins, Arrow assignment, cs_cent re-join, base and
+    pairs pins, the reused-exchange pair pass) under an injected
+    first-attempt task failure, both pin modes, per-cell report
+    identical to the clean runs."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = tmp_path / "semdedup_drill.py"
+    script.write_text(_SEMDEDUP_PIN_DRILL)
+    marker = tmp_path / "injections.log"
+    r = subprocess.run(
+        [
+            sys.executable,
+            str(script),
+            str(tmp_path / "ckpt"),
+            str(marker),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["clean0"]["n"] == 10  # one row per nonempty cell
+    assert out["drill0"] == out["clean0"], "default pin: drill diverged"
+    assert out["drill1"] == out["clean1"], "reliable pin: drill diverged"
+    assert out["clean1"] == out["clean0"], "pin modes disagree"
+    fired = marker.read_text().count("fired") if marker.exists() else 0
+    assert fired >= 2, (
+        f"injection fired {fired} times — expected >= 1 per drilled mode"
+    )
