@@ -247,7 +247,9 @@ def test_global_rank_and_ntile_match_window_forms(spark, values, k):
 def test_sd_auto_k_properties(n):
     """SemDeDup cell rule: clamped to [4, 4096], monotone non-decreasing,
     and inside the clamp band the occupancy budget holds exactly:
-    (k-1)*B < n <= k*B — cells average <= B vectors by construction."""
+    (k-1)*B < n <= k*B — cells average <= B vectors by construction
+    (the measured wall-time minimizer; see _sd_auto_k's docstring for
+    the rejected balanced alternative)."""
     from dataflow_pubsub_message_encryption_spark.operators.similarity import (
         _SD_CELL_B,
         _sd_auto_k,

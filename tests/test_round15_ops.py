@@ -609,8 +609,11 @@ def test_batch_ivf_exactly_k_rows_per_probe(spark, sf_dir):
 
 def test_sd_auto_k_rule_points():
     """The occupancy-budget cell rule at its boundary points: floor clamp,
-    the fixture point (500 -> 10), exact-multiple and ceil-div behavior,
-    and the 4096 ceiling (reached at n > 4096 * B = 204800)."""
+    the fixture point (500 -> 10), ceil-div behavior, and the 4096
+    ceiling (reached at n > 4096 * B = 204800). The rule is the
+    MEASURED minimizer — the balanced sqrt(n/2) alternative was
+    implemented and lost 3-5x at every scale (see _sd_auto_k's
+    docstring and SCALING.md §21)."""
     from dataflow_pubsub_message_encryption_spark.operators import similarity as S
 
     assert S._sd_auto_k(1) == 4
