@@ -41,15 +41,18 @@ _MODULES = [
 # the exact Arrow-matmul stage (_km_assign_arrow, VERDICT r14 item 1 —
 # law-pinned bit-identical to the interpreted fold, oracles unchanged)
 # and the LSH recall eval gained the ADVICE r14 zero-sample guard).
-# Then rotates the stalest cohort: 35 of
+# The round-15 OPTIMIZATION pass changed 8 more implementations
+# (suffix-array/doubling `_parallel` spread, embedding-LSH broadcast
+# -regime spread, graph-ANN fused edge build) — they rotate in next,
+# per the changed-keys-lead rule. Then rotates the stalest cohort: 27 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
-# tail (profile_key_skew, agg_heavy_hitters_cms,
-# compaction_partition_bins, orders_open_aging_buckets,
-# window_rolling_median, join_interval_overlap_binned,
-# orders_dow_seasonality_index) yields
-# slots to this round's new keys and leads the r16
-# rotation). 2 + 7 + 6 + 35 = 50 slots, zero already-fresh fillers. Every
+# tail (events family, graph_degree_histogram etc., plus
+# profile_key_skew, agg_heavy_hitters_cms, compaction_partition_bins,
+# orders_open_aging_buckets, window_rolling_median,
+# join_interval_overlap_binned, orders_dow_seasonality_index) yields
+# slots to this round's new + optimization-changed keys and leads the
+# r16 rotation). 2 + 7 + 6 + 8 + 27 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -70,7 +73,16 @@ _WINDOW = [
     "decontam_embedding_cosine",  # NEW: semantic eval-set decontamination
     "dedup_semdedup_recall_eval",  # NEW: SemDeDup vs exact truth + volume
     "corpus_semantic_curation_report",  # NEW: eval/dup/contam/kept per source
-    # --- 35 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    # --- round-15 optimization-pass changed implementations ---
+    "dedup_span_suffix_array",  # OPT: _parallel before the suffix explode
+    "dedup_span_suffix_doubling",  # OPT: same spread
+    "dedup_embedding_lsh",  # OPT: broadcast-regime scan spread
+    "dedup_embedding_lsh_auto",  # OPT: same (shared pair body)
+    "dedup_embedding_lsh_banded",  # OPT: same (banded body)
+    "sim_ann_graph_topk_blocked",  # OPT: fused one-window edge build
+    "sim_ann_graph_topk_blocked_wide",  # OPT: same
+    "sim_ann_graph_topk_blocked_auto",  # OPT: same
+    # --- 27 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
     "part_name_trigram_search",
@@ -98,14 +110,6 @@ _WINDOW = [
     "dq_freshness_lag",
     "corpus_filter_attrition_report",
     "graph_partition_modularity",
-    "graph_community_conductance",
-    "graph_degree_histogram",
-    "corpus_dedup_savings_report",
-    "events_peak_concurrency",
-    "events_markov_stationary",
-    "events_anomaly_mad",
-    "events_acf_lags",
-    "events_ewma_daily",
 ]
 
 

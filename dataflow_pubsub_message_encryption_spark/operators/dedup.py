@@ -2076,7 +2076,14 @@ def dedup_span_suffix_array(spark, sf_dir):
     64-char cap is the documented production knob."""
     from .scale import _global_rank
 
-    docs = load(spark, sf_dir, "documents")
+    # _parallel before the explode (round-15 opt): the suffix explode is
+    # the op's heaviest narrow map (rows ∝ corpus chars — ~1.5M substr
+    # calls at sf0.1) and on the single-row-group fixture it inherited
+    # ONE task; the ladder/winnowing siblings already spread it.
+    # Measured: q23 8.06 s → ~4 s (the 32-file twin's number, where the
+    # scan is already parallel and this repartition degrades to a cheap
+    # balanced shuffle of the text column).
+    docs = _parallel(spark, load(spark, sf_dir, "documents"))
     sfx = docs.select(
         "doc_id",
         "text",
@@ -2218,7 +2225,10 @@ def dedup_span_suffix_doubling(spark, sf_dir):
     from ..materialize import pin
     from .scale import _global_rank
 
-    docs = load(spark, sf_dir, "documents")
+    # _parallel before the explode — same round-15 opt as
+    # dedup_span_suffix_array (the single-row-group fixture scan
+    # serialized the ~1.5M-row suffix explode on one task).
+    docs = _parallel(spark, load(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         "text",

@@ -996,6 +996,20 @@ def _emb_lsh_pairs_body(spark, sf_dir, bits: int, n: int | None = None):
         ).repartition(F.col("bucket"))
         bd = b.withColumn("emb", as_double("emb32")).drop("emb32")
     else:
+        # Round-15 opt: in the BROADCAST regime there is no exchange at
+        # all, so the whole query — the interpreted per-row derivations
+        # (4+ plane dots, norm, cast) AND the per-candidate pair folds —
+        # inherits the SCAN partitioning, which on the single-row-group
+        # fixture is ONE task (measured: q11 2.71 s single-file vs
+        # 0.66 s on the 32-file twin). The dedup.py `_parallel` idiom:
+        # a round-robin repartition of the ≤_EMB_BCAST_MAX-row corpus
+        # (≤6 MB) spreads both stages; on an already-partitioned real
+        # corpus it degrades to a cheap balanced shuffle. This is NOT
+        # the keyed repartition the docstring rejects above — that one
+        # added two REPARTITION_BY_COL stages on top of the broadcast;
+        # this one replaces the 1-task scan with the parallelism the
+        # broadcast join preserves.
+        e = e.repartition(spark.sparkContext.defaultParallelism)
         bd = e.select(
             "vec_id",
             as_double("embedding").alias("emb"),
@@ -1176,6 +1190,11 @@ def _emb_lsh_banded_body(
 
     e = load(spark, sf_dir, "embeddings")
     shuffle_regime = n is not None and n > _EMB_BCAST_MAX
+    if not shuffle_regime:
+        # broadcast regime: spread the 1-task fixture scan before the
+        # per-row plane dots / pair folds — see `_emb_lsh_pairs_body`
+        # (round-15 opt; one repartition feeds BOTH bands' projections).
+        e = e.repartition(spark.sparkContext.defaultParallelism)
     bands = []
     for band in range(n_bands):
         if shuffle_regime:
@@ -2849,6 +2868,38 @@ def _grb_edges(nodes, l: int, scored=None):
     )
 
 
+def _grb_edges_all(scored):
+    """All `_GR_LEVELS` walk levels' M-NN edges in ONE tagged window pass
+    (round-15 optimization): level l's candidates are the scored pairs
+    with both endpoints at lvl ≥ l, so the three per-level
+    rank-and-keep-M windows collapse into a single window PARTITIONED BY
+    (walk_lvl, src) over the level-filtered copies of the pinned scored
+    table, pinned ONCE — 3 exchanges + 3 window sorts + 3 pin jobs → 1
+    of each (the union is wider by the sparse upper levels only: +~30%
+    rows at fixture occupancy, each a 4-int row). Edge sets are
+    law-pinned identical to the per-level `_grb_edges` at the graded
+    fixture (tests/test_round15_opt.py); same (d, dst) rank rule, same
+    _GR_M keep. Returns the same {level: (src, dst)} dict the walk
+    consumes — each level is a narrow filter over the one pinned table."""
+    tagged = None
+    for l in _GR_LEVELS:
+        sub = scored.filter(
+            (F.col("src_lvl") >= l) & (F.col("dst_lvl") >= l)
+        ).select(F.lit(l).alias("walk_lvl"), "src", "dst", "d")
+        tagged = sub if tagged is None else tagged.unionByName(sub)
+    w = Window.partitionBy("walk_lvl", "src").orderBy("d", "dst")
+    allr = (
+        tagged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _GR_M)
+        .select("walk_lvl", "src", "dst")
+        .localCheckpoint()
+    )
+    return {
+        l: allr.filter(F.col("walk_lvl") == l).select("src", "dst")
+        for l in _GR_LEVELS
+    }
+
+
 def _gr_step(cur, edges, nodes, probe):
     """One beam hop (HNSW ef-search analog): frontier = beam ∪ N(beam);
     keep the _GR_BEAM frontier nodes nearest the probe (ties by id). The
@@ -2935,7 +2986,18 @@ def sim_ann_graph_topk_naive_demo(spark, sf_dir):
 
 def _gr_search(nodes, probe, edges):
     """Beam descent + 2-hop base-layer rerank, shared by the naive and
-    LSH-blocked builds (the index changes; the walk does not)."""
+    LSH-blocked builds (the index changes; the walk does not).
+
+    Round-15 optimization note — the driver-fed literal-beam walk was
+    IMPLEMENTED, MEASURED, AND REJECTED: feeding each hop's ≤_GR_BEAM ids
+    back as `isin` literals embeds new literal values in every hop's
+    generated code, so Janino's codegen cache misses on all 9 hops of
+    every execution (the pinned-frontier form compiles each hop shape
+    ONCE — identical source, new checkpointed RDD). Measured on quiet
+    same-box A/B at sf0.1: blocked 6.73 → 9.25 s, wide 5.78 → 7.15,
+    auto 7.25 → 10.0 (tools/slope_runs/r15opt/). The per-hop pin is 1
+    job either way; the collect saved nothing and paid recompilation.
+    Kept: the DataFrame frontier + per-hop eager localCheckpoint."""
     cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
@@ -2990,6 +3052,17 @@ def _gr_blocked(spark, sf_dir, tables=None):
     """Shared blocked-build body: registered op (default fixture-tuned
     4-bit tables) and the scale variant (wider tables) differ ONLY in the
     block-key slices."""
+    # Round-15 optimization note — a `_parallel`-style repartition before
+    # the node derivation was IMPLEMENTED, MEASURED, AND REJECTED here:
+    # it does spread the plane-dot map (the 1-task single-row-group scan),
+    # but the pin then freezes nodes at defaultParallelism partitions and
+    # the walk's 9 sequential tiny per-hop jobs each re-scan the node
+    # table — ~300 near-empty task launches per execution ate more than
+    # the build saved (quiet same-box A/B at sf0.1: blocked 6.73 → 8.54 s,
+    # auto 7.25 → 8.60; tools/slope_runs/r15opt/). On a real multi-file
+    # corpus the scan arrives parallel WITHOUT the repartition, so the
+    # fixture-only win wasn't there to buy either. The build's wide
+    # stages get their parallelism from their own exchanges regardless.
     e = load(spark, sf_dir, "embeddings")
     nodes = _gr_nodes(
         e.filter(F.col("vec_id") != _PROBE_ID), blocked=True, tables=tables
@@ -3005,9 +3078,9 @@ def _gr_blocked(spark, sf_dir, tables=None):
         .localCheckpoint()
     )
     scored = _grb_scored_pairs(nodes).localCheckpoint()
-    edges = {
-        l: _grb_edges(nodes, l, scored).localCheckpoint() for l in _GR_LEVELS
-    }
+    # round-15 opt: one tagged window pass + one pin for all levels
+    # (was one window + pin per level) — see `_grb_edges_all`.
+    edges = _grb_edges_all(scored)
     return _gr_search(nodes, probe, edges)
 
 
@@ -3606,6 +3679,100 @@ _SD_K = _sd_auto_k(_KM_FIXTURE_N)
 _SD_S = _km_auto_stride(_KM_FIXTURE_N, _SD_K)
 
 
+def _sd_pairs_fold(base):
+    """Within-cell pair pass, interpreted-fold form: self-join the
+    (vec_id, cell, de, cs_cent) base on cell with id_a < id_b, score each
+    pair with the codegen'd cosine fold. Kept as the law-test twin of
+    `_sd_pairs_arrow` (tests pin fold ≡ Arrow on every pair at both
+    graded fixtures — the same discipline that let `_km_assign_arrow`
+    claim exactness)."""
+    return (
+        base.alias("pa")
+        .join(
+            base.alias("pb"),
+            (F.col("pa.cell") == F.col("pb.cell"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .select(
+            F.col("pa.cell").alias("cell"),
+            F.col("pa.vec_id").alias("id_a"),
+            F.col("pb.vec_id").alias("id_b"),
+            F.col("pa.cs_cent").alias("cs_a"),
+            F.col("pb.cs_cent").alias("cs_b"),
+            F.round(cosine(F.col("pa.de"), F.col("pb.de")), 6).alias("cos_sim"),
+        )
+    )
+
+
+def _sd_pairs_arrow(base):
+    """Within-cell pair pass as ONE numpy matmul per cell — the
+    `_km_assign_arrow` treatment applied to the pair stage (round-15
+    optimization; guide §4.2). The r15 sizing work measured the
+    interpreted per-pair cosine fold at ~1.75 µs/pair vs ~0.5 ns per
+    BLAS dot (~3500×), and the committed prototype
+    (tools/slope_runs/r15/proto_pair_matmul.py) read 2× at shipped grain
+    (occupancy 50) with EXACT round-6 agreement on both graded fixtures'
+    full pair sets and identical 25× checksums (1.25M pairs) — the
+    advantage grows with occupancy, so the asymptotic story improves
+    with the same values.
+
+    Shape: group the pinned base by cell (`applyInPandas` — the pair set
+    of one cell is computed where the fold's equi-self-join would have
+    hashed it anyway), compute the cell's pairwise cosine block as one
+    V @ V.T, emit the RAW double, and round SPARK-SIDE (F.round half-up,
+    the fold/oracle discipline — numpy rounds banker's). ids are sorted
+    ascending inside the kernel so the emitted (id_a < id_b) orientation
+    and the carried cs_cent endpoints match the fold row for row.
+    Per-cell memory is occupancy², bounded by the same Σ n_c² budget
+    that bounds the fold's join output — a skewed cell costs both forms
+    alike."""
+
+    def pair_cells(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype="int64"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cs_a": pd.Series([], dtype="float64"),
+                    "cs_b": pd.Series([], dtype="float64"),
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        cs = pdf["cs_cent"].to_numpy()[order]
+        V = np.array(pdf["de"].tolist(), dtype=np.float64)[order]
+        nrm = np.sqrt((V * V).sum(axis=1))
+        sims = (V @ V.T) / np.outer(nrm, nrm)
+        iu = np.triu_indices(n, k=1)
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(iu[0]), pdf["cell"].iloc[0], dtype=np.int64),
+                "id_a": ids[iu[0]],
+                "id_b": ids[iu[1]],
+                "cs_a": cs[iu[0]],
+                "cs_b": cs[iu[1]],
+                "cos_raw": sims[iu],
+            }
+        )
+
+    raw = base.groupBy("cell").applyInPandas(
+        pair_cells,
+        "cell long, id_a long, id_b long, cs_a double, cs_b double, "
+        "cos_raw double",
+    )
+    return raw.select(
+        "cell",
+        "id_a",
+        "id_b",
+        "cs_a",
+        "cs_b",
+        F.round("cos_raw", 6).alias("cos_sim"),
+    )
+
+
 def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report"):
     """SemDeDup body at explicit (k, stride, τ) — the law tests call this
     directly (τ overrides; ``emit='pairs'`` exposes the dup-pair set so
@@ -3615,9 +3782,11 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
 
     Train = the family's sampled Lloyd machinery verbatim (vec_id-seeded
     singleton cells, fixed-point updates, round-15 Arrow-matmul
-    assignment); then ONE within-cell pair pass: self-join the
-    (vec_id, cell, de, cs_cent) base on cell with id_a < id_b, keep pairs
-    with 6dp-rounded cosine ≥ τ. Keep-rule (the paper's): within a dup
+    assignment); then ONE within-cell pair pass over the
+    (vec_id, cell, de, cs_cent) base — since the round-15 optimization
+    pass an Arrow per-cell matmul kernel (`_sd_pairs_arrow`, law-pinned
+    ≡ the `_sd_pairs_fold` self-join it replaced), keeping pairs with
+    6dp-rounded cosine ≥ τ. Keep-rule (the paper's): within a dup
     pair the vector FARTHER from its centroid is the keeper — remove the
     endpoint with the GREATER (cs_cent, vec_id); a vector is removed iff
     ANY neighbor beats it, so the kept set is pair-free (no surviving dup
@@ -3627,15 +3796,14 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
     Spark's half-up rounding at midpoints).
 
     Scale: base is pinned once (localCheckpoint — assignment runs ONCE);
-    the pair join blocks on cell (k ≤ 4096 ⇒ broadcast at fixture grain,
-    an equi-join exchange at corpus grain). Measured at 25× with
-    broadcast disabled (SCALING.md §21): the self-join's two identical
-    sides reuse a SINGLE ~400 compressed-B/row exchange (verified by
-    stage count over the pinned base — the r13 uniform-shape
-    ReusedExchange lesson); the float32-carry trim (−32% in the LSH
-    body) remains the known lever if that one exchange ever dominates
-    a slope point. The report shuffles only (cell, counts) — never
-    vectors."""
+    the Arrow pair pass hashes the base by cell into `applyInPandas` —
+    ONE exchange of the base rows (the fold's self-join reused a single
+    identical exchange, measured at 25× with broadcast disabled,
+    SCALING.md §21 — the Arrow form keeps that byte count and removes
+    the per-pair interpreted fold on top); the float32-carry trim (−32%
+    in the LSH body) remains the known lever if that one exchange ever
+    dominates a slope point. The report shuffles only (cell, counts) —
+    never vectors."""
     e = load(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -3671,22 +3839,10 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
         )
         .localCheckpoint(eager=True)
     )
-    pairs_all = (
-        base.alias("pa")
-        .join(
-            base.alias("pb"),
-            (F.col("pa.cell") == F.col("pb.cell"))
-            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
-        )
-        .select(
-            F.col("pa.cell").alias("cell"),
-            F.col("pa.vec_id").alias("id_a"),
-            F.col("pb.vec_id").alias("id_b"),
-            F.col("pa.cs_cent").alias("cs_a"),
-            F.col("pb.cs_cent").alias("cs_b"),
-            F.round(cosine(F.col("pa.de"), F.col("pb.de")), 6).alias("cos_sim"),
-        )
-    )
+    # round-15 opt: the pair pass runs as the Arrow matmul kernel (2× at
+    # shipped grain, exact — see `_sd_pairs_arrow`; `_sd_pairs_fold` is
+    # the law-pinned twin).
+    pairs_all = _sd_pairs_arrow(base)
     if emit == "cand":
         # the recall eval's candidate-volume axis: every within-cell pair,
         # BEFORE the τ cut (counted once — no pin, no second consumer)
@@ -3934,7 +4090,13 @@ def decontam_embedding_cosine(spark, sf_dir, tau: float = None):
     test = v.filter(F.col("vec_id") % every == 0).select(
         F.col("vec_id").alias("test_id"), F.col("de").alias("te")
     )
-    train = v.filter(F.col("vec_id") % every != 0)
+    # round-15 opt: the brute probe scan (≈_DC_EVAL_TARGET interpreted
+    # cosine folds per train row) inherits the 1-task single-row-group
+    # scan otherwise — the dedup.py `_parallel` idiom (measured: 0.85 s
+    # single-file vs 0.61 s on the 32-file twin).
+    train = v.filter(F.col("vec_id") % every != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = train.join(F.broadcast(test)).select(
         "test_id",
         F.col("vec_id").alias("train_id"),
@@ -4244,6 +4406,8 @@ def corpus_semantic_curation_report(spark, sf_dir):
     )
     flagged = (
         v.filter(F.col("vec_id") % every != 0)
+        # same 1-task-scan spread as decontam_embedding_cosine (round-15 opt)
+        .repartition(spark.sparkContext.defaultParallelism)
         .join(F.broadcast(test))
         .filter(F.round(cosine(F.col("de"), F.col("te")), 6) >= _DC_TAU)
         .select("vec_id")

@@ -1,0 +1,141 @@
+"""Round-15 OPTIMIZATION-pass law tests.
+
+The optimization round changes HOW three hot bodies compute, never WHAT
+they compute; these laws are the equivalence proofs:
+
+- SemDeDup within-cell pair pass: the Arrow per-cell matmul kernel
+  (`_sd_pairs_arrow`) ≡ the interpreted self-join fold it replaced
+  (`_sd_pairs_fold`) on every (cell, id_a, id_b, cs_a, cs_b, cos_sim)
+  row at BOTH graded fixtures — the `_km_assign_arrow` discipline
+  applied to the pair stage.
+- Graph-ANN edge build: the fused single-window `_grb_edges_all` (one
+  tagged window + one pin for ALL walk levels) ≡ the per-level
+  `_grb_edges` it replaced, edge set for edge set, on the full blocked
+  build at the graded fixture. (The literal-beam walk rewrite was
+  measured, REJECTED — Janino codegen cache misses on every hop — and
+  reverted; `_gr_search` docstring carries the numbers, so no walk twin
+  is needed here.)
+- The embedding-LSH broadcast regime keeps its broadcast join after the
+  round-robin scan spread (the repartition must parallelize the scan,
+  not displace the join strategy the round-14 measurements picked).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _sd_base(spark, fixture):
+    """The pinned (vec_id, cell, de, cs_cent) base exactly as `_sd_body`
+    builds it (train chain included), exposed for the pair-pass law."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, fixture, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n = e.count()
+    k = S._sd_auto_k(n)
+    stride = S._km_auto_stride(n, k)
+    e_q = e.select(
+        "vec_id",
+        S.as_double("embedding").alias("de"),
+        F.transform(
+            S.as_double("embedding"),
+            lambda x: F.round(x * S._CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    cents = e_q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    )
+    train = e_q if stride <= 1 else e_q.filter(
+        F.col("vec_id") % stride == 0
+    ).localCheckpoint(eager=True)
+    for _ in range(S._KM_ITERS):
+        cents = S._km_update(
+            S._km_assign_arrow(train, cents), train
+        ).localCheckpoint(eager=True)
+    assign = S._km_assign_arrow(e_q, cents)
+    cd = F.transform("cq", lambda q: q.cast("double") / S._CENT_SCALE)
+    return (
+        assign.alias("a")
+        .join(e_q.alias("v"), F.col("a.vec_id") == F.col("v.vec_id"))
+        .join(F.broadcast(cents.select("cell", cd.alias("cd"))), "cell")
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            "cell",
+            F.col("v.de").alias("de"),
+            F.round(S.cosine(F.col("v.de"), F.col("cd")), 6).alias("cs_cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_sd_pairs_arrow_equals_fold(spark, fixture):
+    """Row-identical pair sets: the Arrow matmul pair kernel must emit
+    exactly the fold's rows — same orientation (id_a < id_b), same
+    carried cs_cent endpoints, same 6dp-rounded cosine — at both graded
+    fixtures. This is the law that lets `_sd_body` (and through it the
+    semdedup report, recall eval and curation report oracles) call the
+    swap exact."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+
+    base = _sd_base(spark, fixture)
+
+    def rows(df):
+        return sorted(
+            (r.cell, r.id_a, r.id_b, r.cs_a, r.cs_b, r.cos_sim)
+            for r in df.collect()
+        )
+
+    fold = rows(S._sd_pairs_fold(base))
+    arrow = rows(S._sd_pairs_arrow(base))
+    assert fold, "fixture admits no within-cell pairs — law would be vacuous"
+    assert fold == arrow
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_grb_edges_all_equals_per_level(spark, fixture):
+    """The fused single-window edge build must emit, at every walk level,
+    exactly the per-level `_grb_edges` edge set (same (src, dst) rows —
+    the rank-and-keep-M rule partitioned by (walk_lvl, src) must reduce
+    to the per-level rule partitioned by src). This is the law that lets
+    `_gr_blocked` (and through it the blocked/wide/auto graph-ANN
+    oracles) call the 3-pins→1-pin swap exact."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, fixture, "embeddings")
+    nodes = S._gr_nodes(
+        e.filter(F.col("vec_id") != S._PROBE_ID), blocked=True
+    ).localCheckpoint()
+    scored = S._grb_scored_pairs(nodes).localCheckpoint()
+
+    fused = S._grb_edges_all(scored)
+    any_nonempty = False
+    for l in S._GR_LEVELS:
+        per_level = sorted(
+            (r.src, r.dst) for r in S._grb_edges(nodes, l, scored).collect()
+        )
+        got = sorted((r.src, r.dst) for r in fused[l].collect())
+        assert got == per_level, f"level {l} edge sets differ"
+        any_nonempty = any_nonempty or bool(per_level)
+    assert any_nonempty, "fixture admits no edges — law would be vacuous"
+
+
+def test_emb_lsh_broadcast_regime_still_broadcasts(spark, sf_dir):
+    """The round-15 scan-spread repartition in the LSH broadcast regime
+    must not displace the measured-best join strategy: the bucket
+    self-join still plans as a BroadcastHashJoin (no bucket exchange),
+    with the repartition living BELOW the scan-side projections."""
+    from dataflow_pubsub_message_encryption_spark.operators import registry
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+
+    queries, _ = registry()
+    plan = formatted_plan(queries["dedup_embedding_lsh"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_COL" not in plan
