@@ -2074,7 +2074,7 @@ def dedup_span_suffix_array(spark, sf_dir):
     per-doc max is a partial aggregate. Prefix-doubling extends the cap
     in log rounds with the same rank machinery if ever needed; the
     64-char cap is the documented production knob."""
-    from .scale import _global_rank
+    from .scale import _global_adjacent_pairs
 
     # _parallel before the explode (round-15 opt): the suffix explode is
     # the op's heaviest narrow map (rows ∝ corpus chars — ~1.5M substr
@@ -2093,26 +2093,25 @@ def dedup_span_suffix_array(spark, sf_dir):
         "pos",
         F.expr(f"substr(text, pos, {_SFX_CAP})").alias("suf"),
     )
-    ranked, _ = _global_rank(sfx, "suf", "doc_id", "pos")
-    a = ranked.select(
-        F.col("doc_id").alias("doc_a"), F.col("suf").alias("sa"), "rk"
-    )
-    b = ranked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("suf").alias("sb"),
-        (F.col("rk") - 1).alias("rk"),
-    )
-    # merge hint: both sides are data-grain projections of the PINNED
-    # ranked table, and a pin (localCheckpoint) carries the PRE-pin size
-    # estimate — explode-undersized here — so the planner broadcast a
-    # multi-GB side at 25× fixture scale and died on driver maxResultSize
-    # (AQE can never correct it: a broadcast built straight from an RDD
-    # has no shuffle stage to re-measure). Adjacent-rank joins are never
-    # broadcastable at scale; pin the strategy, not the stats.
+    # round-15 opt session 2: the SA-adjacent pairs come straight from
+    # the ranking window's lead() + bounded boundary stitching
+    # (`_global_adjacent_pairs`) instead of ranking and self-joining
+    # rk ↔ rk+1 — the rk join re-exchanged AND re-sorted the full
+    # suffix table on both sides (its merge hint guarded the r10
+    # pinned-broadcast hazard; with no data-grain join left, the hazard
+    # is gone structurally). The pair SET is law-pinned identical
+    # (tests/test_round15_opt.py) and boundary-placement-invariant
+    # because (suf, doc_id, pos) is a unique total order.
+    adjp = _global_adjacent_pairs(sfx, ("suf", "doc_id", "pos"), ("doc_id", "suf"))
     adj = (
-        a.join(b.hint("merge"), "rk")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb", F.lit(0).alias("l"))
+        adjp.filter(F.col("doc_id_l") != F.col("doc_id_r"))
+        .select(
+            F.col("doc_id_l").alias("doc_a"),
+            F.col("doc_id_r").alias("doc_b"),
+            F.col("suf_l").alias("sa"),
+            F.col("suf_r").alias("sb"),
+            F.lit(0).alias("l"),
+        )
     )
     # binary-descent LCP: 7 codegen'd string compares per pair instead of
     # a 64-element interpreted higher-order fold (measured: the fold was
@@ -2270,19 +2269,22 @@ def dedup_span_suffix_doubling(spark, sf_dir):
             ).select("doc_id", "pos", F.col("nr").alias("r"))
         )
         h *= 2
-    ranked, _ = _global_rank(cur, "r", "doc_id", "pos")
-    a = ranked.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "rk"
-    )
-    b = ranked.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        (F.col("rk") - 1).alias("rk"),
-    )
+    # round-15 opt session 2: same rank-free SA-adjacency as
+    # dedup_span_suffix_array (`_global_adjacent_pairs` — lead() in the
+    # ranking window + bounded boundary stitching replaces the rk ↔ rk+1
+    # self-join; (r, doc_id, pos) is a unique total order because r is
+    # dense over distinct 256-prefixes and (doc_id, pos) breaks ties).
+    from .scale import _global_adjacent_pairs
+
+    adjp = _global_adjacent_pairs(cur, ("r", "doc_id", "pos"), ("doc_id", "pos"))
     adj = (
-        a.join(b.hint("merge"), "rk")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "pos_a", "doc_b", "pos_b")
+        adjp.filter(F.col("doc_id_l") != F.col("doc_id_r"))
+        .select(
+            F.col("doc_id_l").alias("doc_a"),
+            F.col("pos_l").alias("pos_a"),
+            F.col("doc_id_r").alias("doc_b"),
+            F.col("pos_r").alias("pos_b"),
+        )
     )
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("tx_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tx_b"))

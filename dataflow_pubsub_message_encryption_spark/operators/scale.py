@@ -1308,6 +1308,85 @@ def _global_rank(df, *order_cols):
     return ranked, acc
 
 
+def _global_adjacent_pairs(df, order_cols, keep):
+    """All globally-ADJACENT row pairs under the unique total order
+    ``order_cols`` — the rank-free replacement for the
+    ``_global_rank`` → ``rk ↔ rk+1`` self-join idiom (round-15
+    optimization, guide §2.4: remove shuffles outright).
+
+    Why: the self-join form pins the ranged table, then BOTH join sides
+    recompute the ranking window from the pin and re-exchange + re-sort
+    the full table on ``rk`` (2 hash exchanges + 2 sorts + the merge
+    join — measured 8.2 → 4.8 s already spread, and this removes the
+    remaining join machinery). Adjacency is computable with ZERO extra
+    exchanges: within each range partition the ranking window's own
+    ``lead()`` produces the next row, and the ≤``_N_RANGE``−1 pairs that
+    straddle partition boundaries are the (last row of partition p,
+    first row of the next non-empty partition) pairs — a bounded driver
+    scalar (the offsets-collect class), re-emitted as a local relation.
+
+    1. ``repartitionByRange`` on the order columns + ``pid``, pinned —
+       exactly ``_global_rank`` step 1 (the pin now also materializes
+       the lead columns, so the window is computed ONCE, in the pin job,
+       instead of once per join side);
+    2. per-partition ``lead()`` over the same window spec the rank used —
+       every within-partition adjacent pair, no new exchange;
+    3. boundary pairs from two bounded collects (≤``_N_RANGE`` rows
+       each — same driver-transfer class as the rank's offset collect),
+       chained across EMPTY partitions by pid order.
+
+    ``keep``: the payload columns to surface; the pair frame carries
+    ``<c>_l`` / ``<c>_r`` for each. Order columns must form a unique
+    total order (the ``_global_rank`` contract), so adjacency is
+    boundary-placement-invariant and the pair SET is exactly the rank
+    form's — law-pinned in tests/test_round15_opt.py."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    marked = pin(
+        df.repartitionByRange(_N_RANGE, *order_cols)
+        .withColumn("pid", F.spark_partition_id())
+        .select(
+            "pid",
+            *keep,
+            F.row_number().over(w).alias("_rn"),
+            F.lead(F.lit(1)).over(w).alias("_has_next"),
+            *[F.lead(c).over(w).alias(f"_n_{c}") for c in keep],
+        )
+    )
+    within = marked.filter(F.col("_has_next").isNotNull()).select(
+        *[F.col(c).alias(f"{c}_l") for c in keep],
+        *[F.col(f"_n_{c}").alias(f"{c}_r") for c in keep],
+    )
+    # driver-scalar (bounded: <= _N_RANGE rows each, one per non-empty
+    # range partition) — the same bounded-transfer class as
+    # _global_rank's per-partition offset collect
+    lasts = sorted(
+        marked.filter(F.col("_has_next").isNull())
+        .select("pid", *keep)
+        .collect(),  # driver-bounded: <= _N_RANGE rows (one per partition)
+        key=lambda r: r["pid"],
+    )
+    firsts = sorted(
+        marked.filter(F.col("_rn") == 1)
+        .select("pid", *keep)
+        .collect(),  # driver-bounded: <= _N_RANGE rows (one per partition)
+        key=lambda r: r["pid"],
+    )
+    fields = [
+        T.StructField(f"{c}_{side}", df.schema[c].dataType)
+        for side in ("l", "r")
+        for c in keep
+    ]
+    rows = [
+        tuple([lt[c] for c in keep] + [ft[c] for c in keep])
+        for lt, ft in zip(lasts[:-1], firsts[1:])
+    ]
+    boundary = spark.createDataFrame(rows, T.StructType(fields))
+    return within.unionByName(boundary)
+
+
 def _topk_ranked(df, k: int, *order_cols):
     """Exact global top-``k`` rows with a 1-based ``rk`` rank column and NO
     single-partition window anywhere in the plan — the scale-safe

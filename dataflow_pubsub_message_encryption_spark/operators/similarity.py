@@ -2769,7 +2769,12 @@ def _gr_edges(nodes, l: int):
 
 
 def _grb_scored_pairs(nodes):
-    """All LSH-blocked candidate pairs, scored once for every level — the
+    """[LAW-TEST TWIN since round 15 — the engine path is
+    :func:`_grb_scored_pairs_arrow`, row-set-identical by law test; this
+    join form is kept to anchor that exactness claim and the plan
+    assertions on the join shape.]
+
+    All LSH-blocked candidate pairs, scored once for every level — the
     100 TB build shape `_gr_edges` documents: candidates are bucket-mates
     in either of two 4-bit hyperplane tables (equi-joins on the bucket
     key, union-distinct = the oracle's OR), ids only through the shuffle;
@@ -2852,6 +2857,78 @@ def _grb_scored_pairs(nodes):
             il2_pd(F.col("qa"), F.col("qb")).alias("d"),
         )
     )
+
+
+def _grb_scored_pairs_arrow(nodes):
+    """Within-bucket pair generation + scoring as ONE numpy kernel per
+    bucket — the `_sd_pairs_arrow` / `_km_assign_arrow` treatment applied
+    to the blocked build's candidate stage (round-15 optimization, guide
+    §4.2), law-pinned row-set-identical to the join form
+    (:func:`_grb_scored_pairs`, kept as the twin) at both graded fixtures
+    AND at sf0.1 (488,486 pairs — tools/slope_runs/r15opt2/proto_grb.log).
+
+    Why: the join form distincts the id pairs and then re-joins the
+    quantized vectors by id TWICE (qa by src, qb by dst), shipping two
+    64-long arrays across the Python boundary PER CANDIDATE PAIR into the
+    scoring pandas UDF (~0.5M pairs × 2 × 512 B at sf0.1 — the measured
+    stage floor, see `_grb_scored_pairs`'s own note). Here nodes hash by
+    bucket key once per table (|V| rows × ~530 B) into `applyInPandas`,
+    the kernel emits every ordered bucket-mate pair with its exact
+    distance, and only (src, dst, lvls, d) rows reach the distinct —
+    vectors cross the Python boundary once per node per table instead of
+    twice per pair (~250× less Arrow traffic), and both shuffle_hash
+    vector re-joins disappear. Measured 2.4 → 0.9 s warm on the stage at
+    sf0.1 (same-box A/B, proto_grb.log).
+
+    Exactness: distances use the norm expansion |a|²+|b|²−2a·b over the
+    int64 quantized vectors in float64 BLAS — every intermediate is an
+    integer ≤ ~10¹⁵ < 2⁵³, so the arithmetic is exact regardless of BLAS
+    summation order; the law test re-proves value identity against the
+    join form's int64 fold at both fixtures. Per-bucket memory is
+    occupancy², the same Σ n_c² budget that bounds the join form's
+    output — a skewed bucket costs both forms alike, and the table-width
+    knob (`bits ≈ log2(n/B)`) bounds occupancy in both."""
+
+    def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "src_lvl": pd.Series([], dtype="int32"),
+                    "dst_lvl": pd.Series([], dtype="int32"),
+                    "d": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy()
+        lvl = pdf["lvl"].to_numpy()
+        Qf = np.array(pdf["qe"].tolist(), dtype=np.int64).astype(np.float64)
+        sq = (Qf * Qf).sum(axis=1)
+        D = (sq[:, None] + sq[None, :] - 2.0 * (Qf @ Qf.T)).astype(np.int64)
+        i, j = np.nonzero(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {
+                "src": ids[i],
+                "dst": ids[j],
+                "src_lvl": lvl[i].astype("int32"),
+                "dst_lvl": lvl[j].astype("int32"),
+                "d": D[i, j],
+            }
+        )
+
+    out = None
+    for i in range(1, len(_GRB_TABLES) + 1):
+        per = (
+            nodes.select("vec_id", "qe", "lvl", F.col(f"b{i}").alias("k"))
+            .groupBy("k")
+            .applyInPandas(
+                pair_bucket,
+                "src long, dst long, src_lvl int, dst_lvl int, d long",
+            )
+        )
+        out = per if out is None else out.unionByName(per)
+    return out.distinct()
 
 
 def _grb_edges(nodes, l: int, scored=None):
@@ -3077,7 +3154,11 @@ def _gr_blocked(spark, sf_dir, tables=None):
         )
         .localCheckpoint()
     )
-    scored = _grb_scored_pairs(nodes).localCheckpoint()
+    # round-15 opt: per-bucket Arrow pair kernel (was: bucket self-joins +
+    # id-pair distinct + two shuffle_hash vector re-joins + per-pair
+    # pandas-UDF scoring) — see `_grb_scored_pairs_arrow`; the join form
+    # is kept as the law-test twin.
+    scored = _grb_scored_pairs_arrow(nodes).localCheckpoint()
     # round-15 opt: one tagged window pass + one pin for all levels
     # (was one window + pin per level) — see `_grb_edges_all`.
     edges = _grb_edges_all(scored)

@@ -15,6 +15,11 @@ they compute; these laws are the equivalence proofs:
   measured, REJECTED — Janino codegen cache misses on every hop — and
   reverted; `_gr_search` docstring carries the numbers, so no walk twin
   is needed here.)
+- Graph-ANN candidate stage (second optimization session): the
+  per-bucket Arrow pair kernel (`_grb_scored_pairs_arrow`) ≡ the
+  bucket-join + vector-rejoin + pandas-UDF form it replaced
+  (`_grb_scored_pairs`) on every (src, dst, src_lvl, dst_lvl, d) row at
+  BOTH graded fixtures.
 - The embedding-LSH broadcast regime keeps its broadcast join after the
   round-robin scan spread (the repartition must parallelize the scan,
   not displace the join strategy the round-14 measurements picked).
@@ -125,6 +130,103 @@ def test_grb_edges_all_equals_per_level(spark, fixture):
         assert got == per_level, f"level {l} edge sets differ"
         any_nonempty = any_nonempty or bool(per_level)
     assert any_nonempty, "fixture admits no edges — law would be vacuous"
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_grb_scored_pairs_arrow_equals_join(spark, fixture):
+    """Row-set-identical scored candidate sets: the per-bucket Arrow pair
+    kernel (`_grb_scored_pairs_arrow` — the engine path since the r15
+    optimization pass) must emit exactly the join form's rows — same
+    ordered (src, dst) orientation, same carried levels, same exact int64
+    squared-L2 — at both graded fixtures. This is the law that lets
+    `_gr_blocked` (and through it the blocked/wide/auto graph-ANN
+    oracles) call the candidate-stage swap exact; it also proves the
+    float64-BLAS norm-expansion arithmetic agrees with the join form's
+    int64 fold on every pair (all intermediates are integers < 2^53)."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, fixture, "embeddings")
+    nodes = S._gr_nodes(
+        e.filter(F.col("vec_id") != S._PROBE_ID), blocked=True
+    ).localCheckpoint()
+
+    def rows(df):
+        return sorted(
+            (r.src, r.dst, r.src_lvl, r.dst_lvl, r.d) for r in df.collect()
+        )
+
+    join_form = rows(S._grb_scored_pairs(nodes))
+    arrow = rows(S._grb_scored_pairs_arrow(nodes))
+    assert join_form, "fixture admits no candidate pairs — law would be vacuous"
+    assert join_form == arrow
+
+
+def test_grb_scored_pairs_arrow_plan_shape(spark, sf_dir):
+    """The Arrow candidate stage must plan as per-bucket
+    FlatMapGroupsInPandas feeding one distinct — with NO join anywhere
+    (the two shuffle_hash vector re-joins and the ArrowEvalPython
+    per-pair scorer are exactly what the rewrite removed)."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.plans import formatted_plan
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, sf_dir, "embeddings")
+    nodes = S._gr_nodes(
+        e.filter(F.col("vec_id") != S._PROBE_ID), blocked=True
+    ).localCheckpoint()
+    plan = formatted_plan(S._grb_scored_pairs_arrow(nodes))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_global_adjacent_pairs_equals_rank_join(spark, fixture):
+    """The rank-free adjacency (`_global_adjacent_pairs`: lead() inside
+    the ranking window + bounded boundary stitching) must emit exactly
+    the pair set of the `_global_rank` → rk ↔ rk+1 self-join idiom it
+    replaced in the suffix-array family — every (left row, right row)
+    pair, on the exact sfx frame dedup_span_suffix_array builds. This is
+    the law that lets the suffix keys' oracle rows re-prove the swap."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        _SFX_CAP,
+        _parallel,
+    )
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        _global_adjacent_pairs,
+        _global_rank,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = _parallel(spark, load(spark, fixture, "documents"))
+    sfx = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.expr("sequence(1, length(text))")).alias("pos"),
+    ).select(
+        "doc_id", "pos", F.expr(f"substr(text, pos, {_SFX_CAP})").alias("suf")
+    )
+    order = ("suf", "doc_id", "pos")
+    ranked, _ = _global_rank(sfx, *order)
+    a = ranked.select(
+        F.col("doc_id").alias("d_l"), F.col("pos").alias("p_l"), "rk"
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("d_r"),
+        F.col("pos").alias("p_r"),
+        (F.col("rk") - 1).alias("rk"),
+    )
+    old = sorted(
+        (r.d_l, r.p_l, r.d_r, r.p_r)
+        for r in a.join(b.hint("merge"), "rk").collect()
+    )
+    new = sorted(
+        (r.doc_id_l, r.pos_l, r.doc_id_r, r.pos_r)
+        for r in _global_adjacent_pairs(sfx, order, ("doc_id", "pos")).collect()
+    )
+    assert old, "fixture admits no adjacent pairs — law would be vacuous"
+    assert old == new
 
 
 def test_emb_lsh_broadcast_regime_still_broadcasts(spark, sf_dir):
