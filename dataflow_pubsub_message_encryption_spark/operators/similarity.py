@@ -588,6 +588,81 @@ def _km_update(assign, e_q):
     )
 
 
+def _km_train(spark, e_q, k: int, stride: int):
+    """Sampled-Lloyd coarse-quantizer train, shared by the IVF-auto,
+    batch-serve and SemDeDup bodies: returns the trained (cell, cq)
+    centroid table after ``_KM_ITERS`` Lloyd rounds, vec_id-seeded with
+    the k smallest ids as singleton cells.
+
+    ``stride > 1`` (the production sample-capped regime) trains
+    DRIVER-LOCAL (round-15 optimization session 2, guide §1.2 step 1):
+    the stride rule ``max(1, n // (_KM_SAMPLE_FACTOR·k))`` bounds the
+    train sample at ~2·_KM_SAMPLE_FACTOR·k ≤ ~65k rows by construction
+    (k ≤ _KM_AUTO_MAX_K = 4096), i.e. a bounded table in the
+    `# driver-bounded` collect class — and single-node training of the
+    coarse quantizer on the sample is the standard production shape
+    (ANN libraries train the quantizer on tens of samples per centroid,
+    never distributed). The distributed loop paid, PER ITERATION, one
+    centroid collect + one Arrow assignment pass + one (cell, pos)
+    shuffle + one pin over a few-hundred-row sample — measured 2.4-3.7 s
+    of pure job overhead per train at sf0.001-sf0.1 vs 0.3-0.4 s local
+    (tools/slope_runs/r15opt2/proto_local_lloyd.log). The arithmetic is
+    the engine's EXACTLY: the `_km_assign_arrow` 6dp-rounded-cosine
+    first-max argmax (cells ascending) and the `_km_update` floored
+    integer mean (int64 sums ≤ 65k·2e6 ≈ 1.3e11 — exact in float64
+    division); centroid sets are law-pinned bit-identical to the
+    distributed loop at both graded fixtures AND were verified at sf0.1
+    for both sizing rules (proto log). Corpus-grain work (the final
+    full-corpus assignment, serving) stays distributed.
+
+    ``stride <= 1`` (the full-corpus-train contrast regime,
+    `sim_ann_kmeans_ivf_topk_auto`) keeps the distributed loop verbatim
+    — there the train set IS the corpus and must never hit the driver."""
+    cents = e_q.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+    )
+    if stride <= 1:
+        for _ in range(_KM_ITERS):
+            cents = _km_update(
+                _km_assign_arrow(e_q, cents), e_q
+            ).localCheckpoint(eager=True)
+        return cents
+    seeds = sorted(
+        cents.collect(),  # driver-bounded: k <= _KM_AUTO_MAX_K rows
+        key=lambda r: r.cell,
+    )
+    trows = (
+        e_q.filter(F.col("vec_id") % stride == 0)
+        .select("vec_id", "de", "qe")
+        .collect()  # driver-bounded: stride-capped sample (<= ~2·8·k rows)
+    )
+    V = np.array([r.de for r in trows], dtype=np.float64)
+    Q = np.array([r.qe for r in trows], dtype=np.int64)
+    vn = np.sqrt((V * V).sum(axis=1))
+    cells = np.array([r.cell for r in seeds], dtype=np.int64)
+    C = np.array([r.cq for r in seeds], dtype=np.int64)
+    for _ in range(_KM_ITERS):
+        Cd = C.astype(np.float64) / _CENT_SCALE
+        cn = np.sqrt((Cd * Cd).sum(axis=1))
+        sims = np.round((V @ Cd.T) / np.outer(vn, cn), 6)
+        best = sims.argmax(axis=1)  # first max = lowest cell id (cells asc)
+        new_cells, new_C = [], []
+        for ci in range(len(cells)):
+            mask = best == ci
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue  # emptied cell drops, as the groupBy's does
+            s = Q[mask].sum(axis=0)  # int64 — exact
+            new_cells.append(cells[ci])
+            new_C.append(np.floor(s.astype(np.float64) / cnt).astype(np.int64))
+        cells = np.array(new_cells, dtype=np.int64)
+        C = np.array(new_C, dtype=np.int64)
+    return spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(cells, C)],
+        "cell long, cq array<bigint>",
+    )
+
+
 @query(
     "sim_ann_kmeans_ivf_topk",
     f"""
@@ -3332,16 +3407,10 @@ def _km_ivf_auto_body(spark, sf_dir, k: int, nprobe: int, stride: int = 1):
             lambda x: F.round(x * _CENT_SCALE).cast("long"),
         ).alias("qe"),
     ).localCheckpoint(eager=True)
-    cents = e_q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
-    )
-    train = e_q if stride <= 1 else e_q.filter(
-        F.col("vec_id") % stride == 0
-    ).localCheckpoint(eager=True)
-    for _ in range(_KM_ITERS):
-        cents = _km_update(
-            _km_assign_arrow(train, cents), train
-        ).localCheckpoint(eager=True)
+    # round-15 opt session 2: the stride-sampled train runs driver-local
+    # on the bounded sample; the stride=1 contrast regime keeps the
+    # distributed loop — see `_km_train`.
+    cents = _km_train(spark, e_q, k, stride)
     final_assign = _km_assign_arrow(e_q, cents)
     probe = e_q.filter(F.col("vec_id") == _PROBE_ID).select(
         F.col("de").alias("pe")
@@ -3672,16 +3741,10 @@ def sim_ann_kmeans_ivf_batch_topk(spark, sf_dir, n_override: int = None):
             lambda x: F.round(x * _CENT_SCALE).cast("long"),
         ).alias("qe"),
     ).localCheckpoint(eager=True)
-    cents = e_q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
-    )
-    train = e_q if stride <= 1 else e_q.filter(
-        F.col("vec_id") % stride == 0
-    ).localCheckpoint(eager=True)
-    for _ in range(_KM_ITERS):
-        cents = _km_update(
-            _km_assign_arrow(train, cents), train
-        ).localCheckpoint(eager=True)
+    # round-15 opt session 2: the stride-sampled train runs driver-local
+    # on the bounded sample; the stride=1 contrast regime keeps the
+    # distributed loop — see `_km_train`.
+    cents = _km_train(spark, e_q, k, stride)
     final_assign = _km_assign_arrow(e_q, cents)
     probes = e_q.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("de").alias("pe")
@@ -3896,16 +3959,9 @@ def _sd_body(spark, sf_dir, k: int, stride: int, tau: float, emit: str = "report
             lambda x: F.round(x * _CENT_SCALE).cast("long"),
         ).alias("qe"),
     ).localCheckpoint(eager=True)
-    cents = e_q.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
-    )
-    train = e_q if stride <= 1 else e_q.filter(
-        F.col("vec_id") % stride == 0
-    ).localCheckpoint(eager=True)
-    for _ in range(_KM_ITERS):
-        cents = _km_update(
-            _km_assign_arrow(train, cents), train
-        ).localCheckpoint(eager=True)
+    # round-15 opt session 2: driver-local sampled train (see `_km_train`
+    # — SemDeDup's occupancy sizing keeps stride > 1 at every n).
+    cents = _km_train(spark, e_q, k, stride)
     assign = _km_assign_arrow(e_q, cents)
     cd = F.transform("cq", lambda q: q.cast("double") / _CENT_SCALE)
     base = (

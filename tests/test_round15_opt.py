@@ -229,6 +229,54 @@ def test_global_adjacent_pairs_equals_rank_join(spark, fixture):
     assert old == new
 
 
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_km_train_local_equals_distributed(spark, fixture):
+    """The driver-local sampled-Lloyd train (`_km_train`, stride > 1 —
+    the engine path since the r15 optimization's second session) must
+    produce the BIT-IDENTICAL centroid table of the distributed
+    assign/update/pin loop it replaced, for BOTH sizing rules (the IVF
+    √n rule and the SemDeDup occupancy rule), at both graded fixtures.
+    This is the law that lets every stride-sampled consumer (sampled
+    IVF, batch serve, SemDeDup report/recall/curation) keep its
+    unrolled-trajectory oracle unchanged."""
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e = load(spark, fixture, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n = e.count()
+    e_q = e.select(
+        "vec_id",
+        S.as_double("embedding").alias("de"),
+        F.transform(
+            S.as_double("embedding"),
+            lambda x: F.round(x * S._CENT_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)
+    for k in (S._km_auto_k(n), S._sd_auto_k(n)):
+        stride = S._km_auto_stride(n, k)
+        assert stride > 1, "fixture fell into the full-train regime — law vacuous"
+        # the distributed loop, verbatim as shipped before the swap
+        cents = e_q.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cell"), F.col("qe").alias("cq")
+        )
+        train = e_q.filter(F.col("vec_id") % stride == 0).localCheckpoint(
+            eager=True
+        )
+        for _ in range(S._KM_ITERS):
+            cents = S._km_update(
+                S._km_assign_arrow(train, cents), train
+            ).localCheckpoint(eager=True)
+        dist = sorted((r.cell, tuple(r.cq)) for r in cents.collect())
+        local = sorted(
+            (r.cell, tuple(r.cq))
+            for r in S._km_train(spark, e_q, k, stride).collect()
+        )
+        assert dist, "no centroids trained — law would be vacuous"
+        assert dist == local, f"centroids differ at k={k} stride={stride}"
+
+
 def test_emb_lsh_broadcast_regime_still_broadcasts(spark, sf_dir):
     """The round-15 scan-spread repartition in the LSH broadcast regime
     must not displace the measured-best join strategy: the bucket
