@@ -41,18 +41,23 @@ _MODULES = [
 # the exact Arrow-matmul stage (_km_assign_arrow, VERDICT r14 item 1 —
 # law-pinned bit-identical to the interpreted fold, oracles unchanged)
 # and the LSH recall eval gained the ADVICE r14 zero-sample guard).
-# The round-15 OPTIMIZATION pass changed 8 more implementations
-# (suffix-array/doubling `_parallel` spread, embedding-LSH broadcast
-# -regime spread, graph-ANN fused edge build) — they rotate in next,
-# per the changed-keys-lead rule. Then rotates the stalest cohort: 27 of
+# The round-15 OPTIMIZATION pass changed 9 more implementations
+# (suffix-array/doubling `_parallel` spread then rank-free lead()
+# adjacency, embedding-LSH broadcast-regime spread, graph-ANN fused edge
+# build then Arrow per-bucket candidate scoring, the IVF-PQ min_by
+# assign; the driver-local sampled-Lloyd train also re-touched the
+# already-windowed sampled/batch/SemDeDup keys) — they rotate in next,
+# per the changed-keys-lead rule. Then rotates the stalest cohort: 26 of
 # the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
 # emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
 # tail (events family, graph_degree_histogram etc., plus
 # profile_key_skew, agg_heavy_hitters_cms, compaction_partition_bins,
 # orders_open_aging_buckets, window_rolling_median,
-# join_interval_overlap_binned, orders_dow_seasonality_index) yields
+# join_interval_overlap_binned, orders_dow_seasonality_index,
+# graph_partition_modularity — the last yielded its slot to the
+# optimization-changed sim_ivf_pq_topk) yields
 # slots to this round's new + optimization-changed keys and leads the
-# r16 rotation). 2 + 7 + 6 + 8 + 27 = 50 slots, zero already-fresh fillers. Every
+# r16 rotation). 2 + 7 + 6 + 9 + 26 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -79,9 +84,10 @@ _WINDOW = [
     "dedup_embedding_lsh",  # OPT: broadcast-regime scan spread
     "dedup_embedding_lsh_auto",  # OPT: same (shared pair body)
     "dedup_embedding_lsh_banded",  # OPT: same (banded body)
-    "sim_ann_graph_topk_blocked",  # OPT: fused one-window edge build
+    "sim_ann_graph_topk_blocked",  # OPT: fused edges + Arrow bucket pairs (s2)
     "sim_ann_graph_topk_blocked_wide",  # OPT: same
     "sim_ann_graph_topk_blocked_auto",  # OPT: same
+    "sim_ivf_pq_topk",  # OPT s2: min_by PQ assign (was row_number window)
     # --- 27 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
@@ -109,7 +115,6 @@ _WINDOW = [
     "dq_partition_fingerprint_drill",
     "dq_freshness_lag",
     "corpus_filter_attrition_report",
-    "graph_partition_modularity",
 ]
 
 

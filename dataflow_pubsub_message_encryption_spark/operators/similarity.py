@@ -2315,7 +2315,16 @@ def sim_ivf_pq_topk(spark, sf_dir):
         )
 
     def assign(codebook):
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+        # round-15 opt session 2: min_by replaces the row_number window —
+        # the argmin over the K codewords of each (vec_id, m) subvector
+        # is a partial-aggregable reduction (the `_km_assign` max_by
+        # precedent, r12), so the n·M·K scored rows collapse map-side to
+        # one row per subvector BEFORE the exchange instead of being
+        # shuffled AND sorted by the window; run twice per build
+        # (codebook refine + final encode). min of the (dist, k) struct
+        # is the window's exact (dist, k) ordering — k is unique within
+        # a group, so the argmin is deterministic and the law test pins
+        # row-identity with the window form at both fixtures.
         return (
             subs.join(F.broadcast(codebook), "m")
             .select(
@@ -2325,8 +2334,8 @@ def sim_ivf_pq_topk(spark, sf_dir):
                 "k",
                 il2(F.col("sv"), F.col("cw")).alias("dist"),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "cell", "m")
+            .agg(F.min_by("k", F.struct("dist", "k")).alias("k"))
             .select("vec_id", "cell", "m", "k")
         )
 

@@ -277,6 +277,99 @@ def test_km_train_local_equals_distributed(spark, fixture):
         assert dist == local, f"centroids differ at k={k} stride={stride}"
 
 
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_pq_assign_min_by_equals_window(spark, fixture):
+    """The PQ codeword assignment's min_by reduction (engine path since
+    the r15 optimization's second session) must pick, for every
+    (vec_id, m) subvector, exactly the codeword the row_number window it
+    replaced picked — same (dist, k) ordering, k unique within a group.
+    Reconstructs sim_ivf_pq_topk's subs/cb0 stage verbatim and compares
+    both assign forms row for row at both graded fixtures."""
+    from pyspark.sql import Window
+
+    from dataflow_pubsub_message_encryption_spark.operators import similarity as S
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    e_q = (
+        load(spark, fixture, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                S.as_double("embedding"),
+                lambda x: F.round(x * S._CENT_SCALE).cast("long"),
+            ).alias("qe"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cint = (
+        e_q.select("label", F.posexplode("qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.sum("q").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("cq")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cq"))).alias("p"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("p", lambda s: s.getField("cq")).alias("cq"),
+        )
+    )
+    res = e_q.join(F.broadcast(cint), e_q.label == cint.cell).select(
+        "vec_id",
+        "cell",
+        F.zip_with("qe", "cq", lambda a, b: a - b).alias("re"),
+    )
+    subs = res.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("re", m * S._PQ_SUB + 1, S._PQ_SUB).alias("sv"),
+                    )
+                    for m in range(S._PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", "cell", "ms.m", "ms.sv")
+
+    def il2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cb0 = subs.filter(F.col("vec_id") < S._PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cw")
+    )
+    scored = subs.join(F.broadcast(cb0), "m").select(
+        "vec_id", "cell", "m", "k", il2(F.col("sv"), F.col("cw")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+    window_form = sorted(
+        (r.vec_id, r.cell, r.m, r.k)
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", "k")
+        .collect()
+    )
+    min_by_form = sorted(
+        (r.vec_id, r.cell, r.m, r.k)
+        for r in scored.groupBy("vec_id", "cell", "m")
+        .agg(F.min_by("k", F.struct("dist", "k")).alias("k"))
+        .select("vec_id", "cell", "m", "k")
+        .collect()
+    )
+    assert window_form, "fixture admits no PQ assignments — law vacuous"
+    assert window_form == min_by_form
+
+
 def test_emb_lsh_broadcast_regime_still_broadcasts(spark, sf_dir):
     """The round-15 scan-spread repartition in the LSH broadcast regime
     must not displace the measured-best join strategy: the bucket
