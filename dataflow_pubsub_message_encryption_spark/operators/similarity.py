@@ -3158,7 +3158,17 @@ def _gr_search(nodes, probe, edges):
     same-box A/B at sf0.1: blocked 6.73 → 9.25 s, wide 5.78 → 7.15,
     auto 7.25 → 10.0 (tools/slope_runs/r15opt/). The per-hop pin is 1
     job either way; the collect saved nothing and paid recompilation.
-    Kept: the DataFrame frontier + per-hop eager localCheckpoint."""
+    Kept: the DataFrame frontier + per-hop eager localCheckpoint.
+
+    ALSO MEASURED AND REJECTED (round-15 opt session 4): pinning every
+    2nd or 3rd hop instead of every hop (halving/thirding the pin-job
+    count; the unpinned hop's subtree is referenced twice by its
+    successor, so the saved job is paid with duplicated tiny-subtree
+    execution + a deeper plan per compile). Interleaved 5-rep A/B on the
+    full walk at sf0.1, outputs identical at both graded fixtures:
+    per-hop med 2.30 s, every-2 2.52, every-3 2.60
+    (tools/slope_runs/r15opt3/walk_cadence_ab.log). The per-hop pin is
+    the walk's measured floor."""
     cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
