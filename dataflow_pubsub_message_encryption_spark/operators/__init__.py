@@ -47,17 +47,22 @@ _MODULES = [
 # build then Arrow per-bucket candidate scoring, the IVF-PQ min_by
 # assign; the driver-local sampled-Lloyd train also re-touched the
 # already-windowed sampled/batch/SemDeDup keys) — they rotate in next,
-# per the changed-keys-lead rule. Then rotates the stalest cohort: 26 of
-# the 44 r8-newest keys in COVERAGE.md order (emb_ivf_cell_balance and
-# emb_kmeans_elbow_curve are already in as changed keys; the COVERAGE
-# tail (events family, graph_degree_histogram etc., plus
-# profile_key_skew, agg_heavy_hitters_cms, compaction_partition_bins,
+# per the changed-keys-lead rule — and the optimization close-out
+# session changed 7 more (the redundant-pass census batch: fused DSIR
+# census + pinned mix-shift weights, heldout-perplexity and TF-IDF
+# scalars derived from their count tables, the weighted-jaccard and
+# degree-histogram pins), which take the next 7 slots. Then rotates the
+# stalest cohort: 19 of the 44 r8-newest keys in COVERAGE.md order
+# (emb_ivf_cell_balance and emb_kmeans_elbow_curve are already in as
+# changed keys; the COVERAGE tail — events family, profile_key_skew,
+# agg_heavy_hitters_cms, compaction_partition_bins,
 # orders_open_aging_buckets, window_rolling_median,
 # join_interval_overlap_binned, orders_dow_seasonality_index,
-# graph_partition_modularity — the last yielded its slot to the
-# optimization-changed sim_ivf_pq_topk) yields
-# slots to this round's new + optimization-changed keys and leads the
-# r16 rotation). 2 + 7 + 6 + 9 + 26 = 50 slots, zero already-fresh fillers. Every
+# graph_partition_modularity, multimodal_phash_hamming,
+# split_grouped_holdout, the dq_* quartet and
+# corpus_filter_attrition_report — yields slots to this round's new +
+# changed keys and leads the r16 rotation).
+# 2 + 7 + 6 + 9 + 7 + 19 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -88,7 +93,15 @@ _WINDOW = [
     "sim_ann_graph_topk_blocked_wide",  # OPT: same
     "sim_ann_graph_topk_blocked_auto",  # OPT: same
     "sim_ivf_pq_topk",  # OPT s2: min_by PQ assign (was row_number window)
-    # --- 27 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    # --- round-15 optimization session-5 changed implementations ---
+    "corpus_dsir_resample_mix_shift",  # OPT s5: fused census + pinned weights
+    "corpus_dsir_importance_topk",  # OPT s5: fused census (shared weights DAG)
+    "text_heldout_perplexity",  # OPT s5: (N,V) derived from the count table
+    "text_tfidf_keywords_topk",  # OPT s5: nd/df derived from tf
+    "text_tfidf_top3",  # OPT s5: df derived from tf (oracle already says so)
+    "dedup_weighted_jaccard",  # OPT s5: pinned df-capped token stream
+    "graph_degree_histogram",  # OPT s5: the module-standard und pin
+    # --- 19 of the 44-key r8-newest cohort (COVERAGE.md order) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
     "part_name_trigram_search",
@@ -108,13 +121,6 @@ _WINDOW = [
     "emb_pq_code_balance",
     "sim_reciprocal_nn",
     "emb_knn_loo_accuracy",
-    "multimodal_phash_hamming",
-    "split_grouped_holdout",
-    "dq_table_fingerprint",
-    "dq_column_profile",
-    "dq_partition_fingerprint_drill",
-    "dq_freshness_lag",
-    "corpus_filter_attrition_report",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.normalize import ts_str
 from ..functions.textfns import tokens
+from ..materialize import pin
 from ..sources import load, load_events
 from .base import make_registry
 
@@ -1714,23 +1715,28 @@ def _dsir_weights(spark, sf_dir, target: str):
     ).select(
         "doc_id", "source", F.substring(F.sha2(F.col("t"), 256), 1, 2).alias("b")
     )
-    raw = bk.groupBy("b").agg(F.count("*").alias("nr"))
-    tgt = bk.filter(is_target).groupBy("b").agg(F.count("*").alias("nt"))
-    tot = bk.agg(
-        F.count("*").alias("tr"),
-        F.count_if(is_target).alias("tt"),
+    # ONE token-grain census pass: nr == the raw per-bucket count, nt ==
+    # the target per-bucket count (count_if yields the 0 the split form's
+    # raw LEFT JOIN tgt + coalesce(nt, 0) produced), and the corpus
+    # totals derive from per's exact integer sums — order-insensitive,
+    # so tr/tt are the same BIGINTs the direct count/count_if read. The
+    # r15-opt A/B measured the split three-aggregate form (raw census +
+    # filtered target census + global totals, each re-tokenizing the
+    # corpus) at 4 token-grain passes per weights instantiation vs 2
+    # here, outputs row-identical at all three SFs
+    # (tools/slope_runs/r15opt3/ab_dsir_fused.log); the law test pins
+    # per/tot ≡ the split form at both graded fixtures.
+    per = bk.groupBy("b").agg(
+        F.count("*").alias("nr"), F.count_if(is_target).alias("nt")
     )
+    tot = per.agg(F.sum("nr").alias("tr"), F.sum("nt").alias("tt"))
     nb = F.lit(float(_DSIR_BUCKETS))
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log((F.coalesce("nt", F.lit(0)) + 1) / (F.col("tt") + nb))
-                - F.log((F.col("nr") + 1) / (F.col("tr") + nb))
-            ).alias("lr"),
-        )
+    lr = per.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("nt") + 1) / (F.col("tt") + nb))
+            - F.log((F.col("nr") + 1) / (F.col("tr") + nb))
+        ).alias("lr"),
     )
     db = bk.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     w = (
@@ -1855,12 +1861,28 @@ def corpus_dsir_resample_mix_shift(spark, sf_dir):
     single-partition TakeOrdered of half the corpus), so the whole DAG
     inherits `corpus_dsir_importance_topk`'s linear budget: one
     (doc_id, bucket) shuffle, broadcast distribution tables, then two
-    source-keyed counts whose partial aggs collapse map-side."""
+    source-keyed counts whose partial aggs collapse map-side. The
+    integer weights table is pinned (~16 B/row) so the threshold's
+    inherent two passes never re-run the token-grain weights DAG
+    (r15-opt: 44 → 4 documents scans in the audited plan)."""
     w = _dsir_weights(spark, sf_dir, _DSIR_TARGET_SRC)
     docs = load(spark, sf_dir, "documents")
-    wint = w.select(
-        "source",
-        F.round(F.col("dsir_logweight") * 1000000, 0).cast("long").alias("wi"),
+    # pin the ~16 B/row integer weights table: the data-dependent
+    # above-mean threshold is inherently two-pass over wi (one aggregate,
+    # one filter), and Spark instantiates shared subplans per use — so
+    # without the pin the WHOLE weights DAG (token-grain tokenize +
+    # census) ran twice (44 parquet scans in the audited plan; 4 with the
+    # pin). Materializing (source, wi) costs one narrow write of n rows;
+    # re-deriving it costs a full corpus tokenize — the pin side wins at
+    # every scale past the fixture and measured at-or-faster on both
+    # fixture layouts (tools/slope_runs/r15opt3/ab_dsir_fused.log).
+    wint = pin(
+        w.select(
+            "source",
+            F.round(F.col("dsir_logweight") * 1000000, 0)
+            .cast("long")
+            .alias("wi"),
+        )
     )
     thr = wint.agg(F.count("*").alias("na"), F.sum("wi").alias("s"))
     # the above-mean test wi * na > sum(wi) in DECIMAL(38,0): both factors
@@ -1891,9 +1913,9 @@ def corpus_dsir_resample_mix_shift(spark, sf_dir):
     n_sel = selc.agg(
         F.coalesce(F.sum("n_selected"), F.lit(0)).cast("long").alias("ns")
     )
-    # likewise na from the tiny per-source table: the weights DAG stays
-    # instantiated exactly twice (wint and thr), the inherent two-pass
-    # cost of a data-dependent threshold — never a third time
+    # likewise na from the tiny per-source table: the threshold's
+    # two-pass cost runs against the pinned integer weights table, so
+    # the weights DAG itself is instantiated exactly once — never again
     n_all = base.agg(F.sum("n_docs").cast("long").alias("na"))
     return (
         base.join(selc, "source", "left")

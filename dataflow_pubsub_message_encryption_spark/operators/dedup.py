@@ -1876,7 +1876,18 @@ def weighted_jaccard_pairs(spark, docs):
         (F.col("df") <= _WJAC_DF_MIN)
         | (F.col("df") * _WJAC_DF_DEN <= F.col("nd"))
     ).select("term", "w")
-    dt = d.join(kept, "term")
+    # pin the df-capped weighted token stream: its three consumers (the
+    # per-doc weight sums and BOTH self-join sides) each re-instantiated
+    # the full scan + tokenize + cap join — the r15-opt A/B read the pin
+    # at −17% on both fixture layouts (1.86→1.55 / 2.73→2.27 s med,
+    # tools/slope_runs/r15opt3/ab_q20_pin.log); pinning the PRE-cap
+    # stream instead was measured worse (the uncapped token table is the
+    # one not worth materializing). At 100 TB the trade is one
+    # materialization of the capped stream vs two recomputes of the
+    # corpus tokenize.
+    from ..materialize import pin
+
+    dt = pin(d.join(kept, "term"))
     sums = dt.groupBy("doc_id").agg(F.sum("w").alias("sw"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (

@@ -1016,7 +1016,14 @@ def graph_degree_histogram(spark, sf_dir):
     pairs = _DEDUP_QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).select(
         "doc_a", "doc_b"
     )
-    und = (
+    # pin the id-only edge list like every other und consumer in this
+    # module: without it the degree union (2×) times the tot/bucket
+    # double-read re-instantiated the WHOLE upstream LSH pipeline 4× —
+    # 16 documents scans in the audited plan, 4 with the pin (r15-opt
+    # full-registry scan census, tools/slope_runs/r15opt3/
+    # scan_census_all.log; this body was the one und site missing the
+    # module's standard pin).
+    und = pin(
         pairs.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.least("doc_a", "doc_b").alias("a"),

@@ -261,7 +261,13 @@ def text_tfidf_top3(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df from tf, exactly as the oracle's CTE chain already states it:
+    # tf rows are unique per (doc_id, term), so df == count(*) per term
+    # — no second tokenize pass and no distinct machinery; tf's one
+    # aggregation exchange is shared by both consumers (the r15-opt
+    # tfidf_keywords A/B carries the measured numbers for this shape,
+    # tools/slope_runs/r15opt3/ab_tfidf_nv.log).
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     # corpus size as a broadcast 1-row aggregate, not a driver .count():
     # the whole DAG stays lazy and the scan isn't executed twice.
     n_row = docs.agg(F.count("*").cast("double").alias("corpus_n"))
@@ -1180,9 +1186,15 @@ def text_heldout_perplexity(spark, sf_dir):
     ho = d.filter(F.col("fold") == 0)
     trtok = tr.select(F.explode(tokens("text")).alias("term"))
     uc = trtok.groupBy("term").agg(F.count("*").alias("ucnt"))
-    nv = trtok.agg(
-        F.count("*").alias("n"), F.count_distinct("term").alias("v")
-    )
+    # (N_tr, V_tr) from the unigram count table, not a second tokenize
+    # pass: N == sum of per-term counts and V == the table's row count —
+    # exact integer identities, and uc's by-term aggregation exchange is
+    # reused at runtime where the direct count/count_distinct over trtok
+    # re-scanned and re-exploded the training folds (r15-opt A/B:
+    # outputs row-identical at all three SFs, one job/stage fewer,
+    # fixture-neutral; the win is the removed full-corpus pass at scale
+    # — tools/slope_runs/r15opt3/ab_q22_nv.log).
+    nv = uc.agg(F.sum("ucnt").alias("n"), F.count("*").alias("v"))
 
     def bigrams(frame, with_doc):
         cols = (["doc_id"] if with_doc else []) + ["pq.p", "pq.q"]
@@ -1748,10 +1760,19 @@ def text_tfidf_keywords_topk(spark, sf_dir):
         "doc_id", F.explode(tokens("text")).alias("term")
     )
     tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    nd = d.agg(F.count_distinct("doc_id").alias("nd"))
+    # nd and df from the (doc, term) frequency table, not two more
+    # token-grain passes: tf rows are unique per (doc_id, term), so
+    # df == count(*) per term (no distinct machinery at all) and
+    # nd == count_distinct(doc_id) over tf — exact integer identities,
+    # and all three consumers now share tf's one aggregation exchange
+    # (runtime stage reuse) where the split form re-tokenized the corpus
+    # three times (r15-opt: outputs row-identical at all three SFs,
+    # tools/slope_runs/r15opt3/ab_tfidf_nv.log; law test pins both
+    # identities at the graded fixtures).
+    nd = tf.agg(F.count_distinct("doc_id").alias("nd"))
     idf = (
-        d.groupBy("term")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(nd))
         .select(
             "term",

@@ -382,3 +382,146 @@ def test_emb_lsh_broadcast_regime_still_broadcasts(spark, sf_dir):
     plan = formatted_plan(queries["dedup_embedding_lsh"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "REPARTITION_BY_COL" not in plan
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_dsir_weights_fused_census_equals_split(spark, fixture):
+    """The fused one-pass DSIR census (engine path since the r15
+    optimization's close-out session) must produce the BIT-IDENTICAL
+    per-document weights table of the split three-aggregate form it
+    replaced (raw per-bucket census + filtered target census + global
+    count/count_if totals, each a separate token-grain pass).
+    Reconstructs the split form verbatim and compares
+    (doc_id, source, dsir_logweight) row for row at both graded
+    fixtures — exact integer census counts feed the same float lr
+    expression, so equality is exact, not approximate."""
+    from dataflow_pubsub_message_encryption_spark.operators import (
+        curation as C,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    target = C._DSIR_TARGET_SRC
+    is_target = F.col("source") == target
+    docs = load(spark, fixture, "documents")
+    bk = docs.select(
+        "doc_id", "source", F.explode(C.tokens("text")).alias("t")
+    ).select(
+        "doc_id",
+        "source",
+        F.substring(F.sha2(F.col("t"), 256), 1, 2).alias("b"),
+    )
+    # the split form, verbatim as shipped before the fuse
+    raw = bk.groupBy("b").agg(F.count("*").alias("nr"))
+    tgt = bk.filter(is_target).groupBy("b").agg(F.count("*").alias("nt"))
+    tot = bk.agg(
+        F.count("*").alias("tr"), F.count_if(is_target).alias("tt")
+    )
+    nb = F.lit(float(C._DSIR_BUCKETS))
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("nt", F.lit(0)) + 1) / (F.col("tt") + nb))
+                - F.log((F.col("nr") + 1) / (F.col("tr") + nb))
+            ).alias("lr"),
+        )
+    )
+    db = bk.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    w = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias(
+                "dsir_logweight"
+            )
+        )
+    )
+    split = sorted(
+        (r.doc_id, r.source, r.dsir_logweight)
+        for r in w.join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "dsir_logweight")
+        .collect()
+    )
+    fused = sorted(
+        (r.doc_id, r.source, r.dsir_logweight)
+        for r in C._dsir_weights(spark, fixture, target).collect()
+    )
+    assert split, "fixture yields no DSIR weights — law vacuous"
+    assert split == fused
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_heldout_nv_from_uc_equals_direct(spark, fixture):
+    """The held-out perplexity's (N_tr, V_tr) scalars (engine path since
+    the r15 optimization's close-out session: derived from the unigram
+    count table) must equal the direct count/count_distinct over the
+    exploded training tokens they replaced — N == sum of per-term
+    counts, V == the count table's row count, at both graded fixtures."""
+    from dataflow_pubsub_message_encryption_spark.functions.textfns import (
+        tokens,
+    )
+    from dataflow_pubsub_message_encryption_spark.operators.sampling import (
+        _KFOLD,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    docs = load(spark, fixture, "documents")
+    nib = lambda i: (  # noqa: E731 — mirrors the engine body
+        F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.sha2("text", 256), i, 1)
+        )
+        - 1
+    )
+    fold = ((nib(1) * 16 + nib(2)) % _KFOLD).cast("int")
+    trtok = (
+        docs.select("text", fold.alias("fold"))
+        .filter(F.col("fold") != 0)
+        .select(F.explode(tokens("text")).alias("term"))
+    )
+    uc = trtok.groupBy("term").agg(F.count("*").alias("ucnt"))
+    direct = trtok.agg(
+        F.count("*").alias("n"), F.count_distinct("term").alias("v")
+    ).collect()[0]
+    derived = uc.agg(
+        F.sum("ucnt").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    assert direct.n > 0, "fixture has no training tokens — law vacuous"
+    assert (direct.n, direct.v) == (derived.n, derived.v)
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_tfidf_nd_df_from_tf_equals_direct(spark, fixture):
+    """The TF-IDF keyword extractor's census scalars (engine path since
+    the r15 optimization's close-out session: derived from the (doc,
+    term) frequency table) must equal the direct distinct aggregates
+    over the exploded token stream they replaced — nd == distinct docs
+    in tf, and per-term df == tf's row count per term (tf rows are
+    unique per (doc_id, term)), at both graded fixtures."""
+    from dataflow_pubsub_message_encryption_spark.functions.textfns import (
+        tokens,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    d = load(spark, fixture, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    nd_direct = d.agg(F.count_distinct("doc_id").alias("nd")).collect()[0].nd
+    nd_derived = (
+        tf.agg(F.count_distinct("doc_id").alias("nd")).collect()[0].nd
+    )
+    assert nd_direct > 0, "fixture has no tokens — law vacuous"
+    assert nd_direct == nd_derived
+    df_direct = sorted(
+        (r.term, r.df)
+        for r in d.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .collect()
+    )
+    df_derived = sorted(
+        (r.term, r.df)
+        for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+    )
+    assert df_direct == df_derived
