@@ -51,18 +51,26 @@ _MODULES = [
 # session changed 7 more (the redundant-pass census batch: fused DSIR
 # census + pinned mix-shift weights, heldout-perplexity and TF-IDF
 # scalars derived from their count tables, the weighted-jaccard and
-# degree-histogram pins), which take the next 7 slots. Then rotates the
-# stalest cohort: 19 of the 44 r8-newest keys in COVERAGE.md order
+# degree-histogram pins), which take the next 7 slots. A sixth
+# optimization session changed 6 more (the components loop dropped its
+# once-consumed nodes pin — dedup_cluster_components and its four
+# composing keys — and the RFM body's three rank passes were
+# thread-overlapped), taking the next 6. Then rotates the
+# stalest cohort: 13 of the 44 r8-newest keys in COVERAGE.md order
 # (emb_ivf_cell_balance and emb_kmeans_elbow_curve are already in as
-# changed keys; the COVERAGE tail — events family, profile_key_skew,
+# changed keys; the COVERAGE tail — dedup_semantic_lexical_agreement's
+# six displaced followers (sim_hybrid_rrf_retrieval,
+# emb_hard_negative_mining, sim_ann_ivf_nprobe_curve,
+# emb_pq_code_balance, sim_reciprocal_nn, emb_knn_loo_accuracy), the
+# events family, profile_key_skew,
 # agg_heavy_hitters_cms, compaction_partition_bins,
 # orders_open_aging_buckets, window_rolling_median,
 # join_interval_overlap_binned, orders_dow_seasonality_index,
-# graph_partition_modularity, multimodal_phash_hamming,
-# split_grouped_holdout, the dq_* quartet and
+# multimodal_phash_hamming (graph_partition_modularity re-entered as a
+# session-6 changed key), split_grouped_holdout, the dq_* quartet and
 # corpus_filter_attrition_report — yields slots to this round's new +
 # changed keys and leads the r16 rotation).
-# 2 + 7 + 6 + 9 + 7 + 19 = 50 slots, zero already-fresh fillers. Every
+# 2 + 7 + 6 + 9 + 7 + 6 + 13 = 50 slots, zero already-fresh fillers. Every
 # remaining EXACT query follows in module order; oracle-less (ROWS-class)
 # queries always sort last so no graded slot is burned on a `no_oracle`
 # row.
@@ -101,7 +109,18 @@ _WINDOW = [
     "text_tfidf_top3",  # OPT s5: df derived from tf (oracle already says so)
     "dedup_weighted_jaccard",  # OPT s5: pinned df-capped token stream
     "graph_degree_histogram",  # OPT s5: the module-standard und pin
-    # --- 19 of the 44-key r8-newest cohort (COVERAGE.md order) ---
+    # --- round-15 optimization session-6 changed implementations ---
+    # (the components loop dropped its once-consumed nodes pin — every
+    # key composing dedup_cluster_components changed with it — and the
+    # RFM body's three rank passes now overlap from a thread pool)
+    "dedup_cluster_components",  # OPT s6: unpinned once-consumed nodes
+    "dedup_cluster_summary",  # OPT s6: composes the components loop
+    "corpus_dedup_priority_keep",  # OPT s6: same
+    "graph_partition_modularity",  # OPT s6: same
+    "corpus_dedup_savings_report",  # OPT s6: same
+    "rfm_segmentation_scalable",  # OPT s6: 3 rank passes thread-overlapped
+    # --- 13 of the 44-key r8-newest cohort (COVERAGE.md order; the
+    # displaced 6 lead the r16 rotation) ---
     "envelope_roundtrip",
     "orders_pareto_abc",
     "part_name_trigram_search",
@@ -115,12 +134,6 @@ _WINDOW = [
     "text_vocab_coverage_oov",
     "text_hapax_ratio",
     "dedup_semantic_lexical_agreement",
-    "sim_hybrid_rrf_retrieval",
-    "emb_hard_negative_mining",
-    "sim_ann_ivf_nprobe_curve",
-    "emb_pq_code_balance",
-    "sim_reciprocal_nn",
-    "emb_knn_loo_accuracy",
 ]
 
 

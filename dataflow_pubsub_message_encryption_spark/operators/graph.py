@@ -73,7 +73,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = _MAX_ROUNDS):
         .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
         .distinct()
     )
-    nodes = pin(
+    # NOT pinned (round-15 opt): nodes is consumed exactly once — by the
+    # final labels join after the loop — and its lineage is one
+    # select/union/distinct over the PINNED initial edges, so an eager pin
+    # here is a pure extra job + block write per execution (measured
+    # interleaved A/B at sf0.1: q12 med 5.43 → 4.99 single-file /
+    # 5.38 → 4.74 multifile with labels identical at all three SFs —
+    # tools/slope_runs/r15opt4/ab_cc_jobs.log). Fusing the per-round
+    # stats pin with the violations count (persist + count-as-
+    # materializer) was measured in the same A/B and REJECTED: it gives
+    # the win back (med 5.42/5.10).
+    nodes = (
         edges.select(F.col("u").alias("node"))
         .union(edges.select("v"))
         .distinct()

@@ -38,6 +38,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1359,20 +1361,27 @@ def _global_adjacent_pairs(df, order_cols, keep):
         *[F.col(c).alias(f"{c}_l") for c in keep],
         *[F.col(f"_n_{c}").alias(f"{c}_r") for c in keep],
     )
-    # driver-scalar (bounded: <= _N_RANGE rows each, one per non-empty
-    # range partition) — the same bounded-transfer class as
-    # _global_rank's per-partition offset collect
+    # driver-scalar (bounded: <= 2*_N_RANGE rows, one-or-two per
+    # non-empty range partition) — the same bounded-transfer class as
+    # _global_rank's per-partition offset collect. Round-15 opt
+    # session 6: ONE OR-filter job over the pinned table instead of two
+    # (the lasts/firsts collects scanned the same pin back to back; the
+    # driver classifies — a single-row partition lands in both lists,
+    # exactly as it did from the two separate filters). Outputs proven
+    # identical at all three SFs for both suffix consumers; timing
+    # mildly positive on a jittery box (q23 med 2.95 → 2.77, min
+    # 2.66 → 2.51; tools/slope_runs/r15opt4/ab_adj_one_collect.log) —
+    # shipped for the removed bounded job, the q21-precedent class.
+    rows_b = (
+        marked.filter(F.col("_has_next").isNull() | (F.col("_rn") == 1))
+        .select("pid", "_rn", "_has_next", *keep)
+        .collect()  # driver-bounded: <= 2*_N_RANGE rows
+    )
     lasts = sorted(
-        marked.filter(F.col("_has_next").isNull())
-        .select("pid", *keep)
-        .collect(),  # driver-bounded: <= _N_RANGE rows (one per partition)
-        key=lambda r: r["pid"],
+        (r for r in rows_b if r["_has_next"] is None), key=lambda r: r["pid"]
     )
     firsts = sorted(
-        marked.filter(F.col("_rn") == 1)
-        .select("pid", *keep)
-        .collect(),  # driver-bounded: <= _N_RANGE rows (one per partition)
-        key=lambda r: r["pid"],
+        (r for r in rows_b if r["_rn"] == 1), key=lambda r: r["pid"]
     )
     fields = [
         T.StructField(f"{c}_{side}", df.schema[c].dataType)
@@ -1559,7 +1568,20 @@ def rfm_segmentation_scalable(spark, sf_dir):
     parallel, no global sort anywhere). The oracle runs the plain ntile
     form, so the rank machinery is value-PROVEN equal on all three
     orderings, including the descending ones. Scale: 3 ranked passes +
-    one 3-way customer-grain join; every task is |customers|/_N_RANGE."""
+    one 3-way customer-grain join; every task is |customers|/_N_RANGE.
+
+    Round-15 opt: the three passes are INDEPENDENT (each reads only the
+    pinned per_cust) but each ``_global_rank`` call runs two eager jobs
+    (range pin + bounded offsets collect) before returning, so calling
+    them back-to-back serializes six small jobs on a mostly-idle
+    cluster. They are submitted from a 3-thread pool instead (guide
+    §2.6 — actions are only sequential because the driver calls them
+    sequentially; FIFO scheduling back-fills the tails). Deterministic:
+    each pass's result is independent of submission order, and the
+    composition below is built after all three return. Measured
+    interleaved A/B at sf0.1: med 2.02 → 1.41 single-file / 2.59 → 1.87
+    multifile, pairwise-dominant on every rep, outputs identical at all
+    three SFs (tools/slope_runs/r15opt4/ab_rfm_overlap.log)."""
     per_cust = (
         load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
@@ -1585,10 +1607,16 @@ def rfm_segmentation_scalable(spark, sf_dir):
             _ntile_from_rank(F.col("rk"), n, 5).alias(name),
         )
 
+    with ThreadPoolExecutor(max_workers=3) as _pool:
+        _fr = _pool.submit(score, F.col("last_order"), "r_score")
+        _ff = _pool.submit(score, F.col("frequency"), "f_score")
+        _fm = _pool.submit(score, F.col("monetary"), "m_score")
+        r_sc, f_sc, m_sc = _fr.result(), _ff.result(), _fm.result()
+
     scored = (
-        per_cust.join(score(F.col("last_order"), "r_score"), "o_custkey")
-        .join(score(F.col("frequency"), "f_score"), "o_custkey")
-        .join(score(F.col("monetary"), "m_score"), "o_custkey")
+        per_cust.join(r_sc, "o_custkey")
+        .join(f_sc, "o_custkey")
+        .join(m_sc, "o_custkey")
     )
     seg = (
         F.when(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -3168,7 +3169,19 @@ def _gr_search(nodes, probe, edges):
     full walk at sf0.1, outputs identical at both graded fixtures:
     per-hop med 2.30 s, every-2 2.52, every-3 2.60
     (tools/slope_runs/r15opt3/walk_cadence_ab.log). The per-hop pin is
-    the walk's measured floor."""
+    the walk's measured floor.
+
+    ALSO MEASURED AND REJECTED (round-15 opt session 6): the probe as a
+    64-literal constant array instead of the 1-row pin +
+    crossJoin(broadcast) per hop — unlike the beam literals the probe is
+    execution-invariant so codegen caching is safe, but quiet-box
+    interleaved 7-rep A/Bs read blocked med 5.27 → 5.19 (noise), auto
+    4.85 → 5.17 (the literal form loses 6/7 pairwise; outputs identical
+    at all three SFs): the saved pin job is repaid per row — the
+    literal array is re-constructed per _gr_isq evaluation where the
+    broadcast side references one materialized ArrayData
+    (tools/slope_runs/r15opt4/ab_gr_probe_lit.log and the single-key
+    rerun logs beside it)."""
     cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
@@ -3235,19 +3248,36 @@ def _gr_blocked(spark, sf_dir, tables=None):
     # fixture-only win wasn't there to buy either. The build's wide
     # stages get their parallelism from their own exchanges regardless.
     e = load(spark, sf_dir, "embeddings")
-    nodes = _gr_nodes(
-        e.filter(F.col("vec_id") != _PROBE_ID), blocked=True, tables=tables
-    ).localCheckpoint()
-    probe = (
-        e.filter(F.col("vec_id") == _PROBE_ID)
-        .select(
-            F.transform(
-                as_double("embedding"),
-                lambda x: F.round(x * _CENT_SCALE).cast("long"),
-            ).alias("pq")
+
+    # Round-15 opt session 6: the nodes and probe pins are INDEPENDENT
+    # (both read only the embeddings scan), so their two eager jobs are
+    # submitted from a 2-thread pool instead of back-to-back (guide
+    # §2.6; the q17 rank-pass precedent). Outputs identical at all three
+    # SFs for blocked/wide/auto; timing mildly positive on a jittery box
+    # (blocked multifile med 5.49 → 4.78, auto 4.38 → 4.30 single-file /
+    # 13.40 → 9.86 multifile; ab_gr_pin_overlap.log) — the saved wait is
+    # the smaller (probe) pin job. The probe-as-literal-array variant
+    # was measured here too and REJECTED (see `_gr_search`'s docstring).
+    def _mk_nodes():
+        return _gr_nodes(
+            e.filter(F.col("vec_id") != _PROBE_ID), blocked=True, tables=tables
+        ).localCheckpoint()
+
+    def _mk_probe():
+        return (
+            e.filter(F.col("vec_id") == _PROBE_ID)
+            .select(
+                F.transform(
+                    as_double("embedding"),
+                    lambda x: F.round(x * _CENT_SCALE).cast("long"),
+                ).alias("pq")
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fn, _fp = _pool.submit(_mk_nodes), _pool.submit(_mk_probe)
+        nodes, probe = _fn.result(), _fp.result()
     # round-15 opt: per-bucket Arrow pair kernel (was: bucket self-joins +
     # id-pair distinct + two shuffle_hash vector re-joins + per-pair
     # pandas-UDF scoring) — see `_grb_scored_pairs_arrow`; the join form

@@ -53,6 +53,26 @@ def get_session(app_name: str = "spark-graft", cpus: int | None = None) -> Spark
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            # Whole-stage-codegen compilation cache (STATIC conf — builder
+            # only; `configure` cannot set it on a driver-owned session).
+            # The default is 100 entries, and one pass over the 38-query
+            # bench mix compiles far more distinct codegen units than
+            # that, so the LRU evicts everything every pass and each
+            # "warm" execution re-pays Janino compilation + HotSpot
+            # re-tiering for every stage — measured at ~30% of the whole
+            # mix (same-box back-to-back arms: 90.5/85.0 s per pass at
+            # 100 entries vs 63.7/57.6 s at 4096; 37/38 queries faster —
+            # tools/slope_runs/r15opt4/ab_codegen_{default2,big2}.log).
+            # Scale-honest: the cache is keyed on generated SOURCE, so
+            # its right size tracks workload DIVERSITY (number of
+            # distinct plan shapes a long-lived app serves), not data
+            # volume or core count; 4096 bounds it at a few hundred MB
+            # of compiled classes in the worst case. Parameterized for
+            # deployments with narrower/wider query mixes.
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

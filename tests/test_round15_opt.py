@@ -525,3 +525,98 @@ def test_tfidf_nd_df_from_tf_equals_direct(spark, fixture):
         for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
     )
     assert df_direct == df_derived
+
+
+# --- session-6 optimization laws -------------------------------------
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_rfm_threaded_scores_equal_sequential(spark, fixture):
+    """q17's three quintile passes are now submitted from a 3-thread
+    pool (guide §2.6 — the eager rank jobs overlap instead of
+    serializing); the law re-composes the SAME score() machinery
+    sequentially and asserts row-identical output at both graded
+    fixtures, plus run-to-run determinism of the threaded form (the
+    overlap must not introduce scheduling-order sensitivity)."""
+    from dataflow_pubsub_message_encryption_spark.operators.scale import (
+        QUERIES,
+        _global_rank,
+        _ntile_from_rank,
+        dec4,
+    )
+    from dataflow_pubsub_message_encryption_spark.sources import load
+
+    threaded = sorted(
+        map(tuple, QUERIES["rfm_segmentation_scalable"](spark, fixture).collect())
+    )
+    threaded2 = sorted(
+        map(tuple, QUERIES["rfm_segmentation_scalable"](spark, fixture).collect())
+    )
+    assert threaded == threaded2  # deterministic under the thread pool
+
+    per_cust = (
+        load(spark, fixture, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(dec4("o_totalprice")).alias("monetary"),
+        )
+        .localCheckpoint()
+    )
+
+    def score(order_col, name):
+        ranked, n = _global_rank(
+            per_cust.select("o_custkey", order_col.alias("_k")),
+            F.desc("_k"),
+            F.col("o_custkey"),
+        )
+        return ranked.select(
+            "o_custkey", _ntile_from_rank(F.col("rk"), n, 5).alias(name)
+        )
+
+    seq = (
+        per_cust.select("o_custkey")
+        .join(score(F.col("last_order"), "r_score"), "o_custkey")
+        .join(score(F.col("frequency"), "f_score"), "o_custkey")
+        .join(score(F.col("monetary"), "m_score"), "o_custkey")
+    )
+    seq_scores = sorted(map(tuple, seq.collect()))
+    got_scores = sorted((t[0], t[3], t[4], t[5]) for t in threaded)
+    assert seq_scores == got_scores
+
+
+@pytest.mark.parametrize("fixture", FIXTURES)
+def test_cc_labels_cover_every_pair_endpoint(spark, fixture):
+    """Regression guard for the unpinned `nodes` table (round-15 opt:
+    the once-consumed pin was dropped): `nodes` must keep reading the
+    INITIAL edge set — if a later edit accidentally rebuilt it from the
+    loop's contracted final iterate, documents whose component collapsed
+    to a star interior would vanish from the labels. The law: q12's
+    doc_id set == the exact endpoint set of the verified duplicate
+    pairs, and every cluster_id is a member doc (the component min)."""
+    from dataflow_pubsub_message_encryption_spark.operators.dedup import (
+        QUERIES as DQ,
+    )
+    from dataflow_pubsub_message_encryption_spark.operators.graph import (
+        QUERIES as GQ,
+    )
+
+    pairs = DQ["dedup_minhash_lsh_pairs"](spark, fixture).select(
+        "doc_a", "doc_b"
+    )
+    endpoints = {
+        r.d
+        for r in pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .collect()
+    }
+    out = GQ["dedup_cluster_components"](spark, fixture).collect()
+    got_docs = {r.doc_id for r in out}
+    assert got_docs == endpoints
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid == min(members)  # canonical id is the member minimum
