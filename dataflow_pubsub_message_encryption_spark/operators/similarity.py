@@ -2674,6 +2674,13 @@ def _gr_edges_sql(l: int) -> str:
 # family's recall recovery), never from the all-pairs self-join.
 _GRB_TABLES = ((0, 4), (4, 8))
 
+# pair-kernel occupancy cap (VERDICT r15 item 7): 65536² float64 is a
+# 32 GiB distance block — far past any bucket the bits ≈ log2(n/B)
+# sizing rule admits (target mean occupancy B=160); a bucket at the cap
+# indicates a mis-sized table, and the kernel's assert names the knob
+# instead of OOMing the Python worker.
+_GRB_OCC_CAP = 65536
+
 
 def _lsh_slice_sql(col: str, lo: int, hi: int) -> str:
     """DuckDB: hyperplane sign bits for planes [lo, hi) — the slice analog
@@ -2971,8 +2978,20 @@ def _grb_scored_pairs_arrow(nodes):
     summation order; the law test re-proves value identity against the
     join form's int64 fold at both fixtures. Per-bucket memory is
     occupancy², the same Σ n_c² budget that bounds the join form's
-    output — a skewed bucket costs both forms alike, and the table-width
-    knob (`bits ≈ log2(n/B)`) bounds occupancy in both."""
+    output — a skewed cell costs both forms alike, and the table-width
+    knob (`bits ≈ log2(n/B)`) bounds occupancy in both; the explicit
+    `_GRB_OCC_CAP` assert turns a pathological bucket into a fast,
+    knob-naming failure instead of a Python-worker OOM (VERDICT r15
+    item 7).
+
+    Round-16 optimization (VERDICT r15 item 7): the kernel emits each
+    unordered pair ONCE (upper triangle, src < dst by the in-kernel id
+    sort) and the ordered-pair set the rank rule needs is restored by a
+    cheap JVM projection union before the distinct — half the kernel
+    output rows and Arrow return traffic for one extra narrow map.
+    Pair set law-pinned identical (same law test), stage A/B 0.67 →
+    0.63 s med at sf0.1 (4/5 pairwise, tools/slope_runs/r16/
+    ab_grb_triu.log)."""
 
     def pair_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -2986,12 +3005,19 @@ def _grb_scored_pairs_arrow(nodes):
                     "d": pd.Series([], dtype="int64"),
                 }
             )
-        ids = pdf["vec_id"].to_numpy()
-        lvl = pdf["lvl"].to_numpy()
-        Qf = np.array(pdf["qe"].tolist(), dtype=np.int64).astype(np.float64)
+        assert n <= _GRB_OCC_CAP, (
+            f"bucket occupancy {n} exceeds the pair-kernel cap "
+            f"{_GRB_OCC_CAP}; widen the tables (bits ≈ log2(n/B))"
+        )
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        lvl = pdf["lvl"].to_numpy()[order]
+        Qf = np.array(pdf["qe"].tolist(), dtype=np.int64)[order].astype(
+            np.float64
+        )
         sq = (Qf * Qf).sum(axis=1)
         D = (sq[:, None] + sq[None, :] - 2.0 * (Qf @ Qf.T)).astype(np.int64)
-        i, j = np.nonzero(~np.eye(n, dtype=bool))
+        i, j = np.triu_indices(n, k=1)
         return pd.DataFrame(
             {
                 "src": ids[i],
@@ -3013,7 +3039,16 @@ def _grb_scored_pairs_arrow(nodes):
             )
         )
         out = per if out is None else out.unionByName(per)
-    return out.distinct()
+    mirrored = out.unionByName(
+        out.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("dst_lvl").alias("src_lvl"),
+            F.col("src_lvl").alias("dst_lvl"),
+            "d",
+        )
+    )
+    return mirrored.distinct()
 
 
 def _grb_edges(nodes, l: int, scored=None):
@@ -3030,7 +3065,34 @@ def _grb_edges(nodes, l: int, scored=None):
     )
 
 
-def _grb_edges_all(scored):
+def _gr_probe_dists(nodes, probe):
+    """Per-node probe distance table ``nd = (vec_id, lvl, pd)`` — the
+    round-16 walk optimization's key observation: a node's distance to
+    the probe is EXECUTION-INVARIANT, yet the r15 walk re-derived it
+    inside every hop (frontier ⋈ nodes, crossJoin probe, interpreted
+    64-element fold). Computed once here (same exact int64 `_gr_isq`
+    arithmetic, same values) and attached to the pinned edge tables so
+    the hops never touch vectors again. Left UNPINNED: its two consumers
+    (the entry-point job and the edge-pin attach join) re-run one narrow
+    map over the pinned node table — cheaper than a third eager pin."""
+    return nodes.crossJoin(F.broadcast(probe)).select(
+        "vec_id", "lvl", _gr_isq(F.col("qe"), F.col("pq")).alias("pd")
+    )
+
+
+def _with_probe_dist(edges, nd):
+    """Attach the dst endpoint's probe distance to an (src, dst) edge
+    frame. shuffle_hash per the module's pinned-side join discipline
+    (edges and nd are |V|-grain by construction — broadcast is
+    categorically wrong at scale, and pinned lineage carries pre-pin
+    size estimates)."""
+    ndd = nd.select(F.col("vec_id").alias("dst"), F.col("pd"))
+    return edges.join(ndd.hint("shuffle_hash"), "dst").select(
+        *edges.columns, "pd"
+    )
+
+
+def _grb_edges_all(scored, nd):
     """All `_GR_LEVELS` walk levels' M-NN edges in ONE tagged window pass
     (round-15 optimization): level l's candidates are the scored pairs
     with both endpoints at lvl ≥ l, so the three per-level
@@ -3040,9 +3102,15 @@ def _grb_edges_all(scored):
     of each (the union is wider by the sparse upper levels only: +~30%
     rows at fixture occupancy, each a 4-int row). Edge sets are
     law-pinned identical to the per-level `_grb_edges` at the graded
-    fixture (tests/test_round15_opt.py); same (d, dst) rank rule, same
-    _GR_M keep. Returns the same {level: (src, dst)} dict the walk
-    consumes — each level is a narrow filter over the one pinned table."""
+    fixture (tests/test_round16_opt.py); same (d, dst) rank rule, same
+    _GR_M keep.
+
+    Round-16: each edge additionally carries ``pd`` — the dst endpoint's
+    probe distance (see `_gr_probe_dists`) — attached INSIDE the one pin
+    job, so the beam walk consumes (src, dst, pd) and never joins the
+    node table or re-evaluates the distance fold per hop. Returns
+    {level: (src, dst, pd)}; each level is a narrow filter over the one
+    pinned table."""
     tagged = None
     for l in _GR_LEVELS:
         sub = scored.filter(
@@ -3050,33 +3118,38 @@ def _grb_edges_all(scored):
         ).select(F.lit(l).alias("walk_lvl"), "src", "dst", "d")
         tagged = sub if tagged is None else tagged.unionByName(sub)
     w = Window.partitionBy("walk_lvl", "src").orderBy("d", "dst")
-    allr = (
+    ranked = (
         tagged.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _GR_M)
         .select("walk_lvl", "src", "dst")
-        .localCheckpoint()
     )
+    allr = _with_probe_dist(ranked, nd).localCheckpoint()
     return {
-        l: allr.filter(F.col("walk_lvl") == l).select("src", "dst")
+        l: allr.filter(F.col("walk_lvl") == l).select("src", "dst", "pd")
         for l in _GR_LEVELS
     }
 
 
-def _gr_step(cur, edges, nodes, probe):
+def _gr_step(cur, edges):
     """One beam hop (HNSW ef-search analog): frontier = beam ∪ N(beam);
     keep the _GR_BEAM frontier nodes nearest the probe (ties by id). The
     beam is what rescues greedy descent from local optima — swept: beam=1
-    reads recall 0.0-0.3, beam=8 reads 0.9-1.0 on the fixtures."""
-    nb = cur.join(edges, cur["vec_id"] == edges["src"]).select(
-        F.col("dst").alias("vec_id")
+    reads recall 0.0-0.3, beam=8 reads 0.9-1.0 on the fixtures.
+
+    Round-16 shape: ``cur`` carries (vec_id, pd) and ``edges`` carries
+    the dst's pd, so the hop is neighbor-join ∪ distinct → top-beam by
+    (pd, vec_id) — no node-table join, no probe crossJoin, no per-row
+    distance fold (all removed; the distance is the same `_gr_isq`
+    int64, computed once in `_gr_probe_dists`). The rename-projection
+    (`_cv`) keeps the frontier⋈edges join free of dataset-qualified
+    self-join ambiguity (cur's lineage now derives from the same edge
+    frame it joins)."""
+    curk = cur.select(F.col("vec_id").alias("_cv"))
+    nb = edges.join(curk, F.col("src") == F.col("_cv")).select(
+        F.col("dst").alias("vec_id"), F.col("pd")
     )
-    frontier = cur.select("vec_id").union(nb).distinct()
-    scored = (
-        frontier.join(nodes, "vec_id")
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("d"))
-    )
-    return scored.orderBy("d", "vec_id").limit(_GR_BEAM).select("vec_id")
+    frontier = cur.select("vec_id", "pd").union(nb).distinct()
+    return frontier.orderBy("pd", "vec_id").limit(_GR_BEAM)
 
 
 @query("sim_ann_graph_topk", _gr_sql(blocked=True))
@@ -3142,13 +3215,31 @@ def sim_ann_graph_topk_naive_demo(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    edges = {l: _gr_edges(nodes, l).localCheckpoint() for l in _GR_LEVELS}
-    return _gr_search(nodes, probe, edges)
+    nd = _gr_probe_dists(nodes, probe)
+    edges = {
+        l: _with_probe_dist(_gr_edges(nodes, l), nd).localCheckpoint()
+        for l in _GR_LEVELS
+    }
+    return _gr_search(nd, edges)
 
 
-def _gr_search(nodes, probe, edges):
+def _gr_search(nd, edges):
     """Beam descent + 2-hop base-layer rerank, shared by the naive and
     LSH-blocked builds (the index changes; the walk does not).
+
+    Round-16 optimization (VERDICT r15 item 3): the walk consumes the
+    probe-distance table ``nd`` (see `_gr_probe_dists`) and
+    distance-carrying edges (src, dst, pd) instead of (nodes, probe) —
+    each of the 9 hops drops its node-table join, its probe crossJoin
+    and its interpreted 64-element distance fold (5 operators → 3), and
+    the final 2-hop rerank drops its candidates⋈nodes join the same
+    way. Same `_gr_isq` int64 arithmetic computed once per node, same
+    (distance, id) rank rule, so every beam and the final top-k are
+    row-identical — proven by collect-compare at all three SFs for
+    blocked/wide/auto (tools/slope_runs/r16/ab_gr_walk_dcarry.log) and
+    law-pinned end-to-end in tests/test_round16_opt.py. Interleaved
+    sf0.1 A/B: blocked 4.43 → 4.32 med (4/5 pairwise), wide
+    4.71 → 4.55 (4/5), auto 4.46 → 4.30 (4/5).
 
     Round-15 optimization note — the driver-fed literal-beam walk was
     IMPLEMENTED, MEASURED, AND REJECTED: feeding each hop's ≤_GR_BEAM ids
@@ -3181,28 +3272,35 @@ def _gr_search(nodes, probe, edges):
     literal array is re-constructed per _gr_isq evaluation where the
     broadcast side references one materialized ArrayData
     (tools/slope_runs/r15opt4/ab_gr_probe_lit.log and the single-key
-    rerun logs beside it)."""
-    cur = nodes.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id")
+    rerun logs beside it). The probe-distance table is different in
+    kind from both: the pd computation stays a DataFrame map over the
+    pinned nodes (no literals in generated code — codegen cache safe)
+    and is evaluated once per BUILD, not once per hop."""
+    cur = (
+        nd.orderBy(F.desc("lvl"), "vec_id").limit(1).select("vec_id", "pd")
+    )
     for l in _GR_LEVELS:
         for _ in range(_GR_HOPS):
-            cur = _gr_step(cur, edges[l], nodes, probe).localCheckpoint()
+            cur = _gr_step(cur, edges[l]).localCheckpoint()
     e0 = edges[0]
-    hop1 = cur.join(e0, cur["vec_id"] == e0["src"]).select(
-        F.col("dst").alias("vec_id")
+    curk = cur.select(F.col("vec_id").alias("_cv"))
+    hop1 = e0.join(curk, F.col("src") == F.col("_cv")).select(
+        F.col("dst").alias("vec_id"), F.col("pd")
     )
-    ea, eb = e0.alias("ea"), e0.alias("eb")
+    ea = e0.select(F.col("src").alias("s1"), F.col("dst").alias("d1"))
+    eb = e0.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("pd")
+    )
     hop2 = (
-        cur.join(ea, cur["vec_id"] == F.col("ea.src"))
-        .join(eb, F.col("ea.dst") == F.col("eb.src"))
-        .select(F.col("eb.dst").alias("vec_id"))
+        curk.join(ea, F.col("_cv") == F.col("s1"))
+        .join(eb, F.col("d1") == F.col("s2"))
+        .select(F.col("d2").alias("vec_id"), F.col("pd"))
     )
-    cand = cur.select("vec_id").union(hop1).union(hop2).distinct()
+    cand = cur.select("vec_id", "pd").union(hop1).union(hop2).distinct()
     return (
-        cand.join(nodes.select("vec_id", "qe"), "vec_id")
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", _gr_isq(F.col("qe"), F.col("pq")).alias("idist"))
-        .orderBy("idist", "vec_id")
+        cand.orderBy("pd", "vec_id")
         .limit(_TOPK)
+        .select("vec_id", F.col("pd").alias("idist"))
     )
 
 
@@ -3283,10 +3381,13 @@ def _gr_blocked(spark, sf_dir, tables=None):
     # pandas-UDF scoring) — see `_grb_scored_pairs_arrow`; the join form
     # is kept as the law-test twin.
     scored = _grb_scored_pairs_arrow(nodes).localCheckpoint()
+    # round-16 opt: probe distances computed once and attached to the
+    # pinned edges — the walk never touches vectors (see `_gr_search`).
+    nd = _gr_probe_dists(nodes, probe)
     # round-15 opt: one tagged window pass + one pin for all levels
     # (was one window + pin per level) — see `_grb_edges_all`.
-    edges = _grb_edges_all(scored)
-    return _gr_search(nodes, probe, edges)
+    edges = _grb_edges_all(scored, nd)
+    return _gr_search(nd, edges)
 
 
 def sim_ann_graph_topk_blocked_scaled(spark, sf_dir, bits: int):

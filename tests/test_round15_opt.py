@@ -120,7 +120,17 @@ def test_grb_edges_all_equals_per_level(spark, fixture):
     ).localCheckpoint()
     scored = S._grb_scored_pairs(nodes).localCheckpoint()
 
-    fused = S._grb_edges_all(scored)
+    probe = (
+        e.filter(F.col("vec_id") == S._PROBE_ID)
+        .select(
+            F.transform(
+                S.as_double("embedding"),
+                lambda x: F.round(x * S._CENT_SCALE).cast("long"),
+            ).alias("pq")
+        )
+        .localCheckpoint()
+    )
+    fused = S._grb_edges_all(scored, S._gr_probe_dists(nodes, probe))
     any_nonempty = False
     for l in S._GR_LEVELS:
         per_level = sorted(

@@ -68,8 +68,9 @@ def gr_search_d(nd, edges):
     for l in sim._GR_LEVELS:
         for _ in range(sim._GR_HOPS):
             e = edges[l]
-            nb = cur.join(e, cur["vec_id"] == e["src"]).select(
-                F.col("dst").alias("vec_id"), e["pd"].alias("pd")
+            curk = cur.select(F.col("vec_id").alias("_cv"))
+            nb = e.join(curk, F.col("src") == F.col("_cv")).select(
+                F.col("dst").alias("vec_id"), F.col("pd")
             )
             frontier = cur.select("vec_id", "pd").union(nb).distinct()
             cur = (
@@ -78,14 +79,18 @@ def gr_search_d(nd, edges):
                 .localCheckpoint()
             )
     e0 = edges[0]
-    hop1 = cur.join(e0, cur["vec_id"] == e0["src"]).select(
-        F.col("dst").alias("vec_id"), e0["pd"].alias("pd")
+    curk = cur.select(F.col("vec_id").alias("_cv"))
+    hop1 = e0.join(curk, F.col("src") == F.col("_cv")).select(
+        F.col("dst").alias("vec_id"), F.col("pd")
     )
-    ea, eb = e0.alias("ea"), e0.alias("eb")
+    ea = e0.select(F.col("src").alias("s1"), F.col("dst").alias("d1"))
+    eb = e0.select(
+        F.col("src").alias("s2"), F.col("dst").alias("d2"), F.col("pd")
+    )
     hop2 = (
-        cur.join(ea, cur["vec_id"] == F.col("ea.src"))
-        .join(eb, F.col("ea.dst") == F.col("eb.src"))
-        .select(F.col("eb.dst").alias("vec_id"), F.col("eb.pd").alias("pd"))
+        curk.join(ea, F.col("_cv") == F.col("s1"))
+        .join(eb, F.col("d1") == F.col("s2"))
+        .select(F.col("d2").alias("vec_id"), F.col("pd"))
     )
     cand = cur.select("vec_id", "pd").union(hop1).union(hop2).distinct()
     return (
